@@ -1,0 +1,248 @@
+"""Analyzer chains — capability parity with IResearch's analyzer registry.
+
+The reference registers analyzers by name in a plugin registry
+(`core/analysis/analyzers.cpp:190`) and composes tokenize -> NFC
+normalize -> lowercase -> stopword filter -> Snowball stem inside the
+`text` analyzer (`core/analysis/text_token_stream.cpp:356-420,984-1080`).
+Here each analyzer is a pure-Python *batch* function (list of docs in,
+list of (terms, positions) out) invoked from pandas/Arrow UDFs — one
+Python call per Arrow batch, vectorized inside via numpy/pandas, never
+per row from Spark's perspective.
+
+Positions follow the reference's semantics: position = running sum of
+increments (`core/index/field_data.cpp:1066-1071`); a removed stopword
+leaves a position gap (increment accumulates).
+
+Registry names (parity with §2.1 of SURVEY.md):
+  whitespace   split on whitespace, no normalization
+  simple       lowercase + split on whitespace   (oracle-friendly)
+  text_en      unicode word tokenize + NFC + lower [+ stopwords] + Porter2
+  segmentation unicode word tokenize + lower (reference's bench default)
+  norm         single-token normalizer (NFC + case, no split)
+  stem         single-token Porter2 stemmer
+  delimiter    split on a delimiter string
+  ngram        char n-grams [min_gram, max_gram]
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from iresearch_spark.analysis.porter2 import MemoStemmer
+
+_WS_RE = re.compile(r"\s+")
+# Unicode-ish word tokenizer: runs of word chars (letters/digits/underscore
+# removed), keeping inner apostrophes (house's -> one token) like ICU word
+# break rules do for English.
+_WORD_RE = re.compile(r"[^\W_]+(?:'[^\W_]+)*", re.UNICODE)
+
+TokensAndPositions = tuple[list[str], list[int]]
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """A named, frozen tokenization chain."""
+
+    name: str
+    _fn: Callable[[Sequence[str]], list[TokensAndPositions]]
+
+    def analyze_batch(self, texts: Sequence[str]) -> list[TokensAndPositions]:
+        """texts -> per-doc (terms, positions); None/empty -> ([], [])."""
+        return self._fn(texts)
+
+    def analyze(self, text: str) -> TokensAndPositions:
+        return self.analyze_batch([text])[0]
+
+
+def _strip_accents(token: str) -> str:
+    return "".join(
+        c for c in unicodedata.normalize("NFD", token)
+        if unicodedata.category(c) != "Mn"
+    )
+
+
+def _make_chain(
+    tokenize: Callable[[str], list[str]],
+    lowercase: bool = True,
+    nfc: bool = False,
+    accent: bool = False,
+    stopwords: frozenset[str] | None = None,
+    stemming: bool = False,
+) -> Callable[[Sequence[str]], list[TokensAndPositions]]:
+    def run(texts: Sequence[str]) -> list[TokensAndPositions]:
+        stemmer = MemoStemmer() if stemming else None
+        out: list[TokensAndPositions] = []
+        for text in texts:
+            if not text:
+                out.append(([], []))
+                continue
+            if nfc:
+                text = unicodedata.normalize("NFC", text)
+            if lowercase:
+                text = text.lower()
+            raw = tokenize(text)
+            if accent:
+                raw = [_strip_accents(t) for t in raw]
+            if stopwords is None and stemmer is None:
+                terms = [t for t in raw if t]
+                out.append((terms, list(range(len(terms)))))
+                continue
+            terms: list[str] = []
+            positions: list[int] = []
+            pos = 0
+            for t in raw:
+                if not t:
+                    continue
+                if stopwords is not None and t in stopwords:
+                    pos += 1  # stopword leaves a position gap
+                    continue
+                terms.append(stemmer(t) if stemmer is not None else t)
+                positions.append(pos)
+                pos += 1
+            out.append((terms, positions))
+        return out
+
+    return run
+
+
+def _ws_tokenize(text: str) -> list[str]:
+    return _WS_RE.split(text.strip()) if text.strip() else []
+
+
+def _word_tokenize(text: str) -> list[str]:
+    return _WORD_RE.findall(text)
+
+
+def _ngram_fn(min_gram: int, max_gram: int, preserve_original: bool):
+    def run(texts: Sequence[str]) -> list[TokensAndPositions]:
+        out = []
+        for text in texts:
+            if not text:
+                out.append(([], []))
+                continue
+            terms: list[str] = []
+            positions: list[int] = []
+            n = len(text)
+            for g in range(min_gram, max_gram + 1):
+                for i in range(0, n - g + 1):
+                    terms.append(text[i : i + g])
+                    positions.append(i)
+            if preserve_original and (n < min_gram or n > max_gram):
+                terms.append(text)
+                positions.append(0)
+            out.append((terms, positions))
+        return out
+
+    return run
+
+
+_REGISTRY: dict[str, Callable[..., Analyzer]] = {}
+
+
+def _register(name: str):
+    def deco(factory):
+        _REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+@_register("whitespace")
+def _whitespace(**_opts) -> Analyzer:
+    return Analyzer("whitespace", _make_chain(_ws_tokenize, lowercase=False))
+
+
+@_register("simple")
+def _simple(**_opts) -> Analyzer:
+    return Analyzer("simple", _make_chain(_ws_tokenize, lowercase=True))
+
+
+@_register("segmentation")
+def _segmentation(case: str = "lower", **_opts) -> Analyzer:
+    # reference: core/analysis/segmentation_token_stream.cpp (UAX#29 word
+    # break + case conversion, no stemming) — the index-benchmark default.
+    return Analyzer(
+        "segmentation", _make_chain(_word_tokenize, lowercase=(case == "lower"))
+    )
+
+
+@_register("text_en")
+def _text_en(
+    stopwords: Sequence[str] | None = None,
+    stemming: bool = True,
+    accent: bool = False,
+    **_opts,
+) -> Analyzer:
+    return Analyzer(
+        "text_en",
+        _make_chain(
+            _word_tokenize,
+            lowercase=True,
+            nfc=True,
+            accent=accent,
+            stopwords=frozenset(stopwords) if stopwords else None,
+            stemming=stemming,
+        ),
+    )
+
+
+@_register("norm")
+def _norm(case: str = "lower", accent: bool = True, **_opts) -> Analyzer:
+    def run(texts: Sequence[str]) -> list[TokensAndPositions]:
+        out = []
+        for text in texts:
+            if not text:
+                out.append(([], []))
+                continue
+            t = unicodedata.normalize("NFC", text)
+            if case == "lower":
+                t = t.lower()
+            elif case == "upper":
+                t = t.upper()
+            if accent:
+                t = _strip_accents(t)
+            out.append(([t], [0]))
+        return out
+
+    return Analyzer("norm", run)
+
+
+@_register("stem")
+def _stem(**_opts) -> Analyzer:
+    def run(texts: Sequence[str]) -> list[TokensAndPositions]:
+        stemmer = MemoStemmer()
+        return [
+            (([stemmer(t.lower())], [0]) if t else ([], [])) for t in texts
+        ]
+
+    return Analyzer("stem", run)
+
+
+@_register("delimiter")
+def _delimiter(delimiter: str = ",", **_opts) -> Analyzer:
+    def tok(text: str) -> list[str]:
+        return text.split(delimiter)
+
+    return Analyzer("delimiter", _make_chain(tok, lowercase=False))
+
+
+@_register("ngram")
+def _ngram(
+    min_gram: int = 2, max_gram: int = 3, preserve_original: bool = False, **_opts
+) -> Analyzer:
+    return Analyzer("ngram", _ngram_fn(min_gram, max_gram, preserve_original))
+
+
+def get_analyzer(name: str, **opts) -> Analyzer:
+    """Look up an analyzer by name (mirrors `analyzers::get`, the
+    reference's registry at `core/analysis/analyzers.cpp:190`)."""
+    try:
+        factory = _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown analyzer {name!r}; available: {sorted(_REGISTRY)}"
+        ) from None
+    return factory(**opts)

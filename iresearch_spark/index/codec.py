@@ -1,0 +1,163 @@
+"""Vectorized varint / delta-gap codecs over numpy arrays.
+
+Capability parity with the reference's posting-block encoding
+(IResearch `core/formats/formats_10.cpp:692-706,866-1010`): doc ids are
+stored as delta gaps, varint-encoded, with the `freq == 1` flag packed
+into the low bit of the gap (`shift_pack_32`); positions are stored as
+per-occurrence deltas. The reference bit-packs full 128-doc blocks with
+SIMD; here every block is ONE DataFrame row holding varint blobs, and
+numpy gives the vectorization (Arrow batches keep this off the hot
+Python path).
+
+All functions are pure numpy (no Python-level per-element loops) so they
+stay fast inside pandas/Arrow UDF batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def varint_size(values: np.ndarray) -> np.ndarray:
+    """Per-element encoded byte length (1..10) for uint64 values."""
+    v = np.asarray(values, dtype=np.uint64)
+    # nbytes = 1 + count of thresholds <= v   (vectorized via comparisons)
+    n = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        n += (v >= t).astype(np.int64)
+    return n
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varint encoding of a uint array, vectorized.
+
+    Little-endian base-128; high bit set on every byte except the last of
+    each value (same wire format as the reference's `write_vint`/
+    `write_vlong`, `core/store/store_utils.hpp`).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    sizes = varint_size(v)
+    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    total = int(sizes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    max_len = int(sizes.max())
+    for j in range(max_len):
+        mask = sizes > j
+        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (sizes[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[mask] + j] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode a varint byte blob into a uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero(b < 0x80)  # terminal byte of each value
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    idx = np.arange(b.size, dtype=np.int64)
+    owner = np.searchsorted(ends, idx)  # which value each byte belongs to
+    shift = ((idx - starts[owner]) * 7).astype(np.uint64)
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    np.bitwise_or.at(vals, owner, (b & np.uint8(0x7F)).astype(np.uint64) << shift)
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray, base: int = 0) -> np.ndarray:
+    """Strictly-increasing ids -> gaps (first gap relative to `base`)."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    out = np.empty_like(a)
+    out[0:1] = a[0:1] - np.uint64(base)
+    out[1:] = a[1:] - a[:-1]
+    return out
+
+
+def delta_decode(gaps: np.ndarray, base: int = 0) -> np.ndarray:
+    """Inverse of :func:`delta_encode` (vectorized cumsum)."""
+    g = np.asarray(gaps, dtype=np.uint64)
+    return np.cumsum(g, dtype=np.uint64) + np.uint64(base)
+
+
+def pack_docs_freqs(doc_ids: np.ndarray, freqs: np.ndarray, base: int = 0) -> bytes:
+    """Encode (sorted doc ids, freqs) with the reference's freq-flag trick:
+
+    gap' = (gap << 1) | (freq == 1), following `formats_10.cpp:692-706`
+    (`shift_pack_32`): a freq==1 posting (the common case in web text)
+    costs no freq varint. Layout differs from the reference's interleaved
+    stream to keep the decode branch-free and vectorizable: a gaps section
+    (n_docs packed gaps) followed by a freqs section (freqs of the
+    freq>1 docs, in doc order). `n_docs` is block metadata, so the
+    section boundary is implicit.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    freqs = np.asarray(freqs, dtype=np.uint64)
+    gaps = delta_encode(doc_ids, base)
+    single = freqs == 1
+    packed_gaps = (gaps << np.uint64(1)) | single.astype(np.uint64)
+    stream = np.concatenate((packed_gaps, freqs[~single]))
+    return varint_encode(stream)
+
+
+def unpack_docs_freqs(buf: bytes, n_docs: int, base: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`pack_docs_freqs` -> (doc_ids, freqs)."""
+    stream = varint_decode(buf)
+    if stream.size == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    packed_gaps = stream[:n_docs]
+    single = (packed_gaps & np.uint64(1)) == 1
+    freqs = np.ones(n_docs, dtype=np.uint64)
+    freqs[~single] = stream[n_docs:]
+    doc_ids = delta_decode(packed_gaps >> np.uint64(1), base)
+    return doc_ids, freqs
+
+
+def encode_positions(positions: np.ndarray) -> bytes:
+    """Per-occurrence position deltas (within one doc), varint-packed.
+
+    `positions` is the sorted absolute token positions of a term in a doc
+    (`formats_10.cpp:893-932` stores the same delta stream).
+    """
+    return varint_encode(delta_encode(np.asarray(positions, dtype=np.uint64), 0))
+
+
+def decode_positions(buf: bytes) -> np.ndarray:
+    return delta_decode(varint_decode(buf), 0)
+
+
+def encode_position_lists(pos_concat: np.ndarray, freqs: np.ndarray) -> bytes:
+    """Encode concatenated per-doc position lists as segment-local deltas.
+
+    `pos_concat` holds positions of doc1 then doc2 ... ; `freqs` gives the
+    per-doc occurrence counts (segment boundaries). Deltas restart at each
+    doc boundary; decode needs the same freqs array.
+    """
+    p = np.asarray(pos_concat, dtype=np.uint64)
+    if p.size == 0:
+        return b""
+    gaps = np.empty_like(p)
+    gaps[0:1] = p[0:1]
+    gaps[1:] = p[1:] - p[:-1]
+    starts = np.concatenate(([0], np.cumsum(np.asarray(freqs, dtype=np.int64))[:-1]))
+    gaps[starts] = p[starts]  # restart delta at each doc boundary
+    return varint_encode(gaps)
+
+
+def decode_position_lists(buf: bytes, freqs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_position_lists` -> concatenated positions."""
+    gaps = varint_decode(buf)
+    if gaps.size == 0:
+        return gaps
+    freqs = np.asarray(freqs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(freqs)[:-1]))
+    # segmented cumsum: global cumsum minus offset of each segment start
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    seg_base = csum[starts] - gaps[starts]
+    owner = np.repeat(np.arange(freqs.size), freqs)
+    return csum - seg_base[owner]

@@ -1,0 +1,110 @@
+"""Analyzer golden tests — byte-identical term sequences per fixture
+string (mirrors the reference's `tests/analysis/text_analyzer_tests.cpp`
+golden token/offset assertions). The chain is FROZEN: changing any
+expected value here invalidates every index built so far."""
+
+from iresearch_spark.analysis import get_analyzer
+from iresearch_spark.analysis.porter2 import stem
+
+
+def test_porter2_known_vectors():
+    # vectors from the published Snowball English sample behavior
+    cases = {
+        "caresses": "caress",
+        "flies": "fli",
+        "ties": "tie",
+        "cries": "cri",
+        "running": "run",
+        "hoping": "hope",
+        "hopping": "hop",
+        "sized": "size",
+        "agreed": "agre",
+        "falling": "fall",
+        "generate": "generat",
+        "generates": "generat",
+        "generated": "generat",
+        "generating": "generat",
+        "national": "nation",
+        "consistency": "consist",
+        "conflated": "conflat",
+        "skies": "sky",
+        "sky": "sky",
+        "dying": "die",
+        "news": "news",
+        "inning": "inning",
+        "proceed": "proceed",
+        "cats": "cat",
+        "cat": "cat",
+        "fry": "fri",
+        "say": "say",
+        "by": "by",
+        "happy": "happi",
+        "12": "12",
+        "1929": "1929",
+        "": "",
+    }
+    for word, want in cases.items():
+        assert stem(word) == want, f"{word!r}: got {stem(word)!r}, want {want!r}"
+
+
+def test_simple_analyzer():
+    a = get_analyzer("simple")
+    terms, pos = a.analyze("The  Quick brown FOX")
+    assert terms == ["the", "quick", "brown", "fox"]
+    assert pos == [0, 1, 2, 3]
+    assert a.analyze("") == ([], [])
+    assert a.analyze("   ") == ([], [])
+
+
+def test_whitespace_analyzer_preserves_case():
+    a = get_analyzer("whitespace")
+    assert a.analyze("Foo BAR")[0] == ["Foo", "BAR"]
+
+
+def test_text_en_golden():
+    a = get_analyzer("text_en")
+    # tokenize -> NFC -> lower -> porter2
+    terms, pos = a.analyze("The houses' doors, quickly OPENED; running!")
+    assert terms == ["the", "hous", "door", "quick", "open", "run"]
+    assert pos == [0, 1, 2, 3, 4, 5]
+    # apostrophes: house's is one token; 's stripped by step 0
+    assert a.analyze("house's")[0] == ["hous"]
+    # numerals pass through
+    assert a.analyze("in 1929 about 12")[0] == ["in", "1929", "about", "12"]
+
+
+def test_text_en_stopwords_leave_position_gap():
+    a = get_analyzer("text_en", stopwords=["the", "a"])
+    terms, pos = a.analyze("the quick fox")
+    assert terms == ["quick", "fox"]
+    assert pos == [1, 2]
+
+
+def test_text_en_unicode():
+    a = get_analyzer("text_en", stemming=False)
+    # NFC: e + combining acute == precomposed é
+    assert a.analyze("café")[0] == a.analyze("café")[0]
+    a2 = get_analyzer("text_en", stemming=False, accent=True)
+    assert a2.analyze("café")[0] == ["cafe"]
+
+
+def test_ngram_analyzer():
+    a = get_analyzer("ngram", min_gram=2, max_gram=3)
+    terms, pos = a.analyze("abcd")
+    assert terms == ["ab", "bc", "cd", "abc", "bcd"]
+    assert pos == [0, 1, 2, 0, 1]
+
+
+def test_delimiter_analyzer():
+    a = get_analyzer("delimiter", delimiter=",")
+    assert a.analyze("a,b,,c")[0] == ["a", "b", "c"]
+
+
+def test_norm_and_stem_analyzers():
+    assert get_analyzer("norm").analyze("  FoO  ")[0] == ["  foo  "]
+    assert get_analyzer("stem").analyze("Running")[0] == ["run"]
+
+
+def test_segmentation_analyzer():
+    a = get_analyzer("segmentation")
+    assert a.analyze("Hello, World! 42")[0] == ["hello", "world", "42"]

@@ -1,0 +1,79 @@
+"""Codec round-trips, mirroring the reference's format tests
+(`tests/formats/formats_test_case_base.cpp` posting round-trips and
+`tests/index/postings_tests.cpp`)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from iresearch_spark.index import codec
+
+
+def test_varint_known_values():
+    # wire-format goldens: 0->00, 127->7f, 128->80 01, 300->ac 02
+    assert codec.varint_encode(np.array([0])) == b"\x00"
+    assert codec.varint_encode(np.array([127])) == b"\x7f"
+    assert codec.varint_encode(np.array([128])) == b"\x80\x01"
+    assert codec.varint_encode(np.array([300])) == b"\xac\x02"
+    assert codec.varint_encode(np.array([2**63])) == bytes(
+        [0x80, 0x80, 0x80, 0x80, 0x80, 0x80, 0x80, 0x80, 0x80, 0x01]
+    )
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300)
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    out = codec.varint_decode(codec.varint_encode(arr))
+    assert out.tolist() == values
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_docs_freqs_roundtrip(doc_set, data):
+    docs = np.array(sorted(doc_set), dtype=np.uint64)
+    freqs = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=1000),
+                min_size=len(docs),
+                max_size=len(docs),
+            )
+        ),
+        dtype=np.uint64,
+    )
+    blob = codec.pack_docs_freqs(docs, freqs)
+    d2, f2 = codec.unpack_docs_freqs(blob, len(docs))
+    assert d2.tolist() == docs.tolist()
+    assert f2.tolist() == freqs.tolist()
+
+
+def test_freq1_flag_saves_bytes():
+    docs = np.arange(1, 129, dtype=np.uint64)
+    ones = np.ones(128, dtype=np.uint64)
+    twos = np.full(128, 2, dtype=np.uint64)
+    assert len(codec.pack_docs_freqs(docs, ones)) < len(
+        codec.pack_docs_freqs(docs, twos)
+    )
+
+
+def test_position_lists_roundtrip():
+    rng = np.random.default_rng(42)
+    freqs = rng.integers(1, 8, size=50).astype(np.uint64)
+    pos = np.concatenate(
+        [np.sort(rng.choice(500, size=int(f), replace=False)) for f in freqs]
+    ).astype(np.uint64)
+    blob = codec.encode_position_lists(pos, freqs)
+    out = codec.decode_position_lists(blob, freqs)
+    assert out.tolist() == pos.tolist()
+
+
+def test_empty():
+    assert codec.varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert codec.varint_decode(b"").size == 0
+    assert codec.decode_position_lists(b"", np.array([], np.uint64)).size == 0
