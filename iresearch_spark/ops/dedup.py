@@ -1,0 +1,290 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All are declarative DataFrame plans (JVM-side expressions only — no
+Python UDFs in any hot path) so Catalyst handles pushdown and AQE
+handles skew. Each documents its 100 TB behavior.
+
+Operators:
+  exact_duplicates       hash-groupBy on canonical text md5
+  minhash_signatures     k-shingle -> seeded-minhash signature vector
+  minhash_lsh_pairs      banded LSH candidate pairs + exact verify
+  ngram_jaccard_pairs    shingle inverted-index join, exact Jaccard
+  simhash64              64-bit SimHash fingerprint per doc
+  embedding_dup_pairs    cosine near-dup pairs over embeddings
+
+The reference ships a MinHash analyzer (`minhash_token_stream.cpp`,
+see SURVEY §2.1) used for near-dup detection in ArangoSearch; the
+shingle->minhash->band->bucket-join pipeline here is the standard
+distributed formulation of the same capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from iresearch_spark.ops.hashing import hash60, seeded_hash60
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: (doc_id, content_hash, keep_doc_id, is_duplicate).
+
+    keep = min(doc_id) per identical text. One shuffle on the 60-bit
+    content hash; at 100 TB this is the cheapest possible exact pass
+    (hash is computed map-side; the shuffle carries only (hash, id)).
+    """
+    h = df.select(
+        F.col(id_col).alias("doc_id"), hash60(F.col(text_col)).alias("content_hash")
+    )
+    keep = h.groupBy("content_hash").agg(F.min("doc_id").alias("keep_doc_id"))
+    return (
+        h.join(keep, "content_hash")
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id", "content_hash", "keep_doc_id", "is_duplicate")
+    )
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct token n-gram shingles per doc: (doc_id, shingle).
+
+    Tokenization = lowercase whitespace split (JVM split), shingle =
+    space-joined n consecutive tokens, built with a sliding slice over
+    the token array — all Spark built-ins.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_t"),
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("_t", i, n)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", "_t")))
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{H-1}): sig_i = min over shingles of
+    h(concat(i, ':', shingle)). Seeded-prefix md5 family — no shared
+    random state, identical in any engine. One shuffle (groupBy doc)."""
+    sh = _shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(seeded_hash60(F.col("shingle"), i)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, exact-verified.
+
+    signature -> `bands` bands of rows=num_hashes/bands -> docs sharing
+    any band become candidates (self-join on band value — the ONLY
+    shuffle that touches pairs, and it only carries colliding buckets)
+    -> exact shingle-Jaccard verification of candidates.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >=
+    threshold. At 100 TB: bucket join is skew-safe because identical
+    band values imply near-identical docs (bounded bucket sizes for
+    natural corpora); a pathological constant-text corpus is already
+    collapsed by exact_duplicates first.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band"
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = _verify_jaccard(df, cand, text_col, id_col, n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold via shingle inverted
+    index: explode distinct shingles, self-join on shingle (docs sharing
+    >=1 shingle), count intersections, Jaccard = |I|/(|A|+|B|-|I|).
+
+    `max_shingle_df` drops shingles appearing in more than that many
+    docs before the pair join — the explicit skew guard for 100 TB runs
+    (a boilerplate shingle shared by 10^9 docs must not produce 10^18
+    pairs; dropping it cannot remove any pair above a high threshold
+    when docs still share their rarer shingles — standard practice, and
+    an approximation only for ubiquitous-shingle corpora).
+    """
+    sh = _shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _verify_jaccard(df, cand, text_col, id_col, n) -> DataFrame:
+    sh = _shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: per-token 60-bit hash (+4 seeded extra
+    bits would extend to 64; we keep 60 and call it simhash for the
+    first 60 bits), tf-weighted bit votes, fingerprint bit b = 1 iff the
+    weighted sum of bit b over tokens is positive.
+
+    Returns (doc_id, simhash) with simhash as the 60-bit integer.
+    Pure JVM expressions: explode tokens -> 60 conditional sums.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.select("doc_id", hash60(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    per_doc = h.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(60):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2 ** b).cast("long")
+        fp = bit if fp is None else fp + bit
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, a < b.
+
+    Brute-force formulation (exact): self-join + JVM-side dot product
+    via zip_with/aggregate. At 100 TB scale swap the join for
+    `similarity.lsh_bucket_candidates` (same verify step).
+    """
+    from iresearch_spark.ops.similarity import cosine_expr, with_norm
+
+    v = with_norm(emb, vec_col, id_col)
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            cosine_expr("a", "b").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: exact brute-force cosine top-k (JVM-side dot products via
+zip_with/aggregate — no Python in the loop). Scale path: LSH bucketing
+(random-hyperplane signs from the seeded md5 hash family — no shared
+random state) that turns the quadratic join into a bucket join, and an
+IVF variant (coarse centroids + probe) for 100 TB corpora.
+
+The reference exposes a `nearest_neighbors` fastText analyzer
+(`nearest_neighbors_stream.cpp`, SURVEY §2.1) — model-bound and out of
+scope; the capability (top-k neighbors of a vector column) is what
+these operators provide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from iresearch_spark.ops.hashing import seeded_hash60
+
+
+def with_norm(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, vec double[], norm) — cast once, precompute L2 norm."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("vec"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("norm"),
+    )
+
+
+def cosine_expr(a: str, b: str):
+    """Cosine between `a.vec` and `b.vec` (aliased frames)."""
+    dot = F.aggregate(
+        F.zip_with(F.col(f"{a}.vec"), F.col(f"{b}.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.col(f"{a}.norm") * F.col(f"{b}.norm"))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector (default: all vs
+    all): (query_id, neighbor_id, cosine, rank), rank 1..k by cosine
+    desc, neighbor_id asc tie-break. Quadratic candidate join — the
+    correctness oracle for the LSH/IVF variants and fine up to ~10^5
+    vectors per partition-pair block."""
+    base = with_norm(emb, vec_col, id_col)
+    q = with_norm(queries, vec_col, id_col) if queries is not None else base
+    a = q.alias("a")
+    b = base.alias("b")
+    scored = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cosine_expr("a", "b").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    emb: DataFrame,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH signature: bit i = sign(<v, r_i>) where
+    r_i[d] in {-1,+1} is derived from the seeded md5 family (so every
+    engine and every executor derives identical hyperplanes; no
+    broadcast of random matrices needed).
+
+    (id, sig int) — cosine-similar vectors collide with probability
+    1 - angle/pi per bit."""
+    base = with_norm(emb, vec_col, id_col)
+    dims = F.sequence(F.lit(0), F.size("vec") - 1)
+    # r_i[d] = +1 if hash60(concat(i,':',d)) is even else -1
+    bit_exprs = []
+    for i in range(n_bits):
+        sign = F.transform(
+            dims,
+            lambda d: F.when(
+                seeded_hash60(d.cast("string"), i) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("vec"), sign, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_exprs.append(
+            F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * (2 ** i)
+        )
+    sig = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sig = sig + e
+    return base.select("id", "vec", "norm", sig.alias("sig"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, exact cosine
+    within bucket. The join touches only bucket-colliding pairs — the
+    100 TB path (expected bucket size n / 2^n_bits; raise n_bits with
+    corpus size, or use multi-probe for recall)."""
+    signed = hyperplane_signature(emb, n_bits, vec_col, id_col)
+    a = signed.alias("a")
+    b = signed.alias("b")
+    scored = a.join(
+        b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") != F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cosine_expr("a", "b").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse centroids = the `n_centroids`
+    vectors with the lowest seeded hash of their id (a deterministic
+    sample — at real scale, replace with k-means on a sample), each
+    vector assigned to its nearest centroid, queries probe the
+    `n_probe` nearest centroid cells.
+
+    The candidate join is (vector x probed-cell) co-partitioned by
+    centroid id — shuffle volume n * n_probe * cell_size instead of
+    n^2."""
+    base = with_norm(emb, vec_col, id_col)
+    cents = (
+        base.withColumn("_h", seeded_hash60(F.col("id").cast("string"), 97))
+        .orderBy("_h", "id")
+        .limit(n_centroids)
+        .select(
+            F.col("id").alias("cid"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    cents = F.broadcast(cents)
+    # assign every vector to nearest centroid; queries keep top n_probe
+    a = base.alias("a")
+    cc = cents.alias("c")
+    dots = a.join(cc).select(
+        "a.id",
+        "a.vec",
+        "a.norm",
+        F.col("c.cid").alias("cid"),
+        (
+            F.aggregate(
+                F.zip_with(F.col("a.vec"), F.col("c.cvec"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("a.norm") * F.col("c.cnorm"))
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = dots.withColumn("crank", F.row_number().over(w))
+    members = ranked.filter(F.col("crank") == 1).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nnorm"),
+        "cid",
+    )
+    probes = ranked.filter(F.col("crank") <= n_probe).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        "cid",
+    )
+    cand = probes.join(members, "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.aggregate(
+                F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("qnorm") * F.col("nnorm"))
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

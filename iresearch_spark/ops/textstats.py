@@ -1,0 +1,113 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. All pure JVM
+column expressions (portable to the DuckDB oracle verbatim)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from iresearch_spark.ops.hashing import hash60, seeded_hash60
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "fast"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "dans", "une"),
+    "es": ("el", "la", "los", "que", "es", "no", "por", "con", "una"),
+}
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_unique, n_chars): whitespace token counts +
+    a BPE-ish subword proxy count (ceil(chars/4)) used by data-mixture
+    budgeting."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.ceil(F.length(F.col(text_col)) / 4.0).cast("long").alias("n_subwords_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic doc quality in [0,1]: combines mean-word-length
+    plausibility, lexical diversity, and stopword presence (the classic
+    C4/Gopher-style filters, arithmetic only).
+
+    score = 0.4 * diversity + 0.3 * wordlen_ok + 0.3 * stopword_hit
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks).cast("double")
+    n_unique = F.size(F.array_distinct(toks)).cast("double")
+    mean_wl = (F.length(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", ""))).cast(
+        "double"
+    ) / n
+    diversity = n_unique / n
+    wordlen_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.0)
+    en_stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    stop_hit = F.when(
+        F.size(F.array_intersect(toks, en_stop)) > 0, 1.0
+    ).otherwise(0.0)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(
+            F.lit(0.4) * diversity + F.lit(0.3) * wordlen_ok + F.lit(0.3) * stop_hit,
+            6,
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-lexicon language ID: pred = argmax over languages of
+    |tokens ∩ markers(lang)|, ties broken by language code order,
+    'und' (undetermined) when no marker hits. Deterministic, portable."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hits = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = None
+    best_hits = None
+    for lang in langs:
+        h = hits[lang]
+        if best is None:
+            best, best_hits = F.lit(lang), h
+        else:
+            cond = h > best_hits
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_hits = F.when(cond, h).otherwise(best_hits)
+    pred = F.when(best_hits > 0, best).otherwise(F.lit("und"))
+    cols = [F.col(id_col).alias("doc_id"), pred.alias("pred_lang")]
+    return df.select(*cols)
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 4
+) -> DataFrame:
+    """Content-defined fingerprint: (doc_id, full_hash, winnow_hash).
+
+    full_hash  = hash60 of the whitespace-normalized lowercase text;
+    winnow_hash = min over `window`-token shingles of their hash60 — a
+    1-element winnowing sketch robust to local edits (rolling-hash
+    fingerprinting a la Rabin/winnowing, computed set-wise)."""
+    norm = F.concat_ws(" ", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    toks = F.split(norm, " ")
+    shingles = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, window)),
+        ),
+    ).otherwise(F.array(norm))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        hash60(norm).alias("full_hash"),
+        F.array_min(F.transform(shingles, lambda s: hash60(s))).alias(
+            "winnow_hash"
+        ),
+    )

@@ -1,0 +1,15 @@
+from iresearch_spark.search.ast import (  # noqa: F401
+    AllDocs,
+    And,
+    Empty,
+    Fuzzy,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Range,
+    Term,
+    Terms,
+    Wildcard,
+)
+from iresearch_spark.search.executor import SearchEngine  # noqa: F401

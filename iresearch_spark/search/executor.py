@@ -1,0 +1,506 @@
+"""Query execution: AST -> DataFrame plan.
+
+Lifecycle parity with the reference (SURVEY §3.2):
+
+  prepare  = driver-side: planner rewrites + leaf expansion against the
+             term_stats table (collect df for the handful of query
+             terms; the reference seeks the term dictionary and caches
+             cookies, term_filter.cpp:92-128) + per-term score constants
+             (the stats blob, bm25.cpp:366-410).
+  execute  = ONE declarative DataFrame job:
+             postings scan (term predicate pushed into parquet)
+               -> mapInArrow block decode (numpy cumsum)
+               -> broadcast-join tiny (term, c0) weights
+               -> JVM score expression  c0 * g(tf, dl)
+               -> boolean merge: union + groupBy(doc_id) count/sum
+                  (the reference's conjunction/disjunction leapfrog,
+                  conjunction.hpp:82-87 / disjunction.hpp:1412-1470 —
+                  one shuffle regardless of operator arity)
+               -> orderBy(score desc, doc_id asc) LIMIT k
+                  (tie-break parity: the reference's heap keeps the
+                  earliest doc on ties, utils/index-search.cpp:759)
+
+  WAND     = two-pass block-max pruning (mode="wand"): pass 1 scores the
+             highest-upper-bound blocks exhaustively to seed a threshold
+             theta (any achieved score is a sound lower bound); pass 2
+             drops every block whose upper bound (plus the other terms'
+             global max contributions) cannot reach theta, then runs the
+             exhaustive pipeline on the survivors. Equivalent results to
+             exhaustive by construction (differential-tested, mirroring
+             tests/search/wand_test.cpp:234-240).
+
+At 100 TB the only shuffles are the groupBy(doc_id) for multi-term
+queries (bounded by candidate postings, not corpus size) and the final
+top-k reduce; single-term queries shuffle nothing but the per-partition
+top-k rows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from iresearch_spark.index.model import InvertedIndex
+from iresearch_spark.search import ast, planner
+from iresearch_spark.search.scorers import get_scorer
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+@dataclass
+class PreparedLeaf:
+    """A leaf compiled against the index: a match predicate over the
+    postings `term` column plus per-term score weights (c0)."""
+
+    predicate: object  # Column
+    weights: dict[str, float]  # term -> c0 (0.0 => matched but unscored)
+    single_term: bool = False
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        index: InvertedIndex,
+        scorer: str | object = "bm25",
+        scored_terms_limit: int = 1024,
+    ):
+        self.index = index
+        self.scorer = get_scorer(scorer) if isinstance(scorer, str) else scorer
+        self.scored_terms_limit = scored_terms_limit
+        self._spark: SparkSession = index.postings.sparkSession
+        self._df_cache: dict[str, int] = {}
+
+    # ------------------------------------------------------------------ API
+
+    def search(
+        self, query: ast.Node, k: int = 10, mode: str = "exhaustive"
+    ) -> DataFrame:
+        """Top-k (doc_id, score), score desc, doc_id asc."""
+        df = self._execute(query, k=k, mode=mode)
+        return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def matches(self, query: ast.Node) -> DataFrame:
+        """All matching docs with scores (unordered)."""
+        return self._execute(query, k=None, mode="exhaustive")
+
+    def explain(self, query: ast.Node, k: int = 10, mode: str = "exhaustive"):
+        self.search(query, k, mode).explain("formatted")
+
+    # ------------------------------------------------------ prepare helpers
+
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.index.term_stats.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: r["df"] for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    def _expand(
+        self, predicate, order_extra=None, limit: int | None = None
+    ) -> list[tuple[str, int]]:
+        """Expand a multi-term leaf against term_stats: top terms by
+        (df desc, term asc) up to `limit` (the reference's
+        limited_sample_collector, scored_terms_limit)."""
+        q = self.index.term_stats.filter(predicate)
+        order = order_extra or [F.desc("df"), F.asc("term")]
+        if limit is not None:
+            q = q.orderBy(*order).limit(limit)
+        return [(r["term"], r["df"]) for r in q.select("term", "df").collect()]
+
+    def _c0(self, df_: int, boost: float) -> float:
+        if df_ <= 0:
+            return 0.0
+        idf = self.scorer.idf(df_, self.index.field_stats.n_docs)
+        # c0 folds boost*(k+1)*idf for BM25; boost*idf for TFIDF — both
+        # scorers have the shape score = c0 * g(tf, dl); g is _score_g.
+        from iresearch_spark.search.scorers import BM25
+
+        if isinstance(self.scorer, BM25):
+            return boost * (self.scorer.k + 1.0) * idf
+        return boost * idf
+
+    def _score_g(self, freq, dl):
+        """The per-posting factor g(tf, dl) with c0 factored out."""
+        from iresearch_spark.search.scorers import BM25
+
+        if isinstance(self.scorer, BM25):
+            avg_dl = self.index.field_stats.avg_dl
+            c1 = F.lit(self.scorer.k * (1.0 - self.scorer.b)) + F.lit(
+                (self.scorer.k * self.scorer.b) / avg_dl if avg_dl else 0.0
+            ) * dl.cast("double")
+            tf = freq.cast("double")
+            return tf / (c1 + tf)
+        s = F.sqrt(freq.cast("double"))
+        if getattr(self.scorer, "with_norms", False):
+            s = s / F.sqrt(dl.cast("double"))
+        return s
+
+    def _g_py(self, tf: float, dl: float) -> float:
+        from iresearch_spark.search.scorers import BM25
+
+        if isinstance(self.scorer, BM25):
+            avg_dl = self.index.field_stats.avg_dl
+            c1 = self.scorer.k * (1.0 - self.scorer.b) + (
+                (self.scorer.k * self.scorer.b) / avg_dl if avg_dl else 0.0
+            ) * dl
+            return tf / (c1 + tf)
+        s = math.sqrt(tf)
+        if getattr(self.scorer, "with_norms", False):
+            s = s / math.sqrt(dl)
+        return s
+
+    def _prepare_leaf(self, node: ast.Node, boost: float) -> PreparedLeaf:
+        boost = boost * node.boost  # boost multiplies down the tree
+        col = F.col("term")
+        if isinstance(node, ast.Term):
+            dfs = self._term_dfs([node.term])
+            return PreparedLeaf(
+                predicate=col == node.term,
+                weights={node.term: self._c0(dfs[node.term], boost)},
+                single_term=True,
+            )
+        if isinstance(node, ast.Terms):
+            terms = list(dict.fromkeys(node.terms))
+            dfs = self._term_dfs(terms)
+            scored = sorted(terms, key=lambda t: (-dfs[t], t))[
+                : self.scored_terms_limit
+            ]
+            w = {t: 0.0 for t in terms}
+            for t in scored:
+                w[t] = self._c0(dfs[t], boost)
+            return PreparedLeaf(predicate=col.isin(terms), weights=w)
+        if isinstance(node, ast.Prefix):
+            pred = col.startswith(node.prefix)
+            expanded = self._expand(
+                F.col("term").startswith(node.prefix),
+                limit=min(node.scored_terms_limit, self.scored_terms_limit),
+            )
+            return PreparedLeaf(
+                predicate=pred,
+                weights={t: self._c0(d, boost) for t, d in expanded},
+            )
+        if isinstance(node, ast.Wildcard):
+            regex = _like_to_regex(node.pattern)
+            pred = col.rlike(regex)
+            expanded = self._expand(
+                F.col("term").rlike(regex),
+                limit=min(node.scored_terms_limit, self.scored_terms_limit),
+            )
+            return PreparedLeaf(
+                predicate=pred,
+                weights={t: self._c0(d, boost) for t, d in expanded},
+            )
+        if isinstance(node, ast.Range):
+            conds = []
+            if node.min_term is not None:
+                conds.append(
+                    F.col("term") >= node.min_term
+                    if node.include_min
+                    else F.col("term") > node.min_term
+                )
+            if node.max_term is not None:
+                conds.append(
+                    F.col("term") <= node.max_term
+                    if node.include_max
+                    else F.col("term") < node.max_term
+                )
+            pred = conds[0] if conds else F.lit(True)
+            for c in conds[1:]:
+                pred = pred & c
+            pred_post = pred
+            expanded = self._expand(
+                pred, limit=min(node.scored_terms_limit, self.scored_terms_limit)
+            )
+            return PreparedLeaf(
+                predicate=pred_post,
+                weights={t: self._c0(d, boost) for t, d in expanded},
+            )
+        if isinstance(node, ast.Fuzzy):
+            # JVM-side Levenshtein over the (small) distinct-term table;
+            # cap to max_terms by (distance asc, df desc, term asc) —
+            # reference: levenshtein_filter.cpp:251-263 + sample collector.
+            dist = F.levenshtein(F.col("term"), F.lit(node.term))
+            cand = (
+                self.index.term_stats.withColumn("_d", dist)
+                .filter(F.col("_d") <= node.distance)
+                .orderBy(F.asc("_d"), F.desc("df"), F.asc("term"))
+                .limit(node.max_terms)
+                .select("term", "df")
+                .collect()
+            )
+            terms = [r["term"] for r in cand]
+            return PreparedLeaf(
+                predicate=col.isin(terms) if terms else F.lit(False),
+                weights={r["term"]: self._c0(r["df"], boost) for r in cand},
+            )
+        raise TypeError(f"not a leaf: {node}")
+
+    # ------------------------------------------------------ execute helpers
+
+    def _empty(self) -> DataFrame:
+        return self._spark.createDataFrame([], RESULT_SCHEMA)
+
+    def _weights_df(self, weights: dict[str, float]) -> DataFrame:
+        rows = [(t, float(w)) for t, w in weights.items()]
+        return self._spark.createDataFrame(rows, "term string, w double")
+
+    def _eval_leaf_df(
+        self, leaf: PreparedLeaf, postings: DataFrame | None = None
+    ) -> DataFrame:
+        """leaf -> (doc_id, score), one row per matching doc."""
+        src = postings if postings is not None else self.index.postings
+        blocks = src.filter(leaf.predicate)
+        decoded = _decode_blocks(blocks)
+        if not leaf.weights:
+            scored = decoded.withColumn("score", F.lit(0.0))
+        else:
+            w = F.broadcast(self._weights_df(leaf.weights))
+            scored = decoded.join(w, "term", "left").withColumn(
+                "score",
+                F.coalesce(F.col("w"), F.lit(0.0))
+                * self._score_g(F.col("freq"), F.col("dl")),
+            )
+        if leaf.single_term:
+            return scored.select("doc_id", "score")
+        return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _eval(self, node: ast.Node, boost: float, postings=None) -> DataFrame:
+        """node -> (doc_id, score) DataFrame, unique per doc."""
+        if isinstance(node, ast.Empty):
+            return self._empty()
+        if isinstance(node, ast.AllDocs):
+            return self.index.docs.select(
+                "doc_id", F.lit(float(node.boost * boost)).alias("score")
+            )
+        if isinstance(node, ast.Phrase):
+            return self._eval_phrase(node, boost)
+        if isinstance(node, (ast.And, ast.Or)):
+            return self._eval_bool(node, boost, postings)
+        if isinstance(node, ast.Not):
+            raise ValueError("Not is only valid inside And/Or")
+        leaf = self._prepare_leaf(node, boost)
+        return self._eval_leaf_df(leaf, postings)
+
+    def _eval_bool(self, node, boost: float, postings=None) -> DataFrame:
+        children = list(node.children)
+        boost = boost * node.boost
+        positives = [c for c in children if not isinstance(c, ast.Not)]
+        negatives = [c.child for c in children if isinstance(c, ast.Not)]
+        n_pos = len(positives)
+        if isinstance(node, ast.And):
+            required = n_pos
+        else:
+            required = node.min_match
+            if negatives:
+                raise NotImplementedError("Not inside Or is not supported")
+        parts = []
+        for i, c in enumerate(positives):
+            parts.append(
+                self._eval(c, boost, postings).withColumn("_leaf", F.lit(i))
+            )
+        if not parts:
+            return self._empty()
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        merged = (
+            unioned.groupBy("doc_id")
+            .agg(
+                F.sum("score").alias("score"),
+                F.countDistinct("_leaf").alias("_cnt"),
+            )
+            .filter(F.col("_cnt") >= required)
+            .select("doc_id", "score")
+        )
+        if negatives:
+            excl = None
+            for neg in negatives:
+                e = self._eval(neg, 1.0).select("doc_id")
+                excl = e if excl is None else excl.unionByName(e)
+            merged = merged.join(excl.distinct(), "doc_id", "left_anti")
+        return merged
+
+    def _eval_phrase(self, node: ast.Phrase, boost: float) -> DataFrame:
+        """Positional phrase: conjunction + vectorized position
+        intersection (reference phrase_iterator.hpp leapfrog, done here
+        as numpy set intersection per candidate doc); phrase freq feeds
+        the scorer with the summed per-term c0 (phrase_query.cpp
+        composes per-term scorers over the shared phrase frequency)."""
+        if not self.index.with_positions:
+            raise ValueError("index was built without positions")
+        terms = list(node.terms)
+        uniq = list(dict.fromkeys(terms))
+        dfs = self._term_dfs(uniq)
+        if any(dfs[t] == 0 for t in uniq):
+            return self._empty()
+        boost = boost * node.boost
+        c0_sum = sum(self._c0(dfs[t], 1.0) for t in terms) * boost
+        slots = self._spark.createDataFrame(
+            [(t, i) for i, t in enumerate(terms)], "term string, slot int"
+        )
+        decoded = self.index.decoded_postings(terms=uniq, with_positions=True)
+        cand = (
+            decoded.join(F.broadcast(slots), "term")
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("slot").alias("_nslots"),
+                F.max("dl").alias("dl"),
+                F.collect_list(F.struct("slot", "positions")).alias("_plists"),
+            )
+            .filter(F.col("_nslots") == len(terms))
+        )
+        n_slots = len(terms)
+
+        def phrase_freq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_doc, out_freq, out_dl = [], [], []
+                for doc_id, dl, plists in zip(
+                    pdf["doc_id"], pdf["dl"], pdf["_plists"]
+                ):
+                    by_slot = {}
+                    for item in plists:
+                        s = item["slot"]
+                        arr = np.asarray(item["positions"], dtype=np.int64)
+                        by_slot[s] = (
+                            np.intersect1d(by_slot[s], arr)
+                            if s in by_slot
+                            else arr
+                        )
+                    cand_pos = by_slot[0]
+                    for s in range(1, n_slots):
+                        cand_pos = np.intersect1d(cand_pos, by_slot[s] - s)
+                        if cand_pos.size == 0:
+                            break
+                    if cand_pos.size:
+                        out_doc.append(doc_id)
+                        out_freq.append(int(cand_pos.size))
+                        out_dl.append(dl)
+                yield pd.DataFrame(
+                    {"doc_id": out_doc, "freq": out_freq, "dl": out_dl}
+                )
+
+        freq_df = cand.mapInPandas(
+            phrase_freq, "doc_id long, freq int, dl int"
+        )
+        return freq_df.select(
+            "doc_id",
+            (F.lit(c0_sum) * self._score_g(F.col("freq"), F.col("dl"))).alias(
+                "score"
+            ),
+        )
+
+    # --------------------------------------------------------------- WAND
+
+    def _wand_terms(self, node: ast.Node) -> list | None:
+        """Flat scored-term query shapes eligible for block-max pruning."""
+        if isinstance(node, ast.Term):
+            return [node.term]
+        if isinstance(node, (ast.And, ast.Or)) and all(
+            isinstance(c, ast.Term) for c in node.children
+        ):
+            return [c.term for c in node.children]
+        return None
+
+    def _execute(self, query: ast.Node, k: int | None, mode: str) -> DataFrame:
+        query = planner.normalize(query)
+        if mode == "wand" and k is not None:
+            terms = self._wand_terms(query)
+            if terms is not None:
+                return self._execute_wand(query, terms, k)
+        return self._eval(query, 1.0)
+
+    def _execute_wand(self, query: ast.Node, terms: list[str], k: int) -> DataFrame:
+        dfs = self._term_dfs(list(dict.fromkeys(terms)))
+        boost = query.boost if isinstance(query, (ast.And, ast.Or)) else 1.0
+        child_boosts = (
+            {c.term: c.boost for c in query.children}
+            if isinstance(query, (ast.And, ast.Or))
+            else {terms[0]: getattr(query, "boost", 1.0)}
+        )
+        weights = {
+            t: self._c0(dfs[t], boost * child_boosts.get(t, 1.0)) for t in dfs
+        }
+        meta = self.index.postings.filter(
+            F.col("term").isin(list(weights))
+        ).select("term", "block_id", "n_docs", "block_max_freq", "block_min_dl")
+        w = F.broadcast(self._weights_df(weights))
+        ub = meta.join(w, "term").withColumn(
+            "_ub",
+            F.col("w") * self._score_g(F.col("block_max_freq"), F.col("block_min_dl")),
+        )
+        # pass 1: seed theta from the highest-upper-bound blocks
+        seed_blocks = max(2, (4 * k) // 128 + 1)
+        seed = ub.orderBy(F.desc("_ub")).limit(seed_blocks).select("term", "block_id")
+        seed_postings = self.index.postings.join(
+            F.broadcast(seed), ["term", "block_id"], "left_semi"
+        )
+        pass1 = (
+            self._eval(query, 1.0, postings=seed_postings)
+            .orderBy(F.desc("score"))
+            .limit(k)
+            .collect()
+        )
+        if len(pass1) < k:
+            theta = 0.0
+        else:
+            theta = min(r["score"] for r in pass1)
+        if theta <= 0.0:
+            return self._eval(query, 1.0)
+        # pass 2: rest_max = sum over other terms of their global max ub
+        max_ubs = {
+            r["term"]: r["mx"]
+            for r in ub.groupBy("term").agg(F.max("_ub").alias("mx")).collect()
+        }
+        total = sum(max_ubs.values())
+        rest = {t: total - mx for t, mx in max_ubs.items()}
+        rest_df = F.broadcast(
+            self._spark.createDataFrame(
+                [(t, float(r)) for t, r in rest.items()], "term string, rest double"
+            )
+        )
+        keep = (
+            ub.join(rest_df, "term")
+            .filter(F.col("_ub") + F.col("rest") >= F.lit(theta))
+            .select("term", "block_id")
+        )
+        survivors = self.index.postings.join(
+            F.broadcast(keep), ["term", "block_id"], "left_semi"
+        )
+        return self._eval(query, 1.0, postings=survivors)
+
+
+def _decode_blocks(blocks: DataFrame) -> DataFrame:
+    from iresearch_spark.index.model import DECODED_SCHEMA, _make_block_decoder
+
+    return blocks.mapInArrow(_make_block_decoder(False), DECODED_SCHEMA)
+
+
+def _like_to_regex(pattern: str) -> str:
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
