@@ -24,9 +24,9 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
         F.ceil(F.length(F.col(text_col)) / 4.0).cast("long").alias("n_subwords_est"),
     )
 
