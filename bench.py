@@ -1,0 +1,142 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload (BASELINE.md protocol, adapted to the sandbox):
+  - index_build: full inverted-index build over `documents` at the
+    target scale factor (analyzer, postings blocks, stats, norms),
+    materialized via count of posting blocks.
+  - search categories: the reference's task-set shapes (High/Low term,
+    AndHighHigh, OrHigh*, MinMatch, Phrase, Prefix, Wildcard, Fuzzy),
+    exhaustive + WAND variants, BM25 top-10.
+  - training-data ops: minhash-LSH dedup pairs, LSH ANN top-k.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_PAGES_N (optional: also build over N synthetic `pages` rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from iresearch_spark.index.builder import build_index
+from iresearch_spark.ops import dedup, similarity
+from iresearch_spark.search import (
+    And,
+    Fuzzy,
+    Or,
+    Phrase,
+    Prefix,
+    SearchEngine,
+    Term,
+    Wildcard,
+)
+from iresearch_spark.session import get_spark
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("iresearch-bench", cores=cpus, shuffle_partitions=cpus)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_docs = docs.count()
+
+    queries: dict[str, float] = {}
+
+    t_build, idx = timed(
+        lambda: _materialized_index(docs)
+    )
+    queries["index_build"] = t_build
+
+    engine = SearchEngine(idx)
+    search_tasks = {
+        "HighTerm": (Term("batch"), "exhaustive"),
+        "LowTerm": (Term("dup"), "exhaustive"),
+        "HighTermWand": (Term("batch"), "wand"),
+        "AndHighHigh": (And([Term("batch"), Term("small")]), "exhaustive"),
+        "OrHighHigh": (Or([Term("batch"), Term("small")]), "exhaustive"),
+        "OrHighHighWand": (Or([Term("batch"), Term("small")]), "wand"),
+        "Or4High": (
+            Or([Term(t) for t in ["batch", "small", "scan", "join"]]),
+            "exhaustive",
+        ),
+        "MinMatch2": (
+            Or([Term("batch"), Term("key"), Term("dup")], min_match=2),
+            "exhaustive",
+        ),
+        "Phrase": (Phrase(["table", "hash"]), "exhaustive"),
+        "Prefix3": (Prefix("sca"), "exhaustive"),
+        "Wildcard": (Wildcard("s%k"), "exhaustive"),
+        "Fuzzy1": (Fuzzy("spork", distance=1), "exhaustive"),
+    }
+    n_queries = 0
+    t_search_total = 0.0
+    for name, (node, mode) in search_tasks.items():
+        t, _ = timed(lambda: engine.search(node, k=10, mode=mode).collect())
+        queries[name] = t
+        n_queries += 1
+        t_search_total += t
+
+    t, _ = timed(
+        lambda: dedup.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=8, threshold=0.5
+        ).count()
+    )
+    queries["dedup_minhash_lsh"] = t
+    t, _ = timed(lambda: similarity.lsh_topk(emb, k=5, n_bits=6).count())
+    queries["ann_lsh_topk"] = t
+
+    pages_n = int(os.environ.get("BENCH_PAGES_N", "0"))
+    if pages_n:
+        from iresearch_spark.corpus import generate_pages
+
+        t, _ = timed(
+            lambda: _materialized_index(
+                generate_pages(spark, pages_n), id_col=None, sort_key="url"
+            )
+        )
+        queries[f"pages_index_build_{pages_n}"] = t
+
+    total = sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+search+ops wall sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in queries.items()},
+                "sf": sf_dir,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "index_docs_per_sec": round(n_docs / queries["index_build"], 1),
+                "search_queries_per_sec": round(n_queries / t_search_total, 2),
+            }
+        )
+    )
+
+
+def _materialized_index(docs, **kw):
+    idx = build_index(docs, analyzer="simple", bucket_bits=16, **kw)
+    idx.cache()
+    idx.postings.count()
+    idx.term_stats.count()
+    idx.docs.count()
+    return idx
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Segment merge / consolidation (reference `IndexWriter::Consolidate`,
+`core/index/merge_writer.cpp` — SURVEY §2.6, §3.3).
+
+Because block_ids encode contiguous doc-id ranges ((bucket << k) |
+local), posting blocks from different segments with DISJOINT doc-id
+ranges union without any re-sort: the reference's k-way heap merge of
+term iterators (`merge_writer.cpp:511` CompoundTermIterator) becomes a
+plain `unionByName` + optional re-blocking pass. The re-blocking
+("consolidation") rewrites underfull blocks into full 128-doc blocks —
+a groupBy (term, coarse-bucket) + applyInPandas, the same skew-bounded
+shape as the initial build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iresearch_spark.index.builder import build_postings
+from iresearch_spark.index.model import FieldStats, InvertedIndex
+
+
+def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
+    """Union two indexes with disjoint doc-id spaces (the reference's
+    segment-import path, `index_writer.hpp` Import). Doc-id disjointness
+    is the caller's contract (incremental indexing assigns each segment
+    a dedicated id range)."""
+    if a.with_positions != b.with_positions:
+        raise ValueError("cannot merge indexes with different position settings")
+    postings = a.postings.unionByName(b.postings)
+    docs = a.docs.unionByName(b.docs)
+    term_stats = (
+        a.term_stats.unionByName(b.term_stats)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+    fs = FieldStats(
+        n_docs=a.field_stats.n_docs + b.field_stats.n_docs,
+        total_term_freq=a.field_stats.total_term_freq + b.field_stats.total_term_freq,
+    )
+    return InvertedIndex(
+        postings=postings,
+        docs=docs,
+        term_stats=term_stats,
+        field_stats=fs,
+        with_positions=a.with_positions,
+        analyzer_name=a.analyzer_name,
+    )
+
+
+def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
+    """Rewrite posting blocks into full 128-doc blocks under a (possibly
+    coarser) doc-bucket grid: decode -> re-block. One shuffle keyed by
+    (term, bucket) — bounded group sizes, skew-proof (SURVEY §3.3)."""
+    decoded = index.decoded_postings(with_positions=index.with_positions)
+    if index.with_positions:
+        decoded = decoded.select(
+            "doc_id",
+            "term",
+            "freq",
+            "positions",
+            F.col("dl").cast("int").alias("dl"),
+        )
+    else:
+        decoded = decoded.select(
+            "doc_id",
+            "term",
+            "freq",
+            F.lit(None).cast("array<int>").alias("positions"),
+            F.col("dl").cast("int").alias("dl"),
+        )
+    postings = build_postings(decoded, index.with_positions, bucket_bits)
+    return InvertedIndex(
+        postings=postings,
+        docs=index.docs,
+        term_stats=index.term_stats,
+        field_stats=index.field_stats,
+        with_positions=index.with_positions,
+        analyzer_name=index.analyzer_name,
+    )
+
+
+def build_metrics(index: InvertedIndex, bucket_bits: int = 16) -> "DataFrame":
+    """Per-bucket lineage/metrics rows (the north rule's per-partition
+    lineage + build-metrics table): doc-bucket -> blocks, postings,
+    distinct terms, doc-id range. Deterministic (bucket = doc-id range),
+    independent of physical partitioning."""
+    blocks_per_bucket_bits = max(bucket_bits - 7, 1)
+    return (
+        index.postings.withColumn(
+            "bucket", F.shiftright(F.col("block_id"), blocks_per_bucket_bits)
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n_docs").alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+            F.min("first_doc").alias("min_doc"),
+            F.max("last_doc").alias("max_doc"),
+        )
+    )

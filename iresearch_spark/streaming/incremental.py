@@ -1,0 +1,135 @@
+"""Incremental (streaming) indexing — the reference's segment-append
+model (`IndexWriter` flush/commit cycle + consolidation, SURVEY §2.6)
+re-expressed as Structured Streaming foreachBatch.
+
+Each micro-batch becomes one immutable SEGMENT: its own postings/docs/
+term_stats parquet dirs under `<index_dir>/segments/seg_<epoch>`, plus
+a lineage row (segment id, doc-id range, counts). The manifest commit
+is atomic (write-temp + rename), so readers always see a consistent
+set of fully-written segments — the two-phase `Begin()`/`Commit()`
+equivalent. Doc ids are assigned per segment from a reserved range
+(base = manifest high-watermark), so segments merge with a plain union
+(merge.py).
+
+Resumability: Structured Streaming's checkpointLocation replays failed
+micro-batches; `_process_batch` is idempotent (a segment that already
+exists in the manifest is skipped), giving exactly-once index commits —
+the "resumable from checkpoint with per-partition lineage + metrics"
+requirement of the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iresearch_spark.analysis.analyzers import Analyzer, get_analyzer
+from iresearch_spark.index.builder import assign_doc_ids, build_index
+from iresearch_spark.index.merge import build_metrics, merge_indexes
+from iresearch_spark.index.model import FieldStats, InvertedIndex
+
+
+@dataclass
+class IncrementalIndexer:
+    index_dir: str
+    analyzer: str = "simple"
+    text_col: str = "text"
+    sort_key: str = "url"
+    with_positions: bool = True
+    bucket_bits: int = 16
+
+    # ---------------- manifest ----------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.index_dir, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "segments": [], "next_doc_id": 0}
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        manifest["version"] += 1
+        tmp = self._manifest_path() + ".tmp"
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic commit
+
+    # ---------------- batch processing ----------------
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch hook. Idempotent per epoch."""
+        manifest = self._read_manifest()
+        seg_id = f"seg_{epoch_id}"
+        if any(s["id"] == seg_id for s in manifest["segments"]):
+            return  # checkpoint replay — already committed
+        n_rows = batch_df.count()
+        if n_rows == 0:
+            return
+        base = manifest["next_doc_id"]
+        with_ids = assign_doc_ids(batch_df, self.sort_key).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(base)
+        )
+        idx = build_index(
+            with_ids,
+            text_col=self.text_col,
+            id_col="doc_id",
+            analyzer=self.analyzer,
+            with_positions=self.with_positions,
+            bucket_bits=self.bucket_bits,
+        )
+        seg_path = os.path.join(self.index_dir, "segments", seg_id)
+        idx.save(seg_path)
+        build_metrics(idx, self.bucket_bits).write.mode("overwrite").parquet(
+            os.path.join(seg_path, "metrics")
+        )
+        manifest["segments"].append(
+            {
+                "id": seg_id,
+                "n_docs": idx.field_stats.n_docs,
+                "total_term_freq": idx.field_stats.total_term_freq,
+                "doc_id_base": base,
+                "doc_id_end": base + n_rows,
+                "committed_at": time.time(),
+            }
+        )
+        manifest["next_doc_id"] = base + n_rows
+        self._commit_manifest(manifest)
+
+    # ---------------- streaming wiring ----------------
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, trigger_once=True):
+        writer = stream_df.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # ---------------- reading ----------------
+
+    def read(self, spark: SparkSession) -> InvertedIndex | None:
+        """Point-in-time merged view of all committed segments (the
+        reference DirectoryReader over SubReaders)."""
+        manifest = self._read_manifest()
+        segs = manifest["segments"]
+        if not segs:
+            return None
+        idx = InvertedIndex.load(
+            spark, os.path.join(self.index_dir, "segments", segs[0]["id"])
+        )
+        for s in segs[1:]:
+            idx = merge_indexes(
+                idx,
+                InvertedIndex.load(
+                    spark, os.path.join(self.index_dir, "segments", s["id"])
+                ),
+            )
+        return idx
