@@ -236,6 +236,86 @@ def _ngram(
     return Analyzer("ngram", _ngram_fn(min_gram, max_gram, preserve_original))
 
 
+@_register("stopwords")
+def _stopwords(stopwords: Sequence[str] = (), **_opts) -> Analyzer:
+    # reference token_stopwords_stream.cpp: drop tokens in a set
+    return Analyzer(
+        "stopwords",
+        _make_chain(_ws_tokenize, lowercase=False,
+                    stopwords=frozenset(stopwords)),
+    )
+
+
+@_register("multi_delimiter")
+def _multi_delimiter(delimiters: Sequence[str] = (",", ";"), **_opts) -> Analyzer:
+    # reference multi_delimited_token_stream.cpp
+    pattern = re.compile("|".join(re.escape(d) for d in delimiters))
+
+    def tok(text: str) -> list[str]:
+        return pattern.split(text)
+
+    return Analyzer("multi_delimiter", _make_chain(tok, lowercase=False))
+
+
+@_register("pipeline")
+def _pipeline(analyzers: Sequence = (), **_opts) -> Analyzer:
+    """Sequential composition (reference pipeline_token_stream.cpp):
+    each upstream token is re-analyzed by the next stage; positions are
+    re-assigned as the running index of the final stream (simplified
+    increment algebra — sufficient for delimiter->text style chains)."""
+    stages = [
+        get_analyzer(a) if isinstance(a, str) else a for a in analyzers
+    ]
+    if not stages:
+        raise ValueError("pipeline needs at least one analyzer")
+
+    def run(texts: Sequence[str]) -> list[TokensAndPositions]:
+        out = []
+        for text in texts:
+            tokens = [text] if text else []
+            for stage in stages:
+                nxt: list[str] = []
+                for t in tokens:
+                    nxt.extend(stage.analyze(t)[0])
+                tokens = nxt
+            out.append((tokens, list(range(len(tokens)))))
+        return out
+
+    return Analyzer("pipeline", run)
+
+
+@_register("minhash")
+def _minhash(num_hashes: int = 4, inner: str = "simple", **_opts) -> Analyzer:
+    """MinHash signature tokens (reference minhash_token_stream.cpp):
+    tokenizes with `inner`, then emits the `num_hashes` seeded-md5
+    minima of the distinct token set as hex terms — near-dup blocking
+    keys at index time."""
+    import hashlib
+
+    base = get_analyzer(inner)
+
+    def h60(s: str, seed: int) -> int:
+        return int(
+            hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16
+        )
+
+    def run(texts: Sequence[str]) -> list[TokensAndPositions]:
+        out = []
+        for text in texts:
+            toks = set(base.analyze(text)[0]) if text else set()
+            if not toks:
+                out.append(([], []))
+                continue
+            sig = [
+                format(min(h60(t, i) for t in toks), "015x")
+                for i in range(num_hashes)
+            ]
+            out.append((sig, list(range(num_hashes))))
+        return out
+
+    return Analyzer("minhash", run)
+
+
 def get_analyzer(name: str, **opts) -> Analyzer:
     """Look up an analyzer by name (mirrors `analyzers::get`, the
     reference's registry at `core/analysis/analyzers.cpp:190`)."""

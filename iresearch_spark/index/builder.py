@@ -114,10 +114,11 @@ def tokenize(
                 "dl": flat_dl[starts].astype(np.int32),
             }
             if with_positions:
-                out["positions"] = [
-                    p.astype(np.int32).tolist()
-                    for p in np.split(flat_pos, starts[1:])
-                ]
+                # list of ndarray views — Arrow converts to list<int32>
+                # without a per-element Python round-trip
+                out["positions"] = np.split(
+                    flat_pos.astype(np.int32), starts[1:]
+                )
             else:
                 out["positions"] = None
             yield pd.DataFrame(out)[
@@ -194,39 +195,6 @@ def build_postings(
 def _make_partition_block_builder(with_positions: bool, bucket_bits: int):
     blocks_per_bucket_bits = max(bucket_bits - 7, 1)
 
-    def encode_group(term, bucket, doc_ids, freqs, dls, pos_lists, out):
-        n = doc_ids.size
-        for local_blk, start in enumerate(range(0, n, BLOCK_SIZE)):
-            end = min(start + BLOCK_SIZE, n)
-            b_docs = doc_ids[start:end]
-            b_freqs = freqs[start:end]
-            b_dls = dls[start:end]
-            pos_blob = None
-            if with_positions:
-                concat = (
-                    np.concatenate([np.asarray(p) for p in pos_lists[start:end]])
-                    if end > start
-                    else np.empty(0, np.int64)
-                )
-                pos_blob = codec.encode_position_lists(concat, b_freqs)
-            out["term"].append(term)
-            out["block_id"].append(
-                (int(bucket) << blocks_per_bucket_bits) | local_blk
-            )
-            out["n_docs"].append(int(end - start))
-            out["first_doc"].append(int(b_docs[0]))
-            out["last_doc"].append(int(b_docs[-1]))
-            out["docs"].append(codec.pack_docs_freqs(b_docs, b_freqs))
-            out["dls"].append(codec.varint_encode(b_dls))
-            out["positions"].append(pos_blob)
-            out["block_max_freq"].append(int(b_freqs.max()))
-            out["block_min_dl"].append(int(b_dls.min()))
-
-    cols = [
-        "term", "block_id", "n_docs", "first_doc", "last_doc",
-        "docs", "dls", "positions", "block_max_freq", "block_min_dl",
-    ]
-
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: pd.DataFrame | None = None
         for pdf in batches:
@@ -251,7 +219,9 @@ def _make_partition_block_builder(with_positions: bool, bucket_bits: int):
             else:
                 pending = pdf
                 continue
-            yield _encode_groups(pdf, starts, with_positions, encode_group, cols)
+            yield _encode_groups(
+                pdf, starts, with_positions, blocks_per_bucket_bits
+            )
         if pending is not None and len(pending):
             terms = pending["term"].to_numpy()
             buckets = pending["_bucket"].to_numpy()
@@ -262,33 +232,221 @@ def _make_partition_block_builder(with_positions: bool, bucket_bits: int):
                 pending.reset_index(drop=True),
                 np.flatnonzero(change),
                 with_positions,
-                encode_group,
-                cols,
+                blocks_per_bucket_bits,
             )
 
     return build
 
 
-def _encode_groups(pdf, starts, with_positions, encode_group, cols):
-    doc_ids = pdf["doc_id"].to_numpy()
+def _encode_groups(pdf, starts, with_positions, blocks_per_bucket_bits):
+    """Encode every (term,bucket) run of a sorted batch into posting
+    blocks with ONE whole-batch codec pass (codec.encode_blocks_batch);
+    per-block Python cost is two byte-slices."""
+    doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
     freqs = pdf["freq"].to_numpy().astype(np.int64)
     dls = pdf["dl"].to_numpy().astype(np.int64)
     terms = pdf["term"].to_numpy()
-    buckets = pdf["_bucket"].to_numpy()
-    pos = pdf["positions"].to_numpy() if with_positions else None
-    ends = np.append(starts[1:], len(pdf))
-    out = {c: [] for c in cols}
-    for s, e in zip(starts, ends):
-        encode_group(
-            terms[s],
-            buckets[s],
-            doc_ids[s:e],
-            freqs[s:e],
-            dls[s:e],
-            pos[s:e] if with_positions else None,
-            out,
+    buckets = pdf["_bucket"].to_numpy().astype(np.int64)
+    n = len(pdf)
+    ends = np.append(starts[1:], n)
+    sizes = ends - starts
+    n_blocks = (sizes + BLOCK_SIZE - 1) // BLOCK_SIZE
+    gidx = np.repeat(np.arange(starts.size), n_blocks)
+    blk_base = np.concatenate(([0], np.cumsum(n_blocks)[:-1]))
+    local = np.arange(int(n_blocks.sum()), dtype=np.int64) - blk_base[gidx]
+    block_starts = starts[gidx] + local * BLOCK_SIZE
+    block_ends = np.minimum(block_starts + BLOCK_SIZE, ends[gidx])
+    flat_pos = None
+    if with_positions:
+        pos_col = pdf["positions"].to_numpy()
+        flat_pos = (
+            np.concatenate(pos_col).astype(np.uint64)
+            if len(pos_col)
+            else np.empty(0, np.uint64)
         )
-    return pd.DataFrame(out)
+    docs_blobs, dls_blobs, pos_blobs = codec.encode_blocks_batch(
+        doc_ids, freqs, dls, block_starts, block_ends, flat_pos
+    )
+    block_id = (buckets[block_starts] << blocks_per_bucket_bits) | local
+    return pd.DataFrame(
+        {
+            "term": terms[block_starts],
+            "block_id": block_id,
+            "n_docs": (block_ends - block_starts).astype(np.int32),
+            "first_doc": doc_ids[block_starts],
+            "last_doc": doc_ids[block_ends - 1],
+            "docs": docs_blobs,
+            "dls": dls_blobs,
+            "positions": pos_blobs if with_positions else None,
+            "block_max_freq": np.maximum.reduceat(freqs, block_starts).astype(
+                np.int32
+            ),
+            "block_min_dl": np.minimum.reduceat(dls, block_starts).astype(
+                np.int32
+            ),
+            "block_cf": np.add.reduceat(freqs, block_starts).astype(np.int64),
+        }
+    )
+
+
+NORM_TERM = ""  # sentinel term for per-segment norm (doc-length) blocks
+
+
+def build_segments(
+    df: DataFrame,
+    analyzer: Analyzer,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_positions: bool = True,
+    seg_bits: int = 14,
+) -> DataFrame:
+    """Local segment build — the reference's per-writer-thread segment
+    (`segment_writer.cpp` + `field_data::invert`) as ONE mapInPandas
+    pass: tokenize, (doc,term) aggregate, term-major sort, posting-block
+    encode, all inside the partition. The ONLY shuffle moves pages rows
+    (one per document) into their segment: token rows never cross the
+    wire. Output is block rows (POSTINGS_SCHEMA), including per-segment
+    NORM blocks (term == "" holding (doc id, dl) runs — the reference's
+    norms column, norm.hpp:75-125).
+
+    Determinism: a segment is the fixed doc-id range
+    [seg << seg_bits, (seg+1) << seg_bits); block content is a pure
+    function of the segment's documents, block_id = first_doc of the
+    block (unique per term, globally doc-ordered). Independent of
+    parallelism by construction.
+    """
+    arranged = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), text_col)
+        .withColumn("_seg", F.shiftright(F.col("doc_id"), seg_bits))
+        .repartition("_seg")
+        .sortWithinPartitions("_seg", "doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            segs = pdf["_seg"].to_numpy()
+            if len(pdf) == 0:
+                continue
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = segs[1:] != segs[:-1]
+            starts = np.flatnonzero(change)
+            if starts.size > 1:
+                cut = starts[-1]
+                pending = pdf.iloc[cut:]
+                pdf = pdf.iloc[:cut]
+                starts = starts[:-1]
+            else:
+                pending = pdf
+                continue
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts, ends):
+                out = _build_one_segment(
+                    pdf.iloc[s:e], analyzer, text_col, with_positions
+                )
+                if out is not None:
+                    yield out
+        if pending is not None and len(pending):
+            out = _build_one_segment(
+                pending.reset_index(drop=True), analyzer, text_col, with_positions
+            )
+            if out is not None:
+                yield out
+
+    return arranged.mapInPandas(gen, POSTINGS_SCHEMA)
+
+
+def _build_one_segment(pdf, analyzer, text_col, with_positions):
+    doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
+    analyzed = analyzer.analyze_batch(pdf[text_col].tolist())
+    n_tokens = np.fromiter(
+        (len(t[0]) for t in analyzed), dtype=np.int64, count=len(analyzed)
+    )
+    if n_tokens.sum() == 0:
+        return None
+    flat_terms = np.concatenate(
+        [np.asarray(t[0], dtype=object) for t in analyzed if t[0]]
+    )
+    flat_pos = np.concatenate(
+        [np.asarray(t[1], dtype=np.int64) for t in analyzed if t[0]]
+    )
+    flat_doc = np.repeat(doc_ids, n_tokens)
+    flat_dl = np.repeat(n_tokens, n_tokens)
+    # term-major sort (stable: per (term,doc) positions stay ascending)
+    order = np.lexsort((flat_doc, flat_terms))
+    s_terms = flat_terms[order]
+    s_doc = flat_doc[order]
+    s_dl = flat_dl[order]
+    s_pos = flat_pos[order]
+    boundary = np.empty(s_terms.size, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = (s_terms[1:] != s_terms[:-1]) | (s_doc[1:] != s_doc[:-1])
+    g_starts = np.flatnonzero(boundary)
+    freqs = np.diff(np.append(g_starts, s_terms.size))
+    row_term = s_terms[g_starts]
+    row_doc = s_doc[g_starts]
+    row_dl = s_dl[g_starts]
+    # term runs over the (term,doc) rows -> 128-doc blocks
+    t_change = np.empty(row_term.size, dtype=bool)
+    t_change[0] = True
+    t_change[1:] = row_term[1:] != row_term[:-1]
+    t_starts = np.flatnonzero(t_change)
+    t_ends = np.append(t_starts[1:], row_term.size)
+    sizes = t_ends - t_starts
+    n_blocks = (sizes + BLOCK_SIZE - 1) // BLOCK_SIZE
+    gidx = np.repeat(np.arange(t_starts.size), n_blocks)
+    blk_base = np.concatenate(([0], np.cumsum(n_blocks)[:-1]))
+    local = np.arange(int(n_blocks.sum()), dtype=np.int64) - blk_base[gidx]
+    bs = t_starts[gidx] + local * BLOCK_SIZE
+    be = np.minimum(bs + BLOCK_SIZE, t_ends[gidx])
+    flat_pos_for_enc = s_pos if with_positions else None
+    docs_blobs, dls_blobs, pos_blobs = codec.encode_blocks_batch(
+        row_doc, freqs, row_dl, bs, be, flat_pos_for_enc
+    )
+    out = {
+        "term": row_term[bs],
+        "block_id": row_doc[bs],  # first_doc: unique per term, doc-ordered
+        "n_docs": (be - bs).astype(np.int32),
+        "first_doc": row_doc[bs],
+        "last_doc": row_doc[be - 1],
+        "docs": docs_blobs,
+        "dls": dls_blobs,
+        "positions": pos_blobs if with_positions else [None] * len(docs_blobs),
+        "block_max_freq": np.maximum.reduceat(freqs, bs).astype(np.int32),
+        "block_min_dl": np.minimum.reduceat(row_dl, bs).astype(np.int32),
+        "block_cf": np.add.reduceat(freqs, bs).astype(np.int64),
+    }
+    blocks = pd.DataFrame(out)
+    # norm blocks: (doc id, dl) runs under the sentinel term
+    live = n_tokens > 0
+    nd_ids = doc_ids[live]
+    nd_dls = n_tokens[live]
+    n = nd_ids.size
+    n_bs = np.arange(0, n, BLOCK_SIZE)
+    n_be = np.minimum(n_bs + BLOCK_SIZE, n)
+    nd_blobs, nl_blobs, _ = codec.encode_blocks_batch(
+        nd_ids, np.ones(n, dtype=np.int64), nd_dls, n_bs, n_be, None
+    )
+    norm = pd.DataFrame(
+        {
+            "term": NORM_TERM,
+            "block_id": nd_ids[n_bs],
+            "n_docs": (n_be - n_bs).astype(np.int32),
+            "first_doc": nd_ids[n_bs],
+            "last_doc": nd_ids[n_be - 1],
+            "docs": nd_blobs,
+            "dls": nl_blobs,
+            "positions": None,
+            "block_max_freq": np.int32(1),
+            "block_min_dl": np.minimum.reduceat(nd_dls, n_bs).astype(np.int32),
+            "block_cf": np.add.reduceat(nd_dls, n_bs).astype(np.int64),
+        }
+    )
+    return pd.concat([blocks, norm], ignore_index=True)
 
 
 def build_index(
@@ -300,11 +458,16 @@ def build_index(
     with_positions: bool = True,
     bucket_bits: int = 16,
     extra_doc_cols: list[str] | None = None,
+    seg_bits: int | None = None,
 ) -> InvertedIndex:
-    """End-to-end index build. See module docstring for the plan shape.
+    """End-to-end index build via local segments (see build_segments).
 
-    If `id_col` is None, global doc ids are assigned deterministically by
-    sorting on `sort_key` (e.g. url — SURVEY §7.0).
+    One pages-row shuffle, zero token-row shuffles: docs, term_stats and
+    field_stats are all derived from the (compact) block rows. If
+    `id_col` is None, global doc ids are assigned deterministically by
+    sorting on `sort_key` (e.g. url — SURVEY §7.0). `seg_bits` sets the
+    segment doc-range width (default: bucket_bits, docs per segment =
+    2^seg_bits — size it so a segment's token data fits an executor).
     """
     if isinstance(analyzer, str):
         analyzer = get_analyzer(analyzer)
@@ -313,35 +476,38 @@ def build_index(
             raise ValueError("need id_col or sort_key")
         df = assign_doc_ids(df, sort_key)
         id_col = "doc_id"
+    seg_bits = seg_bits if seg_bits is not None else bucket_bits
 
-    tokens = tokenize(df, analyzer, text_col, id_col, with_positions)
-    # Reused twice (docs+stats downstream) — worth materializing once on
-    # small/medium corpora; at 100 TB you would instead checkpoint this
-    # stage to a parquet dir (see streaming.incremental for the resumable
-    # variant which does exactly that per micro-batch).
-    tokens.cache()
+    blocks = build_segments(
+        df, analyzer, text_col, id_col, with_positions, seg_bits
+    )
+    blocks.cache()
 
-    docs = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    postings = blocks.filter(F.col("term") != NORM_TERM)
+    norm_blocks = blocks.filter(F.col("term") == NORM_TERM)
+
+    from iresearch_spark.index.model import _make_block_decoder, DECODED_SCHEMA
+
+    docs = norm_blocks.mapInArrow(
+        _make_block_decoder(False), DECODED_SCHEMA
+    ).select("doc_id", F.col("dl").cast("int").alias("dl"))
     if extra_doc_cols:
         passthrough = df.select(
             F.col(id_col).cast("long").alias("doc_id"), *extra_doc_cols
         )
         docs = docs.join(passthrough, "doc_id")
 
-    term_stats = tokens.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("freq").alias("cf")
+    term_stats = postings.groupBy("term").agg(
+        F.sum("n_docs").alias("df"), F.sum("block_cf").alias("cf")
     )
 
-    # field stats off the (small) docs table — one row per doc, cheap agg
-    stats_row = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl")).agg(
-        F.count("*").alias("n"), F.sum("dl").alias("ttf")
+    stats_row = norm_blocks.agg(
+        F.sum("n_docs").alias("n"), F.sum("block_cf").alias("ttf")
     ).collect()[0]
     field_stats = FieldStats(
         n_docs=int(stats_row["n"] or 0),
         total_term_freq=int(stats_row["ttf"] or 0),
     )
-
-    postings = build_postings(tokens, with_positions, bucket_bits)
 
     return InvertedIndex(
         postings=postings,

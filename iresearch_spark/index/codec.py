@@ -161,3 +161,97 @@ def decode_position_lists(buf: bytes, freqs: np.ndarray) -> np.ndarray:
     seg_base = csum[starts] - gaps[starts]
     owner = np.repeat(np.arange(freqs.size), freqs)
     return csum - seg_base[owner]
+
+
+def encode_blocks_batch(
+    doc_ids: np.ndarray,
+    freqs: np.ndarray,
+    dls: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+    flat_pos: np.ndarray | None = None,
+):
+    """Encode MANY posting blocks in one vectorized pass.
+
+    Equivalent to calling pack_docs_freqs / varint_encode /
+    encode_position_lists per block (unit-tested equivalence), but all
+    varint work happens in three whole-batch passes; per-block cost is
+    reduced to two Python byte-slices. This is what makes building
+    millions of small posting lists (long-tail vocabulary) cheap.
+
+    flat_pos, when given, holds the concatenated positions of all rows
+    (row r owns flat_pos[pos_off[r]:pos_off[r+1]] with pos_off = cumsum
+    of freqs).
+
+    Returns (docs_blobs, dls_blobs, pos_blobs|None) as lists of bytes.
+    """
+    R = doc_ids.size
+    B = block_starts.size
+    if R == 0 or B == 0:
+        return [], [], ([] if flat_pos is not None else None)
+    doc_ids = doc_ids.astype(np.uint64)
+    freqs_u = freqs.astype(np.uint64)
+    sizes_rows = (block_ends - block_starts).astype(np.int64)
+    bid = np.repeat(np.arange(B), sizes_rows)
+
+    # --- docs stream: per block [packed gaps..., freqs of freq>1 docs...]
+    gaps = np.empty(R, dtype=np.uint64)
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[block_starts] = doc_ids[block_starts]  # restart per block (base 0)
+    single = freqs_u == np.uint64(1)
+    packed = (gaps << np.uint64(1)) | single.astype(np.uint64)
+    multi = ~single
+    csum_multi = np.cumsum(multi.astype(np.int64))
+    multi_before = csum_multi - multi.astype(np.int64)  # multis strictly before row
+    multi_before_block = multi_before[block_starts]
+    n_multi_block = (
+        csum_multi[block_ends - 1] - multi_before_block
+    )
+    block_len = sizes_rows + n_multi_block
+    val_start = np.concatenate(([0], np.cumsum(block_len)[:-1]))
+    row_in_block = np.arange(R, dtype=np.int64) - block_starts[bid]
+    gap_pos = val_start[bid] + row_in_block
+    total_vals = int(block_len.sum())
+    vals = np.empty(total_vals, dtype=np.uint64)
+    vals[gap_pos] = packed
+    rows_multi = np.flatnonzero(multi)
+    if rows_multi.size:
+        bm = bid[rows_multi]
+        rank_in_block = multi_before[rows_multi] - multi_before_block[bm]
+        freq_pos = val_start[bm] + sizes_rows[bm] + rank_in_block
+        vals[freq_pos] = freqs_u[rows_multi]
+    vsizes = varint_size(vals)
+    voff = np.concatenate(([0], np.cumsum(vsizes)))
+    buf = varint_encode(vals)
+    a = voff[val_start]
+    b = voff[val_start + block_len]
+    docs_blobs = [buf[x:y] for x, y in zip(a, b)]
+
+    # --- dls stream
+    dls_u = dls.astype(np.uint64)
+    dsizes = varint_size(dls_u)
+    doff = np.concatenate(([0], np.cumsum(dsizes)))
+    dbuf = varint_encode(dls_u)
+    dls_blobs = [
+        dbuf[x:y] for x, y in zip(doff[block_starts], doff[block_ends])
+    ]
+
+    # --- positions stream (delta restart per doc/row)
+    pos_blobs = None
+    if flat_pos is not None:
+        P = flat_pos.size
+        pos_off = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+        p = flat_pos.astype(np.uint64)
+        pgaps = np.empty(P, dtype=np.uint64)
+        if P:
+            pgaps[1:] = p[1:] - p[:-1]
+            row_starts_in_pos = pos_off[:-1]
+            pgaps[row_starts_in_pos] = p[row_starts_in_pos]
+        psizes = varint_size(pgaps) if P else np.empty(0, np.int64)
+        poff = np.concatenate(([0], np.cumsum(psizes)))
+        pbuf = varint_encode(pgaps)
+        pa = poff[pos_off[block_starts]]
+        pb = poff[pos_off[block_ends]]
+        pos_blobs = [pbuf[x:y] for x, y in zip(pa, pb)]
+
+    return docs_blobs, dls_blobs, pos_blobs

@@ -79,15 +79,58 @@ def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
     )
 
 
+def purge_deleted(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
+    """Physically drop deleted docs and recompute stats (the
+    reference's merge-time doc_id_map skip of deleted docs,
+    `merge_writer.cpp:1448-1472`). Until this runs, deletes are
+    read-time masks and scoring stats are intentionally stale — the
+    reference behaves identically between consolidations."""
+    if index.deleted is None:
+        return index
+    mask = index.deleted.select("doc_id")
+    decoded = index.decoded_postings(with_positions=index.with_positions)
+    live = decoded.join(mask, "doc_id", "left_anti")
+    if index.with_positions:
+        live = live.select(
+            "doc_id", "term", "freq", "positions",
+            F.col("dl").cast("int").alias("dl"),
+        )
+    else:
+        live = live.select(
+            "doc_id", "term", "freq",
+            F.lit(None).cast("array<int>").alias("positions"),
+            F.col("dl").cast("int").alias("dl"),
+        )
+    postings = build_postings(live, index.with_positions, bucket_bits)
+    docs = index.docs.join(mask, "doc_id", "left_anti")
+    term_stats = live.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("freq").alias("cf")
+    )
+    stats_row = docs.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("ttf")
+    ).collect()[0]
+    return InvertedIndex(
+        postings=postings,
+        docs=docs,
+        term_stats=term_stats,
+        field_stats=FieldStats(
+            n_docs=int(stats_row["n"] or 0),
+            total_term_freq=int(stats_row["ttf"] or 0),
+        ),
+        with_positions=index.with_positions,
+        analyzer_name=index.analyzer_name,
+        deleted=None,
+    )
+
+
 def build_metrics(index: InvertedIndex, bucket_bits: int = 16) -> "DataFrame":
     """Per-bucket lineage/metrics rows (the north rule's per-partition
     lineage + build-metrics table): doc-bucket -> blocks, postings,
     distinct terms, doc-id range. Deterministic (bucket = doc-id range),
     independent of physical partitioning."""
-    blocks_per_bucket_bits = max(bucket_bits - 7, 1)
     return (
         index.postings.withColumn(
-            "bucket", F.shiftright(F.col("block_id"), blocks_per_bucket_bits)
+            "bucket", F.shiftright(F.col("first_doc"), bucket_bits)
         )
         .groupBy("bucket")
         .agg(

@@ -53,6 +53,9 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("positions", T.BinaryType(), True),
         T.StructField("block_max_freq", T.IntegerType(), False),
         T.StructField("block_min_dl", T.IntegerType(), False),
+        # per-block total term frequency — lets term_stats (df, cf) be
+        # aggregated from block rows without touching token rows
+        T.StructField("block_cf", T.LongType(), False),
     ]
 )
 
@@ -91,6 +94,21 @@ class InvertedIndex:
     field_stats: FieldStats
     with_positions: bool = True
     analyzer_name: str = "simple"
+    # delete mask (reference: per-segment deleted-docs bitset applied at
+    # read time, index_writer.hpp:376-411; stats stay stale until a
+    # consolidation purges the postings — same semantics here)
+    deleted: DataFrame | None = None
+
+    def delete_docs(self, doc_ids: DataFrame) -> "InvertedIndex":
+        """Mark docs deleted (doc_ids: DataFrame with a doc_id column).
+        Queries exclude them immediately; postings/stats are rewritten
+        only by merge.purge_deleted (the reference's consolidate)."""
+        import dataclasses
+
+        mask = doc_ids.select("doc_id").distinct()
+        if self.deleted is not None:
+            mask = self.deleted.unionByName(mask).distinct()
+        return dataclasses.replace(self, deleted=mask)
 
     # ---- decode paths ----------------------------------------------------
 
@@ -140,12 +158,15 @@ class InvertedIndex:
         postings.write.mode(mode).parquet(os.path.join(path, "postings"))
         self.docs.write.mode(mode).parquet(os.path.join(path, "docs"))
         self.term_stats.write.mode(mode).parquet(os.path.join(path, "term_stats"))
+        if self.deleted is not None:
+            self.deleted.write.mode(mode).parquet(os.path.join(path, "deleted"))
         manifest = {
             "version": 1,
             "n_docs": self.field_stats.n_docs,
             "total_term_freq": self.field_stats.total_term_freq,
             "with_positions": self.with_positions,
             "analyzer": self.analyzer_name,
+            "has_deleted": self.deleted is not None,
         }
         tmp = os.path.join(path, "_manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -166,6 +187,11 @@ class InvertedIndex:
             ),
             with_positions=manifest["with_positions"],
             analyzer_name=manifest["analyzer"],
+            deleted=(
+                spark.read.parquet(os.path.join(path, "deleted"))
+                if manifest.get("has_deleted")
+                else None
+            ),
         )
 
     def cache(self) -> "InvertedIndex":

@@ -8,6 +8,7 @@ from iresearch_spark.search.ast import (  # noqa: F401
     Phrase,
     Prefix,
     Range,
+    SamePosition,
     Term,
     Terms,
     Wildcard,

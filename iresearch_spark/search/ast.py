@@ -88,6 +88,20 @@ class Phrase(Node):
 
 
 @dataclass(frozen=True)
+class SamePosition(Node):
+    """All terms at the identical position (reference
+    `by_same_position`, same_position_filter.cpp) — a Phrase with zero
+    offsets."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+    def __init__(self, terms, boost: float = 1.0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
 class AllDocs(Node):
     """Match all docs with constant score = boost (reference `all`)."""
 

@@ -290,7 +290,14 @@ class SearchEngine:
                 "doc_id", F.lit(float(node.boost * boost)).alias("score")
             )
         if isinstance(node, ast.Phrase):
-            return self._eval_phrase(node, boost)
+            return self._eval_positional(
+                list(node.terms), list(range(len(node.terms))),
+                node.boost * boost,
+            )
+        if isinstance(node, ast.SamePosition):
+            return self._eval_positional(
+                list(node.terms), [0] * len(node.terms), node.boost * boost
+            )
         if isinstance(node, (ast.And, ast.Or)):
             return self._eval_bool(node, boost, postings)
         if isinstance(node, ast.Not):
@@ -337,20 +344,22 @@ class SearchEngine:
             merged = merged.join(excl.distinct(), "doc_id", "left_anti")
         return merged
 
-    def _eval_phrase(self, node: ast.Phrase, boost: float) -> DataFrame:
-        """Positional phrase: conjunction + vectorized position
-        intersection (reference phrase_iterator.hpp leapfrog, done here
-        as numpy set intersection per candidate doc); phrase freq feeds
-        the scorer with the summed per-term c0 (phrase_query.cpp
-        composes per-term scorers over the shared phrase frequency)."""
+    def _eval_positional(
+        self, terms: list[str], offsets: list[int], boost: float
+    ) -> DataFrame:
+        """Positional conjunction: match positions p where term_i occurs
+        at p + offsets[i] for every i. Phrase = offsets 0..m-1
+        (reference phrase_iterator.hpp leapfrog, done here as numpy set
+        intersection per candidate doc); same-position = all-zero
+        offsets (same_position_filter.cpp). The match count feeds the
+        scorer with the summed per-term c0 (phrase_query.cpp composes
+        per-term scorers over the shared phrase frequency)."""
         if not self.index.with_positions:
             raise ValueError("index was built without positions")
-        terms = list(node.terms)
         uniq = list(dict.fromkeys(terms))
         dfs = self._term_dfs(uniq)
         if any(dfs[t] == 0 for t in uniq):
             return self._empty()
-        boost = boost * node.boost
         c0_sum = sum(self._c0(dfs[t], 1.0) for t in terms) * boost
         slots = self._spark.createDataFrame(
             [(t, i) for i, t in enumerate(terms)], "term string, slot int"
@@ -383,9 +392,11 @@ class SearchEngine:
                             if s in by_slot
                             else arr
                         )
-                    cand_pos = by_slot[0]
+                    cand_pos = by_slot[0] - offsets[0]
                     for s in range(1, n_slots):
-                        cand_pos = np.intersect1d(cand_pos, by_slot[s] - s)
+                        cand_pos = np.intersect1d(
+                            cand_pos, by_slot[s] - offsets[s]
+                        )
                         if cand_pos.size == 0:
                             break
                     if cand_pos.size:
@@ -423,8 +434,15 @@ class SearchEngine:
         if mode == "wand" and k is not None:
             terms = self._wand_terms(query)
             if terms is not None:
-                return self._execute_wand(query, terms, k)
-        return self._eval(query, 1.0)
+                return self._apply_delete_mask(self._execute_wand(query, terms, k))
+        return self._apply_delete_mask(self._eval(query, 1.0))
+
+    def _apply_delete_mask(self, df: DataFrame) -> DataFrame:
+        """Exclude deleted docs at read time (the reference applies the
+        per-segment deleted-docs bitset in every doc_iterator)."""
+        if self.index.deleted is None:
+            return df
+        return df.join(self.index.deleted.select("doc_id"), "doc_id", "left_anti")
 
     def _execute_wand(self, query: ast.Node, terms: list[str], k: int) -> DataFrame:
         dfs = self._term_dfs(list(dict.fromkeys(terms)))

@@ -69,7 +69,7 @@ def _rewrite(node: ast.Node) -> ast.Node:
     if isinstance(node, ast.Terms) and len(node.terms) == 1:
         return ast.Term(node.terms[0], node.boost)
 
-    if isinstance(node, ast.Phrase) and len(node.terms) == 1:
+    if isinstance(node, (ast.Phrase, ast.SamePosition)) and len(node.terms) == 1:
         return ast.Term(node.terms[0], node.boost)
 
     return node

@@ -77,3 +77,42 @@ def test_empty():
     assert codec.varint_encode(np.array([], dtype=np.uint64)) == b""
     assert codec.varint_decode(b"").size == 0
     assert codec.decode_position_lists(b"", np.array([], np.uint64)).size == 0
+
+
+def test_encode_blocks_batch_equivalence():
+    """Batched encoder must be byte-identical to the per-block codecs."""
+    rng = np.random.default_rng(7)
+    # build several contiguous (term,bucket) runs chopped into blocks
+    doc_ids, freqs, dls, block_starts, block_ends = [], [], [], [], []
+    row = 0
+    for run_len in [1, 5, 128, 129, 300, 2, 64]:
+        ids = np.sort(rng.choice(10**9, size=run_len, replace=False))
+        fs = rng.integers(1, 6, size=run_len)
+        ds = rng.integers(1, 500, size=run_len)
+        for s in range(0, run_len, 128):
+            e = min(s + 128, run_len)
+            block_starts.append(row + s)
+            block_ends.append(row + e)
+        doc_ids.append(ids)
+        freqs.append(fs)
+        dls.append(ds)
+        row += run_len
+    doc_ids = np.concatenate(doc_ids)
+    freqs = np.concatenate(freqs).astype(np.int64)
+    dls = np.concatenate(dls).astype(np.int64)
+    flat_pos = np.concatenate(
+        [np.sort(rng.choice(10**6, size=int(f), replace=False)) for f in freqs]
+    ).astype(np.uint64)
+    pos_off = np.concatenate(([0], np.cumsum(freqs)))
+    bs = np.asarray(block_starts)
+    be = np.asarray(block_ends)
+    d_blobs, l_blobs, p_blobs = codec.encode_blocks_batch(
+        doc_ids, freqs, dls, bs, be, flat_pos
+    )
+    for i, (s, e) in enumerate(zip(bs, be)):
+        assert d_blobs[i] == codec.pack_docs_freqs(doc_ids[s:e], freqs[s:e])
+        assert l_blobs[i] == codec.varint_encode(dls[s:e].astype(np.uint64))
+        want_pos = codec.encode_position_lists(
+            flat_pos[pos_off[s] : pos_off[e]], freqs[s:e]
+        )
+        assert p_blobs[i] == want_pos, i
