@@ -56,6 +56,7 @@ def main():
     n_docs = docs.count()
 
     queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
 
     import tempfile
 
@@ -116,12 +117,14 @@ def main():
     if pages_n:
         from iresearch_spark.corpus import generate_pages
 
+        # materialize the corpus first — generation cost is not build cost
+        pages = generate_pages(spark, pages_n).cache()
+        pages.count()
         t, _ = timed(
-            lambda: _materialized_index(
-                generate_pages(spark, pages_n), id_col=None, sort_key="url"
-            )
+            lambda: _materialized_index(pages, id_col=None, sort_key="url")
         )
         queries[f"pages_index_build_{pages_n}"] = t
+        extra["pages_docs_per_sec"] = round(pages_n / t, 1)
 
     total = sum(queries.values())
     print(
@@ -136,6 +139,7 @@ def main():
                 "n_docs": n_docs,
                 "index_docs_per_sec": round(n_docs / queries["index_build"], 1),
                 "search_queries_per_sec": round(n_queries / t_search_total, 2),
+                **extra,
             }
         )
     )

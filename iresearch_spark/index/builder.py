@@ -476,7 +476,12 @@ def build_index(
             raise ValueError("need id_col or sort_key")
         df = assign_doc_ids(df, sort_key)
         id_col = "doc_id"
-    seg_bits = seg_bits if seg_bits is not None else bucket_bits
+    if seg_bits is None:
+        # segment = unit of build parallelism AND the skew bound: pick
+        # 2^10 docs/segment so even small corpora fan out across
+        # executors (a 10^12-doc corpus yields ~10^9 segments — plenty;
+        # raise for wider docs to amortize per-segment overhead)
+        seg_bits = min(bucket_bits, 10)
 
     blocks = build_segments(
         df, analyzer, text_col, id_col, with_positions, seg_bits

@@ -1,0 +1,72 @@
+"""spark-submit entry point: build (or incrementally extend) an index.
+
+Usage:
+  spark-submit --py-files iresearch_spark.zip jobs/build_index_job.py \
+      --input /path/to/pages_parquet --output /path/to/index \
+      [--analyzer segmentation] [--text-col text] [--sort-key url] \
+      [--seg-bits 16] [--no-positions] [--incremental --checkpoint DIR]
+
+Package with:  python jobs/package.py   (writes dist/iresearch_spark.zip)
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--analyzer", default="segmentation")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default=None)
+    ap.add_argument("--sort-key", default="url")
+    ap.add_argument("--seg-bits", type=int, default=16)
+    ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--checkpoint", default=None)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("iresearch-build").getOrCreate()
+
+    if args.incremental:
+        from iresearch_spark.streaming.incremental import IncrementalIndexer
+
+        stream = spark.readStream.format("parquet").schema(
+            spark.read.parquet(args.input).schema
+        ).load(args.input)
+        ix = IncrementalIndexer(
+            index_dir=args.output,
+            analyzer=args.analyzer,
+            text_col=args.text_col,
+            sort_key=args.sort_key,
+            with_positions=not args.no_positions,
+        )
+        q = ix.start(stream, checkpoint_dir=args.checkpoint or args.output + "_ckpt")
+        q.awaitTermination()
+        return
+
+    from iresearch_spark.index.builder import build_index
+
+    df = spark.read.parquet(args.input)
+    idx = build_index(
+        df,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        sort_key=args.sort_key if args.id_col is None else None,
+        analyzer=args.analyzer,
+        with_positions=not args.no_positions,
+        seg_bits=args.seg_bits,
+    )
+    idx.save(args.output)
+    print(
+        f"indexed {idx.field_stats.n_docs} docs, "
+        f"{idx.field_stats.total_term_freq} tokens -> {args.output}"
+    )
+
+
+if __name__ == "__main__":
+    main()

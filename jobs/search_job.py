@@ -1,0 +1,93 @@
+"""spark-submit entry point: run a task file of queries against an index.
+
+Task-file lines follow the reference benchmark format
+(`scripts/iresearch-benchmark.tasks`): `Category: query text # ...`
+with categories HighTerm/MedTerm/LowTerm, *Phrase (quoted), AndHigh*,
+OrHigh*, MinMatch..., Prefix3 (trailing *), Wildcard, Fuzzy1/2
+(parser parity: utils/index-search.cpp:119-142,240-445).
+
+Usage:
+  spark-submit --py-files iresearch_spark.zip jobs/search_job.py \
+      --index /path/to/index --tasks tasks.txt [--k 10] [--mode wand] \
+      [--scorer bm25] [--repeat 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def parse_task(line: str):
+    from iresearch_spark.search import And, Fuzzy, Or, Phrase, Prefix, Term, Wildcard
+
+    line = line.split("#", 1)[0].strip()
+    if not line or ":" not in line:
+        return None, None
+    category, text = (s.strip() for s in line.split(":", 1))
+    terms = text.replace('"', "").replace("+", " ").split()
+    if "Phrase" in category:
+        return category, Phrase(terms)
+    if category.startswith("And"):
+        return category, And([Term(t) for t in terms])
+    if category.startswith("MinMatch"):
+        try:
+            mm = int(terms[0])
+            terms = terms[1:]
+        except ValueError:
+            mm = 2
+        return category, Or([Term(t) for t in terms], min_match=mm)
+    if category.startswith("Or"):
+        return category, Or([Term(t) for t in terms])
+    if category.startswith("Prefix"):
+        return category, Prefix(terms[0].rstrip("*"))
+    if category.startswith("Wildcard"):
+        return category, Wildcard(terms[0].replace("*", "%").replace("?", "_"))
+    if category.startswith("Fuzzy"):
+        d = 2 if category.endswith("2") else 1
+        return category, Fuzzy(terms[0], distance=d)
+    return category, Term(terms[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--tasks", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", default="exhaustive", choices=["exhaustive", "wand"])
+    ap.add_argument("--scorer", default="bm25")
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+
+    from iresearch_spark.index.model import InvertedIndex
+    from iresearch_spark.search import SearchEngine
+
+    spark = SparkSession.builder.appName("iresearch-search").getOrCreate()
+    idx = InvertedIndex.load(spark, args.index).cache()
+    engine = SearchEngine(idx, scorer=args.scorer)
+
+    timings = {}
+    with open(args.tasks) as f:
+        for line in f:
+            category, node = parse_task(line)
+            if node is None:
+                continue
+            best, rows = None, None
+            for _ in range(args.repeat):
+                t0 = time.perf_counter()
+                rows = engine.search(node, k=args.k, mode=args.mode).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[category] = round(best, 4)
+            print(
+                f"{category}: {best:.4f}s top1="
+                f"{(rows[0]['doc_id'], round(rows[0]['score'], 4)) if rows else None}"
+            )
+    print(json.dumps(timings))
+
+
+if __name__ == "__main__":
+    main()

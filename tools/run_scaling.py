@@ -29,7 +29,7 @@ pages.count()  # exclude generation from build timing
 
 t0 = time.perf_counter()
 idx = build_index(pages, id_col=None, sort_key="url", analyzer="segmentation",
-                  bucket_bits=13)
+                  seg_bits=10)
 idx.cache(); idx.postings.count(); idx.term_stats.count(); idx.docs.count()
 t_build = time.perf_counter() - t0
 
