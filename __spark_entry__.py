@@ -33,6 +33,7 @@ from iresearch_spark.search import (
     Phrase,
     Prefix,
     Range,
+    SamePosition,
     SearchEngine,
     Term,
     Terms,
@@ -107,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_range"] = _match_q(Range(min_term="m", max_term="q"))
     q["fuzzy_d1"] = _match_q(Fuzzy("spork", distance=1))
     q["phrase_bigram"] = _match_q(Phrase(PHRASE))
+    # same term at its own positions: tf = occurrence count, c0 doubled
+    q["same_position"] = _match_q(SamePosition([HIGH1, HIGH1]))
 
     # --- boolean algebra (SURVEY §2.3) ---
     q["and_high_high"] = _match_q(And([Term(HIGH1), Term(HIGH2)]))
@@ -343,6 +346,15 @@ def oracle_sql() -> dict[str, str]:
         "t.term IN (SELECT term FROM tstats WHERE levenshtein(term, 'spork') <= 1)"
     )
     o["phrase_bigram"] = _phrase_sql(PHRASE)
+    # SamePosition([t, t]): matches every posting of t with tf = freq and
+    # the per-term constant summed twice (executor._eval_positional)
+    o["same_position"] = f"""{_CTE}
+SELECT t.doc_id, ROUND(SUM(2.0 * {_score()}), 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s
+JOIN tstats ts ON ts.term = t.term
+WHERE t.term = '{HIGH1}'
+GROUP BY t.doc_id
+"""
     o["and_high_high"] = _match_sql(
         f"t.term IN {_in([HIGH1, HIGH2])}",
         having="HAVING count(DISTINCT t.term) = 2",

@@ -130,41 +130,45 @@ def tokenize(
     ).mapInPandas(run, TOKEN_SCHEMA)
 
 
-def assign_doc_ids(df: DataFrame, key_col: str) -> DataFrame:
-    """Deterministic global doc ids by sort on a stable key.
+def assign_doc_ids(df: DataFrame, key_col: str, n_buckets: int = 1024) -> DataFrame:
+    """Deterministic, parallelism-independent global doc ids.
 
-    Scalable two-pass scheme (no single-partition window): range-
-    repartition by the key, count rows per partition, broadcast the
-    cumulative offsets, then add partition-local ranks. Ids depend only
-    on the key order — never on parallelism (SURVEY §7.0 determinism
-    rule; reference assigns segment-local ids in insertion order,
-    `core/index/segment_writer.cpp:76`, and remaps on merge — we assign
-    the global order once instead).
+    Total order = (xxhash64(key) % n_buckets, key): a deterministic
+    hash bucket plus the key itself. Two passes, both deterministic —
+    bucket counts (groupBy, a pure function of the data) give the
+    bucket offsets, a per-bucket window assigns dense local ranks.
+    Ids depend ONLY on the key set, never on partitioning (SURVEY §7.0
+    determinism rule; the reference assigns segment-local ids in
+    insertion order, `core/index/segment_writer.cpp:76`, and remaps on
+    merge — we assign one global deterministic order instead).
+
+    NOTE: an earlier variant used repartitionByRange + per-partition
+    ranks; range boundaries come from RANDOM SAMPLING and differ between
+    the count pass and the rank pass, producing duplicate ids — hash
+    buckets have no such nondeterminism. Requires unique keys.
     """
     spark = df.sparkSession
-    n_part = max(df.rdd.getNumPartitions(), 1)
-    ranged = df.repartitionByRange(n_part, F.col(key_col)).sortWithinPartitions(
-        key_col
+    with_b = df.withColumn(
+        "_bkt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
     )
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        r["_bkt"]: r["cnt"]
+        for r in with_b.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
     }
     offsets = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
     offs = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+        [(int(b), int(o)) for b, o in offsets.items()], "_bkt int, _offset long"
     )
-    w = Window.partitionBy("_pid").orderBy(key_col)
+    w = Window.partitionBy("_bkt").orderBy(key_col)
     return (
-        ranged.withColumn("_rank", F.row_number().over(w) - 1)
-        .join(F.broadcast(offs), "_pid")
+        with_b.withColumn("_rank", F.row_number().over(w) - 1)
+        .join(F.broadcast(offs), "_bkt")
         .withColumn("doc_id", F.col("_offset") + F.col("_rank"))
-        .drop("_pid", "_rank", "_offset")
+        .drop("_bkt", "_rank", "_offset")
     )
 
 
