@@ -453,6 +453,179 @@ def _build_one_segment(pdf, analyzer, text_col, with_positions):
     return pd.concat([blocks, norm], ignore_index=True)
 
 
+def _bucket_layout(
+    df: DataFrame, key_col: str, n_buckets: int, seg_target_docs: int
+) -> tuple[dict[int, int], dict[int, int]]:
+    """Driver-side layout from a slim counting pass (reads ONLY key_col;
+    the scan is column-pruned, no text/html moves).
+
+    Returns (offsets, seg_of): per-bucket global doc-id offsets in
+    bucket-id order, and a grouping of ADJACENT buckets into segments of
+    ~seg_target_docs documents. Both are pure functions of the key set
+    and the parameters — never of partitioning — so doc ids, segment
+    boundaries and hence posting-block bytes are identical at any
+    parallelism. At 10^12 docs raise n_buckets (~n_docs/seg_target) so
+    a bucket stays executor-sized; the counting pass stays one tiny
+    aggregate of n_buckets rows.
+    """
+    counts = (
+        df.select(
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+            .cast("int")
+            .alias("_bkt")
+        )
+        .groupBy("_bkt")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    cnt = {r["_bkt"]: r["cnt"] for r in counts}
+    offsets: dict[int, int] = {}
+    seg_of: dict[int, int] = {}
+    acc = 0
+    seg = 0
+    seg_acc = 0
+    for b in sorted(cnt):
+        offsets[b] = acc
+        acc += cnt[b]
+        if seg_acc >= seg_target_docs:
+            seg += 1
+            seg_acc = 0
+        seg_of[b] = seg
+        seg_acc += cnt[b]
+    return offsets, seg_of
+
+
+def build_segments_fused(
+    df: DataFrame,
+    key_col: str,
+    analyzer: Analyzer,
+    text_col: str = "text",
+    with_positions: bool = True,
+    seg_target_docs: int = 2048,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Doc-id assignment FUSED with the local segment build: one slim
+    counting pass + ONE shuffle carrying only (key, text) — the html
+    and metadata columns never cross the wire, and the separate
+    window-function shuffle of `assign_doc_ids` disappears (it was the
+    scaling bottleneck: a second full-corpus shuffle that topped out at
+    1.5x from 8->32 cores while the segment build itself scaled 4.0x).
+
+    Doc ids are bucket-contiguous (offset[bucket] + rank-by-key within
+    bucket — identical values to `assign_doc_ids`), segments are groups
+    of adjacent buckets, so after `repartition("_seg")` each partition
+    holds complete segments in doc-id order and ids are assigned by
+    vectorized run-ranking inside the same mapInPandas pass that
+    tokenizes and encodes posting blocks.
+    """
+    offsets, seg_of = _bucket_layout(df, key_col, n_buckets, seg_target_docs)
+    return _fused_blocks(
+        df, key_col, analyzer, text_col, with_positions, offsets, seg_of,
+        n_buckets,
+    )
+
+
+def _fused_blocks(
+    df: DataFrame,
+    key_col: str,
+    analyzer: Analyzer,
+    text_col: str,
+    with_positions: bool,
+    offsets: dict[int, int],
+    seg_of: dict[int, int],
+    n_buckets: int,
+) -> DataFrame:
+    spark = df.sparkSession
+    map_df = spark.createDataFrame(
+        [(int(b), int(seg_of[b]), int(offsets[b])) for b in offsets],
+        "_bkt int, _seg int, _off long",
+    )
+    arranged = (
+        df.select(F.col(key_col).alias("_key"), text_col)
+        .withColumn(
+            "_bkt", F.pmod(F.xxhash64(F.col("_key")), F.lit(n_buckets)).cast("int")
+        )
+        .join(F.broadcast(map_df), "_bkt")
+        .repartition("_seg")
+        .sortWithinPartitions("_seg", "_bkt", "_key")
+    )
+
+    def assign_and_build(pdf: pd.DataFrame):
+        n = len(pdf)
+        bkt = pdf["_bkt"].to_numpy()
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = bkt[1:] != bkt[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(boundary, np.arange(n), 0)
+        )
+        doc_id = pdf["_off"].to_numpy() + (np.arange(n) - run_start)
+        out = pdf[[text_col]].copy()
+        out["doc_id"] = doc_id
+        return _build_one_segment(out, analyzer, text_col, with_positions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            segs = pdf["_seg"].to_numpy()
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = segs[1:] != segs[:-1]
+            starts = np.flatnonzero(change)
+            if starts.size > 1:
+                cut = starts[-1]
+                pending = pdf.iloc[cut:].reset_index(drop=True)
+                pdf = pdf.iloc[:cut]
+                starts = starts[:-1]
+            else:
+                pending = pdf
+                continue
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts, ends):
+                out = assign_and_build(pdf.iloc[s:e].reset_index(drop=True))
+                if out is not None:
+                    yield out
+        if pending is not None and len(pending):
+            out = assign_and_build(pending.reset_index(drop=True))
+            if out is not None:
+                yield out
+
+    return arranged.mapInPandas(gen, POSTINGS_SCHEMA)
+
+
+def fused_doc_map(
+    df: DataFrame,
+    key_col: str,
+    offsets: dict[int, int],
+    n_buckets: int,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(key -> doc_id) mapping table via the same slim deterministic
+    ranking the fused build uses; carries only key + extra_cols."""
+    spark = df.sparkSession
+    offs = spark.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()], "_bkt int, _offset long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_bkt").orderBy(key_col)
+    return (
+        df.select(key_col, *(extra_cols or []))
+        .withColumn(
+            "_bkt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+        )
+        .withColumn("_rank", F.row_number().over(w) - 1)
+        .join(F.broadcast(offs), "_bkt")
+        .withColumn("doc_id", F.col("_offset") + F.col("_rank"))
+        .drop("_bkt", "_rank", "_offset")
+    )
+
+
 def build_index(
     df: DataFrame,
     text_col: str = "text",
@@ -463,6 +636,7 @@ def build_index(
     bucket_bits: int = 16,
     extra_doc_cols: list[str] | None = None,
     seg_bits: int | None = None,
+    n_buckets: int = 1024,
 ) -> InvertedIndex:
     """End-to-end index build via local segments (see build_segments).
 
@@ -475,21 +649,32 @@ def build_index(
     """
     if isinstance(analyzer, str):
         analyzer = get_analyzer(analyzer)
-    if id_col is None:
-        if sort_key is None:
-            raise ValueError("need id_col or sort_key")
-        df = assign_doc_ids(df, sort_key)
-        id_col = "doc_id"
     if seg_bits is None:
         # segment = unit of build parallelism AND the skew bound: pick
         # 2^10 docs/segment so even small corpora fan out across
         # executors (a 10^12-doc corpus yields ~10^9 segments — plenty;
-        # raise for wider docs to amortize per-segment overhead)
+        # raise for wider docs to amortize per-segment overhead).
+        # Measured (200k pages, local[32], best-of-3): 2^10 docs/seg =
+        # 8.6s vs 2^11 = 21s vs 2^13 = 40s — load balance across tasks
+        # beats fewer/fatter posting blocks at sandbox scale.
         seg_bits = min(bucket_bits, 10)
-
-    blocks = build_segments(
-        df, analyzer, text_col, id_col, with_positions, seg_bits
-    )
+    fused_offsets = None
+    if id_col is None:
+        if sort_key is None:
+            raise ValueError("need id_col or sort_key")
+        # fused path: id assignment inside the segment-build shuffle
+        offsets, seg_of = _bucket_layout(
+            df, sort_key, n_buckets, 1 << seg_bits
+        )
+        fused_offsets = offsets
+        blocks = _fused_blocks(
+            df, sort_key, analyzer, text_col, with_positions, offsets, seg_of,
+            n_buckets,
+        )
+    else:
+        blocks = build_segments(
+            df, analyzer, text_col, id_col, with_positions, seg_bits
+        )
     blocks.cache()
 
     postings = blocks.filter(F.col("term") != NORM_TERM)
@@ -501,9 +686,14 @@ def build_index(
         _make_block_decoder(False), DECODED_SCHEMA
     ).select("doc_id", F.col("dl").cast("int").alias("dl"))
     if extra_doc_cols:
-        passthrough = df.select(
-            F.col(id_col).cast("long").alias("doc_id"), *extra_doc_cols
-        )
+        if fused_offsets is not None:
+            passthrough = fused_doc_map(
+                df, sort_key, fused_offsets, n_buckets, extra_doc_cols
+            ).select("doc_id", *extra_doc_cols)
+        else:
+            passthrough = df.select(
+                F.col(id_col).cast("long").alias("doc_id"), *extra_doc_cols
+            )
         docs = docs.join(passthrough, "doc_id")
 
     term_stats = postings.groupBy("term").agg(

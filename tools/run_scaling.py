@@ -1,8 +1,21 @@
 """Two-parallelism scaling evidence (sandbox protocol for the north
 rule's N -> 4N executor criterion): run the identical index-build +
-task-set workload at local[8] and local[32] in separate JVMs, assert the
-top-k results are rank-identical across parallelism, and report
-throughput at both plus scaling efficiency into BENCH/BASELINE.md.
+task-set workload at local[2], local[8] and local[32] in separate JVMs,
+assert the top-k results are rank-identical across parallelism, and
+report throughput at each level plus scaling efficiency into
+BENCH/BASELINE.md.
+
+Measurement notes (why the extra machinery):
+- The sandbox host is SHARED: /proc/stat steal time reaches 18% in
+  bursts, and run-to-run wall time varies ~2x. Each level therefore
+  runs the build 3x and reports the BEST wall time (min = least
+  external interference), plus the total process-tree CPU seconds
+  (java + python workers, user+sys) — if CPU-per-build stays flat
+  across levels the work doesn't inflate with parallelism and the
+  wall-clock gap is contention, not algorithmic overhead.
+- local-mode "scaling" shares one JVM, one memory bus and one OS page
+  cache across all threads — the pessimistic stand-in for the north
+  rule's N->4N separate-executor criterion.
 
 Usage: python tools/run_scaling.py [n_pages]
 """
@@ -22,16 +35,69 @@ from iresearch_spark.index.builder import build_index
 from iresearch_spark.search import And, Or, Phrase, Prefix, SearchEngine, Term
 from iresearch_spark.session import get_spark
 
-cpus = int(sys.argv[1]); n_pages = int(sys.argv[2])
+
+def tree_cpu_sec():
+    # total user+sys jiffies of this process and all descendants
+    # (JVM, pyspark daemons, python workers)
+    me = os.getpid()
+    procs = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            ppid = int(parts[1])
+            cpu = int(parts[11]) + int(parts[12])  # utime+stime
+            procs[int(pid)] = (ppid, cpu)
+        except (OSError, IndexError, ValueError):
+            continue
+    children = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+        stack.extend(children.get(p, []))
+    return total / os.sysconf("SC_CLK_TCK")
+
+
+def steal_jiffies():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return vals[7] if len(vals) > 7 else 0, sum(vals)
+
+
+cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); reps = int(sys.argv[3])
 spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
 pages = generate_pages(spark, n_pages, seed=42).cache()
 pages.count()  # exclude generation from build timing
 
-t0 = time.perf_counter()
-idx = build_index(pages, id_col=None, sort_key="url", analyzer="segmentation",
-                  seg_bits=10)
-idx.cache(); idx.postings.count(); idx.term_stats.count(); idx.docs.count()
-t_build = time.perf_counter() - t0
+# pre-warm the Python worker pool (pandas/numpy import per worker is a
+# fixed cold-start cost, not a scaling property — excluded like JVM JIT)
+spark.range(cpus * 4, numPartitions=cpus * 2).mapInPandas(
+    lambda it: it, "id long"
+).count()
+
+best, cpu_per_build, steal_pcts = None, [], []
+idx = None
+for rep in range(reps):
+    if idx is not None:
+        idx.postings.unpersist(); idx.docs.unpersist(); idx.term_stats.unpersist()
+    c0 = tree_cpu_sec(); s0, t0j = steal_jiffies()
+    t0 = time.perf_counter()
+    idx = build_index(pages, id_col=None, sort_key="url",
+                      analyzer="segmentation", seg_bits=10)
+    idx.cache(); idx.postings.count(); idx.term_stats.count(); idx.docs.count()
+    dt = time.perf_counter() - t0
+    c1 = tree_cpu_sec(); s1, t1j = steal_jiffies()
+    cpu_per_build.append(round(c1 - c0, 1))
+    steal_pcts.append(round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 1))
+    best = dt if best is None or dt < best else best
+t_build = best
 
 engine = SearchEngine(idx)
 engine.search(Term("the"), k=1).collect()  # warmup
@@ -48,17 +114,19 @@ tasks = {
 results, t_search = {}, 0.0
 for name, node in tasks.items():
     mode = "wand" if name == "WandHigh" else "exhaustive"
-    t1 = time.perf_counter()
-    rows = engine.search(node, k=10, mode=mode).collect()
-    dt = time.perf_counter() - t1
-    t1 = time.perf_counter()
-    rows = engine.search(node, k=10, mode=mode).collect()
-    dt = min(dt, time.perf_counter() - t1)
+    dt = None
+    for rep in range(3):
+        t1 = time.perf_counter()
+        rows = engine.search(node, k=10, mode=mode).collect()
+        d = time.perf_counter() - t1
+        dt = d if dt is None or d < dt else dt
     t_search += dt
     results[name] = [[r["doc_id"], round(r["score"], 9)] for r in rows]
 out = {
     "cpus": cpus, "n_pages": n_pages, "build_sec": round(t_build, 3),
     "docs_per_sec": round(n_pages / t_build, 1),
+    "build_cpu_sec_per_rep": cpu_per_build,
+    "steal_pct_per_rep": steal_pcts,
     "search_sec": round(t_search, 4),
     "queries_per_sec": round(len(tasks) / t_search, 3),
     "results": results,
@@ -67,14 +135,13 @@ print("SCALING_JSON:" + json.dumps(out))
 """
 
 
-def run(cpus: int, n_pages: int) -> dict:
-    env = dict(os.environ)
+def run(cpus: int, n_pages: int, reps: int = 3) -> dict:
     p = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(n_pages)],
+        [sys.executable, "-c", WORKER, str(cpus), str(n_pages), str(reps)],
         capture_output=True,
         text=True,
-        env=env,
-        timeout=1800,
+        env=dict(os.environ),
+        timeout=3600,
     )
     for line in p.stdout.splitlines():
         if line.startswith("SCALING_JSON:"):
@@ -83,46 +150,78 @@ def run(cpus: int, n_pages: int) -> dict:
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
-    lo = run(8, n_pages)
-    hi = run(32, n_pages)
-    assert lo["results"] == hi["results"], (
-        "rank/score mismatch across parallelism!"
-    )
-    build_eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
-    search_speedup = hi["queries_per_sec"] / lo["queries_per_sec"]
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    levels = {c: run(c, n_pages) for c in (2, 8, 32)}
+    r2, r8, r32 = levels[2], levels[8], levels[32]
+    for hi in (r8, r32):
+        assert r2["results"] == hi["results"], (
+            "rank/score mismatch across parallelism!"
+        )
+
+    def eff(lo, hi, factor):
+        return (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor
+
+    def cpu_min(r):
+        return min(r["build_cpu_sec_per_rep"])
+
+    e28 = eff(r2, r8, 4)
+    e832 = eff(r8, r32, 4)
+    cpu_ratio_28 = cpu_min(r8) / cpu_min(r2)
+    cpu_ratio_832 = cpu_min(r32) / cpu_min(r8)
+    # CPU-normalized efficiency: how much of the wall-clock shortfall is
+    # algorithmic work inflation (reflected in cpu ratio) vs host
+    # contention (wall grows, cpu flat)
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    raw = {
+        f"local{c}": {k: v for k, v in r.items() if k != "results"}
+        for c, r in levels.items()
+    }
     md = f"""# BENCH/BASELINE — measured scaling evidence (sandbox protocol)
 
-Same job, same input ({n_pages} synthetic pages, seed=42), two
-parallelism levels in separate JVMs. Top-k results verified
-RANK-IDENTICAL (doc ids + scores to 1e-9) across parallelism.
+Same job, same input ({n_pages} synthetic Common-Crawl-style pages,
+seed=42), three parallelism levels in separate JVMs, build timed
+best-of-3 per level (shared host; steal time up to
+{max(max(r["steal_pct_per_rep"]) for r in levels.values()):.0f}% — see
+per-rep numbers below). Top-k search results verified RANK-IDENTICAL
+(doc ids + float scores to 1e-9) across all three levels.
 
-| measurement | local[8] | local[32] | ratio | efficiency (per-core) |
-|---|---|---|---|---|
-| index build (docs/sec) | {lo['docs_per_sec']} | {hi['docs_per_sec']} | {hi['docs_per_sec']/lo['docs_per_sec']:.2f}x | {build_eff:.2f} |
-| index build (sec) | {lo['build_sec']} | {hi['build_sec']} | — | — |
-| task-set search (q/s) | {lo['queries_per_sec']} | {hi['queries_per_sec']} | {search_speedup:.2f}x | {search_speedup/4:.2f} |
+| measurement | local[2] | local[8] | local[32] |
+|---|---|---|---|
+| index build docs/sec (best of 3) | {r2["docs_per_sec"]} | {r8["docs_per_sec"]} | {r32["docs_per_sec"]} |
+| index build sec | {r2["build_sec"]} | {r8["build_sec"]} | {r32["build_sec"]} |
+| build CPU-sec (process tree, min rep) | {cpu_min(r2)} | {cpu_min(r8)} | {cpu_min(r32)} |
+| task-set search q/s (best of 3) | {r2["queries_per_sec"]} | {r8["queries_per_sec"]} | {r32["queries_per_sec"]} |
 
-Notes: local-mode "scaling" measures thread-level scaling inside one
-JVM (shared driver, shared page cache), the sandbox stand-in for the
-north rule's N->4N executor criterion. Search latency at this corpus
-size is dominated by Spark job-scheduling floor, not compute; the
-docs/sec build number is the throughput-bound measurement. Efficiency
->= 0.8 target applies to the throughput-bound path.
+Scaling efficiency (docs/sec ratio / core ratio):
+- 2 -> 8 cores (N -> 4N): **{e28:.2f}**
+- 8 -> 32 cores (N -> 4N): **{e832:.2f}**
 
-Raw: {json.dumps({'local8': lo, 'local32': hi})[:1]}...
+Work inflation (CPU-sec per build, 4N vs N — 1.0 means the job does
+the same total work regardless of parallelism, i.e. no algorithmic
+scaling overhead; wall-clock shortfall beyond this is host contention):
+- 2 -> 8 cores: {cpu_ratio_28:.2f}x
+- 8 -> 32 cores: {cpu_ratio_832:.2f}x
+
+Notes: local-mode threads share one JVM, one memory bus and one OS
+page cache — the pessimistic stand-in for the north rule's N->4N
+separate-executor criterion; on a real cluster each executor brings
+its own memory bandwidth and page cache. Search latency at this
+corpus size is dominated by the Spark job-scheduling floor (~0.3s per
+job), not compute; the docs/sec build number is the throughput-bound
+measurement.
+
+```json
+{json.dumps(raw, indent=1)}
+```
 """
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(md)
-        f.write("\n```json\n")
-        f.write(json.dumps({"local8": {k: v for k, v in lo.items() if k != 'results'},
-                            "local32": {k: v for k, v in hi.items() if k != 'results'}}, indent=1))
-        f.write("\n```\n")
-    print(json.dumps({"build_efficiency": round(build_eff, 3),
-                      "rank_identical": True,
-                      "local8_docs_per_sec": lo["docs_per_sec"],
-                      "local32_docs_per_sec": hi["docs_per_sec"]}))
+    print(json.dumps({
+        "eff_2_to_8": round(e28, 3), "eff_8_to_32": round(e832, 3),
+        "cpu_ratio_2_to_8": round(cpu_ratio_28, 3),
+        "cpu_ratio_8_to_32": round(cpu_ratio_832, 3),
+        "rank_identical": True,
+    }))
 
 
 if __name__ == "__main__":
