@@ -69,7 +69,10 @@ def main():
     from iresearch_spark.index.model import InvertedIndex
 
     idx = InvertedIndex.load(spark, ix_dir)
-    engine = SearchEngine(idx)
+    # production setting: WAND prunes only when the candidate set is
+    # big enough to pay for it (sandbox corpora fall back to the
+    # exhaustive plan; differential tests force WAND with the default)
+    engine = SearchEngine(idx, wand_min_postings=1 << 16)
     # warmup: spin up Python workers / JIT before timed runs
     engine.search(Term("batch"), k=1).collect()
     search_tasks = {

@@ -31,6 +31,8 @@ import unicodedata
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
+import numpy as np
+
 from iresearch_spark.analysis.porter2 import MemoStemmer
 
 _WS_RE = re.compile(r"\s+")
@@ -43,11 +45,32 @@ TokensAndPositions = tuple[list[str], list[int]]
 
 
 @dataclass(frozen=True)
+class FlatTokens:
+    """Batch tokenization result with NO per-token Python objects.
+
+    The index-build hot path works on these directly: token identity is
+    an int32 code into `uniques`, so the per-segment sort/group runs on
+    integer arrays and only #distinct-terms strings ever materialize.
+    (The per-token Python strings of the generic path were both the CPU
+    cost and — via allocator churn in 32 concurrent workers — the
+    kernel-time scaling bottleneck.)
+    """
+
+    codes: np.ndarray      # int64 [n_tokens_total] -> index into uniques
+    uniques: np.ndarray    # object [n_distinct] token strings
+    n_tokens: np.ndarray   # int64 [n_docs] tokens per input text
+    positions: np.ndarray  # int64 [n_tokens_total] position within doc
+
+
+@dataclass(frozen=True)
 class Analyzer:
     """A named, frozen tokenization chain."""
 
     name: str
     _fn: Callable[[Sequence[str]], list[TokensAndPositions]]
+    # optional vectorized batch tokenizer (Arrow-native, zero per-token
+    # Python); must be byte-identical to _fn — differential-tested
+    _flat_fn: Callable[[Sequence[str]], FlatTokens] | None = None
 
     def analyze_batch(self, texts: Sequence[str]) -> list[TokensAndPositions]:
         """texts -> per-doc (terms, positions); None/empty -> ([], [])."""
@@ -55,6 +78,99 @@ class Analyzer:
 
     def analyze(self, text: str) -> TokensAndPositions:
         return self.analyze_batch([text])[0]
+
+    def analyze_flat(self, texts: Sequence[str]) -> FlatTokens:
+        """Vectorized batch path; falls back to analyze_batch."""
+        if self._flat_fn is not None:
+            return self._flat_fn(texts)
+        return _flat_from_batch(self.analyze_batch(texts))
+
+
+def _flat_from_batch(per_doc: list[TokensAndPositions]) -> FlatTokens:
+    import pandas as pd
+
+    n_tokens = np.fromiter(
+        (len(t[0]) for t in per_doc), dtype=np.int64, count=len(per_doc)
+    )
+    if n_tokens.sum() == 0:
+        return FlatTokens(
+            codes=np.empty(0, np.int64),
+            uniques=np.empty(0, object),
+            n_tokens=n_tokens,
+            positions=np.empty(0, np.int64),
+        )
+    flat_terms = np.concatenate(
+        [np.asarray(t[0], dtype=object) for t in per_doc if t[0]]
+    )
+    flat_pos = np.concatenate(
+        [np.asarray(t[1], dtype=np.int64) for t in per_doc if t[0]]
+    )
+    codes, uniques = pd.factorize(flat_terms, sort=False)
+    return FlatTokens(
+        codes=codes.astype(np.int64),
+        uniques=np.asarray(uniques, dtype=object),
+        n_tokens=n_tokens,
+        positions=flat_pos,
+    )
+
+
+def _make_arrow_flat(kind: str) -> Callable[[Sequence[str]], FlatTokens]:
+    """Arrow-compute tokenizer: the whole batch flows through Arrow C++
+    (lower/split/trim/dictionary-encode); Python only sees int arrays
+    plus the distinct-term dictionary. kind: simple|whitespace|
+    segmentation. Byte-identical to the corresponding regex chains
+    (differential-tested in test_analyzers.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def run(texts: Sequence[str]) -> FlatTokens:
+        arr = texts if isinstance(texts, pa.Array) else pa.array(
+            texts, type=pa.string()
+        )
+        n_docs = len(arr)
+        if kind != "whitespace":
+            arr = pc.utf8_lower(arr)
+        if kind in ("simple", "whitespace"):
+            lists = pc.utf8_split_whitespace(arr)
+        else:  # segmentation: unicode word runs, inner apostrophes kept
+            # runs of 2+ apostrophes never join words in the regex
+            # semantics ([^\W_]+(?:'[^\W_]+)*) — normalize them to a
+            # separator, then split on non-(letter|digit|') and _
+            arr = pc.replace_substring_regex(arr, pattern="''+", replacement=" ")
+            lists = pc.split_pattern_regex(arr, pattern=r"(?:[^\pL\pN']|_)+")
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # null slots (None texts) produce equal offsets => 0 tokens
+        counts = np.diff(offsets)
+        if lists.null_count:
+            valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
+            counts = np.where(valid, counts, 0)
+        flat = pc.list_flatten(lists)
+        if kind == "segmentation":
+            flat = pc.replace_substring_regex(
+                flat, pattern=r"^'+|'+$", replacement=""
+            )
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        keep = np.asarray(keep, dtype=bool)
+        total = int(counts.sum())
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        if not keep.all():
+            flat = pc.filter(flat, pa.array(keep))
+            doc_idx = doc_idx[keep]
+        n_tokens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(n_tokens)[:-1]))
+        positions = (
+            np.arange(doc_idx.size, dtype=np.int64) - starts[doc_idx]
+        )
+        enc = pc.dictionary_encode(flat)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        return FlatTokens(
+            codes=codes, uniques=uniques, n_tokens=n_tokens, positions=positions
+        )
+
+    return run
 
 
 def _strip_accents(token: str) -> str:
@@ -152,12 +268,20 @@ def _register(name: str):
 
 @_register("whitespace")
 def _whitespace(**_opts) -> Analyzer:
-    return Analyzer("whitespace", _make_chain(_ws_tokenize, lowercase=False))
+    return Analyzer(
+        "whitespace",
+        _make_chain(_ws_tokenize, lowercase=False),
+        _flat_fn=_make_arrow_flat("whitespace"),
+    )
 
 
 @_register("simple")
 def _simple(**_opts) -> Analyzer:
-    return Analyzer("simple", _make_chain(_ws_tokenize, lowercase=True))
+    return Analyzer(
+        "simple",
+        _make_chain(_ws_tokenize, lowercase=True),
+        _flat_fn=_make_arrow_flat("simple"),
+    )
 
 
 @_register("segmentation")
@@ -165,7 +289,9 @@ def _segmentation(case: str = "lower", **_opts) -> Analyzer:
     # reference: core/analysis/segmentation_token_stream.cpp (UAX#29 word
     # break + case conversion, no stemming) — the index-benchmark default.
     return Analyzer(
-        "segmentation", _make_chain(_word_tokenize, lowercase=(case == "lower"))
+        "segmentation",
+        _make_chain(_word_tokenize, lowercase=(case == "lower")),
+        _flat_fn=_make_arrow_flat("segmentation") if case == "lower" else None,
     )
 
 

@@ -366,40 +366,36 @@ def build_segments(
 
 def _build_one_segment(pdf, analyzer, text_col, with_positions):
     doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
-    analyzed = analyzer.analyze_batch(pdf[text_col].tolist())
-    n_tokens = np.fromiter(
-        (len(t[0]) for t in analyzed), dtype=np.int64, count=len(analyzed)
-    )
-    if n_tokens.sum() == 0:
+    ft = analyzer.analyze_flat(pdf[text_col].tolist())
+    n_tokens = ft.n_tokens
+    if ft.codes.size == 0:
         return None
-    flat_terms = np.concatenate(
-        [np.asarray(t[0], dtype=object) for t in analyzed if t[0]]
-    )
-    flat_pos = np.concatenate(
-        [np.asarray(t[1], dtype=np.int64) for t in analyzed if t[0]]
-    )
     flat_doc = np.repeat(doc_ids, n_tokens)
     flat_dl = np.repeat(n_tokens, n_tokens)
-    # term-major sort (stable: per (term,doc) positions stay ascending)
-    order = np.lexsort((flat_doc, flat_terms))
-    s_terms = flat_terms[order]
+    # term-major sort on int32 dictionary CODES, not strings (stable:
+    # per (term,doc) positions stay ascending). Terms are grouped by
+    # code instead of byte order — block content is a pure function of
+    # (term, doc set) either way, and no per-token Python string ever
+    # materializes.
+    order = np.lexsort((flat_doc, ft.codes))
+    s_codes = ft.codes[order]
     s_doc = flat_doc[order]
     s_dl = flat_dl[order]
-    s_pos = flat_pos[order]
-    boundary = np.empty(s_terms.size, dtype=bool)
+    s_pos = ft.positions[order]
+    boundary = np.empty(s_codes.size, dtype=bool)
     boundary[0] = True
-    boundary[1:] = (s_terms[1:] != s_terms[:-1]) | (s_doc[1:] != s_doc[:-1])
+    boundary[1:] = (s_codes[1:] != s_codes[:-1]) | (s_doc[1:] != s_doc[:-1])
     g_starts = np.flatnonzero(boundary)
-    freqs = np.diff(np.append(g_starts, s_terms.size))
-    row_term = s_terms[g_starts]
+    freqs = np.diff(np.append(g_starts, s_codes.size))
+    row_code = s_codes[g_starts]
     row_doc = s_doc[g_starts]
     row_dl = s_dl[g_starts]
     # term runs over the (term,doc) rows -> 128-doc blocks
-    t_change = np.empty(row_term.size, dtype=bool)
+    t_change = np.empty(row_code.size, dtype=bool)
     t_change[0] = True
-    t_change[1:] = row_term[1:] != row_term[:-1]
+    t_change[1:] = row_code[1:] != row_code[:-1]
     t_starts = np.flatnonzero(t_change)
-    t_ends = np.append(t_starts[1:], row_term.size)
+    t_ends = np.append(t_starts[1:], row_code.size)
     sizes = t_ends - t_starts
     n_blocks = (sizes + BLOCK_SIZE - 1) // BLOCK_SIZE
     gidx = np.repeat(np.arange(t_starts.size), n_blocks)
@@ -412,7 +408,7 @@ def _build_one_segment(pdf, analyzer, text_col, with_positions):
         row_doc, freqs, row_dl, bs, be, flat_pos_for_enc
     )
     out = {
-        "term": row_term[bs],
+        "term": ft.uniques[row_code[bs]],
         "block_id": row_doc[bs],  # first_doc: unique per term, doc-ordered
         "n_docs": (be - bs).astype(np.int32),
         "first_doc": row_doc[bs],

@@ -74,10 +74,15 @@ class SearchEngine:
         index: InvertedIndex,
         scorer: str | object = "bm25",
         scored_terms_limit: int = 1024,
+        wand_min_postings: int = 0,
     ):
         self.index = index
         self.scorer = get_scorer(scorer) if isinstance(scorer, str) else scorer
         self.scored_terms_limit = scored_terms_limit
+        # mode="wand" falls back to the exhaustive plan when the query
+        # terms' total df is below this (pruning overhead beats payoff
+        # on tiny candidate sets); 0 = always use WAND when requested
+        self.wand_min_postings = wand_min_postings
         self._spark: SparkSession = index.postings.sparkSession
         self._df_cache: dict[str, int] = {}
 
@@ -429,8 +434,26 @@ class SearchEngine:
             return [c.term for c in node.children]
         return None
 
+    def _plain_terms(self, node: ast.Node, acc: list[str]) -> None:
+        if isinstance(node, ast.Term):
+            acc.append(node.term)
+        elif isinstance(node, (ast.Terms, ast.Phrase, ast.SamePosition)):
+            acc.extend(node.terms)
+        elif isinstance(node, (ast.And, ast.Or)):
+            for c in node.children:
+                self._plain_terms(c, acc)
+        elif isinstance(node, ast.Not):
+            self._plain_terms(node.child, acc)
+
     def _execute(self, query: ast.Node, k: int | None, mode: str) -> DataFrame:
         query = planner.normalize(query)
+        # prefetch stats for every plain term in ONE driver round-trip
+        # (the reference's prepare pass seeks all terms up front,
+        # term_filter.cpp:92-128); per-leaf lookups then hit _df_cache
+        acc: list[str] = []
+        self._plain_terms(query, acc)
+        if acc:
+            self._term_dfs(list(dict.fromkeys(acc)))
         if mode == "wand" and k is not None:
             terms = self._wand_terms(query)
             if terms is not None:
@@ -445,7 +468,33 @@ class SearchEngine:
         return df.join(self.index.deleted.select("doc_id"), "doc_id", "left_anti")
 
     def _execute_wand(self, query: ast.Node, terms: list[str], k: int) -> DataFrame:
-        dfs = self._term_dfs(list(dict.fromkeys(terms)))
+        """Block-max WAND as ONE declarative plan (no driver round-trips).
+
+        The previous shape ran 3 driver-synchronized Spark jobs (seed
+        collect -> theta, max-ub collect -> rest, final scan); at small
+        scale each job pays the scheduling floor, making WAND slower
+        than exhaustive. All three steps are now subplans of a single
+        job: theta comes from an in-plan top-k aggregate over the seed
+        blocks, per-term rest-max from an in-plan groupBy, and the
+        theta=0 "fall back to exhaustive" case is implicit — every
+        block's _ub + rest >= 0, so nothing is pruned.
+
+        Soundness: a doc appears in exactly one block per term (blocks
+        partition doc-id ranges), so pass-1 scores over complete seed
+        blocks are achieved (lower-bound) scores; theta = k-th best
+        achieved score; a block is pruned only if its own upper bound
+        plus every other term's global max upper bound cannot reach
+        theta. Differential-tested vs exhaustive (wand_test.cpp:234-240
+        recipe)."""
+        uniq = list(dict.fromkeys(terms))
+        dfs = self._term_dfs(uniq)
+        if (
+            self.wand_min_postings
+            and sum(dfs.values()) <= self.wand_min_postings
+        ):
+            # adaptive: the candidate set is small enough that a full
+            # scan beats pruning overhead (AQE-style runtime choice)
+            return self._eval(query, 1.0)
         boost = query.boost if isinstance(query, (ast.And, ast.Or)) else 1.0
         child_boosts = (
             {c.term: c.boost for c in query.children}
@@ -463,43 +512,38 @@ class SearchEngine:
             "_ub",
             F.col("w") * self._score_g(F.col("block_max_freq"), F.col("block_min_dl")),
         )
-        # pass 1: seed theta from the highest-upper-bound blocks
+        # seed = highest-upper-bound blocks; complete blocks => achieved scores
         seed_blocks = max(2, (4 * k) // 128 + 1)
         seed = ub.orderBy(F.desc("_ub")).limit(seed_blocks).select("term", "block_id")
         seed_postings = self.index.postings.join(
             F.broadcast(seed), ["term", "block_id"], "left_semi"
         )
-        pass1 = (
+        theta_df = (
             self._eval(query, 1.0, postings=seed_postings)
             .orderBy(F.desc("score"))
             .limit(k)
-            .collect()
-        )
-        if len(pass1) < k:
-            theta = 0.0
-        else:
-            theta = min(r["score"] for r in pass1)
-        if theta <= 0.0:
-            return self._eval(query, 1.0)
-        # pass 2: rest_max = sum over other terms of their global max ub
-        max_ubs = {
-            r["term"]: r["mx"]
-            for r in ub.groupBy("term").agg(F.max("_ub").alias("mx")).collect()
-        }
-        total = sum(max_ubs.values())
-        rest = {t: total - mx for t, mx in max_ubs.items()}
-        rest_df = F.broadcast(
-            self._spark.createDataFrame(
-                [(t, float(r)) for t, r in rest.items()], "term string, rest double"
+            .agg(
+                F.when(F.count("*") < k, F.lit(0.0))
+                .otherwise(F.min("score"))
+                .alias("_theta")
             )
         )
+        maxub = ub.groupBy("term").agg(F.max("_ub").alias("_mx"))
+        total = maxub.agg(F.sum("_mx").alias("_total"))
+        rest = maxub.crossJoin(F.broadcast(total)).select(
+            "term", (F.col("_total") - F.col("_mx")).alias("_rest")
+        )
         keep = (
-            ub.join(rest_df, "term")
-            .filter(F.col("_ub") + F.col("rest") >= F.lit(theta))
+            ub.join(F.broadcast(rest), "term")
+            .crossJoin(F.broadcast(theta_df))
+            .filter(F.col("_ub") + F.col("_rest") >= F.col("_theta"))
             .select("term", "block_id")
         )
+        # no broadcast hint on `keep`: when theta prunes little, the kept
+        # block list can be large — AQE picks broadcast vs shuffle at
+        # runtime from the actual size
         survivors = self.index.postings.join(
-            F.broadcast(keep), ["term", "block_id"], "left_semi"
+            keep, ["term", "block_id"], "left_semi"
         )
         return self._eval(query, 1.0, postings=survivors)
 

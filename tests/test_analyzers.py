@@ -108,3 +108,43 @@ def test_norm_and_stem_analyzers():
 def test_segmentation_analyzer():
     a = get_analyzer("segmentation")
     assert a.analyze("Hello, World! 42")[0] == ["hello", "world", "42"]
+
+
+def test_flat_path_matches_batch_path():
+    """The Arrow-vectorized analyze_flat must be byte-identical to the
+    regex analyze_batch chain (the fast path feeds the index build)."""
+    import numpy as np
+
+    fixtures = [
+        "Hello, World_foo don't 'quoted' a''b  CAFÉ naïve 12x",
+        "house's September 1929 — déjà vu; zürich/über?",
+        "", None, "   ", "'''", "_", "a_b", "tab\tsep\nnewline",
+        "ALL CAPS and MiXeD 42x7",
+    ]
+    from iresearch_spark.corpus import build_vocab
+
+    vocab = build_vocab(200)
+    fixtures.append(" ".join(vocab.tolist()))
+    for name in ("simple", "whitespace", "segmentation"):
+        a = get_analyzer(name)
+        assert a._flat_fn is not None, name
+        ft = a.analyze_flat(fixtures)
+        slow = a.analyze_batch(fixtures)
+        # reassemble per-doc terms/positions from the flat form
+        bounds = np.concatenate(([0], np.cumsum(ft.n_tokens)))
+        for i, (terms, pos) in enumerate(slow):
+            lo, hi = bounds[i], bounds[i + 1]
+            got_terms = [ft.uniques[c] for c in ft.codes[lo:hi]]
+            got_pos = ft.positions[lo:hi].tolist()
+            assert got_terms == terms, (name, i, got_terms, terms)
+            assert got_pos == pos, (name, i, got_pos, pos)
+
+
+def test_flat_fallback_for_generic_analyzer():
+    import numpy as np
+
+    a = get_analyzer("text_en")  # no arrow fast path -> generic fallback
+    ft = a.analyze_flat(["Running runs", "cats"])
+    assert ft.n_tokens.tolist() == [2, 1]
+    terms = [ft.uniques[c] for c in ft.codes]
+    assert terms == ["run", "run", "cat"]

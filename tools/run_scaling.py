@@ -30,7 +30,6 @@ import sys
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
-from iresearch_spark.corpus import generate_pages
 from iresearch_spark.index.builder import build_index
 from iresearch_spark.search import And, Or, Phrase, Prefix, SearchEngine, Term
 from iresearch_spark.session import get_spark
@@ -72,9 +71,12 @@ def steal_jiffies():
 
 
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); reps = int(sys.argv[3])
+corpus_path = sys.argv[4]
 spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
-pages = generate_pages(spark, n_pages, seed=42).cache()
-pages.count()  # exclude generation from build timing
+# identical on-disk input table for every level (the corpus is
+# materialized once, up front — generation is not build cost)
+pages = spark.read.parquet(corpus_path).cache()
+assert pages.count() == n_pages
 
 # pre-warm the Python worker pool (pandas/numpy import per worker is a
 # fixed cold-start cost, not a scaling property — excluded like JVM JIT)
@@ -90,7 +92,8 @@ for rep in range(reps):
     c0 = tree_cpu_sec(); s0, t0j = steal_jiffies()
     t0 = time.perf_counter()
     idx = build_index(pages, id_col=None, sort_key="url",
-                      analyzer="segmentation", seg_bits=10)
+                      analyzer="segmentation", seg_bits=10,
+                      n_buckets=4096)
     idx.cache(); idx.postings.count(); idx.term_stats.count(); idx.docs.count()
     dt = time.perf_counter() - t0
     c1 = tree_cpu_sec(); s1, t1j = steal_jiffies()
@@ -135,9 +138,10 @@ print("SCALING_JSON:" + json.dumps(out))
 """
 
 
-def run(cpus: int, n_pages: int, reps: int = 3) -> dict:
+def run(cpus: int, n_pages: int, corpus_path: str, reps: int = 3) -> dict:
     p = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(n_pages), str(reps)],
+        [sys.executable, "-c", WORKER, str(cpus), str(n_pages), str(reps),
+         corpus_path],
         capture_output=True,
         text=True,
         env=dict(os.environ),
@@ -149,9 +153,25 @@ def run(cpus: int, n_pages: int, reps: int = 3) -> dict:
     raise RuntimeError(f"worker failed (cpus={cpus}):\n{p.stderr[-3000:]}")
 
 
+def _materialize_corpus(n_pages: int) -> str:
+    path = f"/tmp/scaling_pages_{n_pages}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen = (
+            "import sys; sys.path.insert(0, '/root/repo')\n"
+            "from iresearch_spark.corpus import generate_pages\n"
+            "from iresearch_spark.session import get_spark\n"
+            "spark = get_spark('gen', cores=32)\n"
+            f"generate_pages(spark, {n_pages}, seed=42).write"
+            f".mode('overwrite').parquet('{path}')\n"
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True, timeout=3600)
+    return path
+
+
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
-    levels = {c: run(c, n_pages) for c in (2, 8, 32)}
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 600000
+    corpus_path = _materialize_corpus(n_pages)
+    levels = {c: run(c, n_pages, corpus_path) for c in (2, 8, 32)}
     r2, r8, r32 = levels[2], levels[8], levels[32]
     for hi in (r8, r32):
         assert r2["results"] == hi["results"], (
