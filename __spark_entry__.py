@@ -193,6 +193,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+    # --- ngram-sequence similarity query node (SURVEY §2.2
+    # by_ngram_similarity; LCS ratio — no SQL oracle, rows-only) ---
+    def ngram_similarity_query(spark, sf_dir):
+        from iresearch_spark.analysis.analyzers import get_analyzer
+        from iresearch_spark.search import NgramSimilarity
+
+        key = os.path.abspath(sf_dir) + ":ngram2"
+        if key not in _INDEX_CACHE:
+            heads = _docs(spark, sf_dir).select(
+                "doc_id", F.substring("text", 1, 40).alias("head")
+            )
+            idx = build_index(
+                heads,
+                text_col="head",
+                analyzer=get_analyzer("ngram", min_gram=2, max_gram=2),
+                bucket_bits=16,
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        eng = SearchEngine(_INDEX_CACHE[key])
+        return _rounded(
+            eng.matches(NgramSimilarity(["ba", "at", "tc", "ch"], threshold=0.5))
+        )
+
+    q["ngram_similarity_query"] = ngram_similarity_query
+
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
         _emb(s, d), k=3, n_centroids=8, n_probe=3
     ).select(

@@ -60,6 +60,7 @@ class FlatTokens:
     uniques: np.ndarray    # object [n_distinct] token strings
     n_tokens: np.ndarray   # int64 [n_docs] tokens per input text
     positions: np.ndarray  # int64 [n_tokens_total] position within doc
+    uniques_arrow: object = None  # pa.Array of the same dictionary (optional)
 
 
 @dataclass(frozen=True)
@@ -79,10 +80,14 @@ class Analyzer:
     def analyze(self, text: str) -> TokensAndPositions:
         return self.analyze_batch([text])[0]
 
-    def analyze_flat(self, texts: Sequence[str]) -> FlatTokens:
-        """Vectorized batch path; falls back to analyze_batch."""
+    def analyze_flat(self, texts) -> FlatTokens:
+        """Vectorized batch path (accepts a list or a pyarrow Array);
+        falls back to analyze_batch for chains without a fast path."""
         if self._flat_fn is not None:
             return self._flat_fn(texts)
+        if not isinstance(texts, (list, tuple)):
+            to_pylist = getattr(texts, "to_pylist", None)
+            texts = to_pylist() if to_pylist is not None else list(texts)
         return _flat_from_batch(self.analyze_batch(texts))
 
 
@@ -106,12 +111,39 @@ def _flat_from_batch(per_doc: list[TokensAndPositions]) -> FlatTokens:
         [np.asarray(t[1], dtype=np.int64) for t in per_doc if t[0]]
     )
     codes, uniques = pd.factorize(flat_terms, sort=False)
+    import pyarrow as pa
+
+    uniq = np.asarray(uniques, dtype=object)
     return FlatTokens(
         codes=codes.astype(np.int64),
-        uniques=np.asarray(uniques, dtype=object),
+        uniques=uniq,
         n_tokens=n_tokens,
         positions=flat_pos,
+        uniques_arrow=pa.array(uniq, type=pa.string()),
     )
+
+
+class _LazyUniques:
+    """numpy-object view of an Arrow dictionary, materialized only on
+    first index access — the Arrow-native build path never touches it,
+    so no per-term Python strings are created there."""
+
+    __slots__ = ("_dict", "_np")
+
+    def __init__(self, arrow_dict):
+        self._dict = arrow_dict
+        self._np = None
+
+    def _arr(self):
+        if self._np is None:
+            self._np = np.asarray(self._dict.to_pylist(), dtype=object)
+        return self._np
+
+    def __getitem__(self, i):
+        return self._arr()[i]
+
+    def __len__(self):
+        return len(self._dict)
 
 
 def _make_arrow_flat(kind: str) -> Callable[[Sequence[str]], FlatTokens]:
@@ -165,9 +197,12 @@ def _make_arrow_flat(kind: str) -> Callable[[Sequence[str]], FlatTokens]:
         enc = pc.dictionary_encode(flat)
         enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         return FlatTokens(
-            codes=codes, uniques=uniques, n_tokens=n_tokens, positions=positions
+            codes=codes,
+            uniques=_LazyUniques(enc.dictionary),
+            n_tokens=n_tokens,
+            positions=positions,
+            uniques_arrow=enc.dictionary,
         )
 
     return run

@@ -39,6 +39,8 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
@@ -325,51 +327,103 @@ def build_segments(
         .repartition("_seg")
         .sortWithinPartitions("_seg", "doc_id")
     )
+    return arranged.mapInArrow(
+        _make_arrow_segment_gen(analyzer, text_col, with_positions, fused=False),
+        POSTINGS_SCHEMA,
+    )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
+
+def _make_arrow_segment_gen(analyzer, text_col, with_positions, fused):
+    """Arrow-native partition consumer: walks sorted `_seg` runs with a
+    trailing-run carry across batches (zero-copy Table slices), builds
+    each segment with _segment_record_batches. Entirely Arrow/numpy —
+    the only Python objects per segment are a handful of arrays."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: pa.Table | None = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
             if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
+                tbl = pa.concat_tables([pending, tbl])
                 pending = None
-            segs = pdf["_seg"].to_numpy()
-            if len(pdf) == 0:
+            if tbl.num_rows == 0:
                 continue
-            change = np.empty(len(pdf), dtype=bool)
+            tbl = tbl.combine_chunks()
+            segs = tbl.column("_seg").to_numpy()
+            change = np.empty(segs.size, dtype=bool)
             change[0] = True
             change[1:] = segs[1:] != segs[:-1]
             starts = np.flatnonzero(change)
             if starts.size > 1:
-                cut = starts[-1]
-                pending = pdf.iloc[cut:]
-                pdf = pdf.iloc[:cut]
+                cut = int(starts[-1])
+                pending = tbl.slice(cut)
+                tbl = tbl.slice(0, cut)
                 starts = starts[:-1]
             else:
-                pending = pdf
+                pending = tbl
                 continue
-            ends = np.append(starts[1:], len(pdf))
+            ends = np.append(starts[1:], tbl.num_rows)
             for s, e in zip(starts, ends):
-                out = _build_one_segment(
-                    pdf.iloc[s:e], analyzer, text_col, with_positions
+                yield from _segment_record_batches(
+                    tbl.slice(int(s), int(e - s)), analyzer, text_col,
+                    with_positions, fused,
                 )
-                if out is not None:
-                    yield out
-        if pending is not None and len(pending):
-            out = _build_one_segment(
-                pending.reset_index(drop=True), analyzer, text_col, with_positions
+        if pending is not None and pending.num_rows:
+            yield from _segment_record_batches(
+                pending.combine_chunks(), analyzer, text_col,
+                with_positions, fused,
             )
-            if out is not None:
-                yield out
 
-    return arranged.mapInPandas(gen, POSTINGS_SCHEMA)
+    return gen
 
 
-def _build_one_segment(pdf, analyzer, text_col, with_positions):
-    doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
-    ft = analyzer.analyze_flat(pdf[text_col].tolist())
+def _binary_from_offsets(buf: bytes, off: np.ndarray) -> pa.BinaryArray:
+    """Zero-copy Arrow BinaryArray over (contiguous buffer, offsets)."""
+    assert off[-1] < (1 << 31), "segment blob exceeds 2GB — shrink seg_bits"
+    off32 = np.ascontiguousarray(off, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), off32.size - 1,
+        [None, pa.py_buffer(off32.tobytes()), pa.py_buffer(buf)],
+    )
+
+
+def _empty_strings(n: int) -> pa.StringArray:
+    """n copies of "" without materializing Python strings."""
+    off = np.zeros(n + 1, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.string(), n, [None, pa.py_buffer(off.tobytes()), pa.py_buffer(b"")]
+    )
+
+
+def _segment_record_batches(
+    seg_tbl: pa.Table, analyzer, text_col, with_positions, fused
+) -> Iterator[pa.RecordBatch]:
+    """One segment -> posting-block + norm-block RecordBatches.
+
+    All columns are built from numpy/Arrow buffers; the posting blobs
+    map zero-copy onto the codec's contiguous buffers (no per-block
+    bytes objects), term strings come from an Arrow take on the
+    tokenizer's dictionary (no per-block Python strings)."""
+    n = seg_tbl.num_rows
+    if fused:
+        # bucket-contiguous doc ids: offset[bucket] + rank within the
+        # (sorted) bucket run — same values as assign_doc_ids
+        bkt = seg_tbl.column("_bkt").to_numpy()
+        off = seg_tbl.column("_off").to_numpy()
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = bkt[1:] != bkt[:-1]
+        run_start = np.maximum.accumulate(np.where(boundary, np.arange(n), 0))
+        doc_ids = (off + (np.arange(n) - run_start)).astype(np.int64)
+    else:
+        doc_ids = seg_tbl.column("doc_id").to_numpy().astype(np.int64)
+    texts = seg_tbl.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ft = analyzer.analyze_flat(texts)
     n_tokens = ft.n_tokens
     if ft.codes.size == 0:
-        return None
+        return
     flat_doc = np.repeat(doc_ids, n_tokens)
     flat_dl = np.repeat(n_tokens, n_tokens)
     # term-major sort on int32 dictionary CODES, not strings (stable:
@@ -404,49 +458,70 @@ def _build_one_segment(pdf, analyzer, text_col, with_positions):
     bs = t_starts[gidx] + local * BLOCK_SIZE
     be = np.minimum(bs + BLOCK_SIZE, t_ends[gidx])
     flat_pos_for_enc = s_pos if with_positions else None
-    docs_blobs, dls_blobs, pos_blobs = codec.encode_blocks_batch(
-        row_doc, freqs, row_dl, bs, be, flat_pos_for_enc
+    docs_buf, docs_off, dls_buf, dls_off, pos_buf, pos_off = (
+        codec.encode_blocks_batch_offsets(
+            row_doc, freqs, row_dl, bs, be, flat_pos_for_enc
+        )
     )
-    out = {
-        "term": ft.uniques[row_code[bs]],
-        "block_id": row_doc[bs],  # first_doc: unique per term, doc-ordered
-        "n_docs": (be - bs).astype(np.int32),
-        "first_doc": row_doc[bs],
-        "last_doc": row_doc[be - 1],
-        "docs": docs_blobs,
-        "dls": dls_blobs,
-        "positions": pos_blobs if with_positions else [None] * len(docs_blobs),
-        "block_max_freq": np.maximum.reduceat(freqs, bs).astype(np.int32),
-        "block_min_dl": np.minimum.reduceat(row_dl, bs).astype(np.int32),
-        "block_cf": np.add.reduceat(freqs, bs).astype(np.int64),
-    }
-    blocks = pd.DataFrame(out)
+    B = bs.size
+    term_arr = pc.take(ft.uniques_arrow, pa.array(row_code[bs]))
+    if isinstance(term_arr, pa.ChunkedArray):
+        term_arr = term_arr.combine_chunks()
+    if pa.types.is_dictionary(term_arr.type):
+        term_arr = term_arr.cast(pa.string())
+    positions_arr = (
+        _binary_from_offsets(pos_buf, pos_off)
+        if with_positions
+        else pa.nulls(B, pa.binary())
+    )
+    yield pa.RecordBatch.from_arrays(
+        [
+            term_arr,
+            pa.array(row_doc[bs]),  # block_id = first_doc (doc-ordered)
+            pa.array((be - bs).astype(np.int32)),
+            pa.array(row_doc[bs]),
+            pa.array(row_doc[be - 1]),
+            _binary_from_offsets(docs_buf, docs_off),
+            _binary_from_offsets(dls_buf, dls_off),
+            positions_arr,
+            pa.array(np.maximum.reduceat(freqs, bs).astype(np.int32)),
+            pa.array(np.minimum.reduceat(row_dl, bs).astype(np.int32)),
+            pa.array(np.add.reduceat(freqs, bs).astype(np.int64)),
+        ],
+        names=_POSTINGS_COLS,
+    )
     # norm blocks: (doc id, dl) runs under the sentinel term
     live = n_tokens > 0
     nd_ids = doc_ids[live]
     nd_dls = n_tokens[live]
-    n = nd_ids.size
-    n_bs = np.arange(0, n, BLOCK_SIZE)
-    n_be = np.minimum(n_bs + BLOCK_SIZE, n)
-    nd_blobs, nl_blobs, _ = codec.encode_blocks_batch(
-        nd_ids, np.ones(n, dtype=np.int64), nd_dls, n_bs, n_be, None
+    m = nd_ids.size
+    if m == 0:
+        return
+    n_bs = np.arange(0, m, BLOCK_SIZE)
+    n_be = np.minimum(n_bs + BLOCK_SIZE, m)
+    nb_buf, nb_off, nl_buf, nl_off, _, _ = codec.encode_blocks_batch_offsets(
+        nd_ids, np.ones(m, dtype=np.int64), nd_dls, n_bs, n_be, None
     )
-    norm = pd.DataFrame(
-        {
-            "term": NORM_TERM,
-            "block_id": nd_ids[n_bs],
-            "n_docs": (n_be - n_bs).astype(np.int32),
-            "first_doc": nd_ids[n_bs],
-            "last_doc": nd_ids[n_be - 1],
-            "docs": nd_blobs,
-            "dls": nl_blobs,
-            "positions": None,
-            "block_max_freq": np.int32(1),
-            "block_min_dl": np.minimum.reduceat(nd_dls, n_bs).astype(np.int32),
-            "block_cf": np.add.reduceat(nd_dls, n_bs).astype(np.int64),
-        }
+    NB = n_bs.size
+    yield pa.RecordBatch.from_arrays(
+        [
+            _empty_strings(NB),  # NORM_TERM sentinel ""
+            pa.array(nd_ids[n_bs]),
+            pa.array((n_be - n_bs).astype(np.int32)),
+            pa.array(nd_ids[n_bs]),
+            pa.array(nd_ids[n_be - 1]),
+            _binary_from_offsets(nb_buf, nb_off),
+            _binary_from_offsets(nl_buf, nl_off),
+            pa.nulls(NB, pa.binary()),
+            pa.array(np.full(NB, 1, dtype=np.int32)),
+            pa.array(np.minimum.reduceat(nd_dls, n_bs).astype(np.int32)),
+            pa.array(np.add.reduceat(nd_dls, n_bs).astype(np.int64)),
+        ],
+        names=_POSTINGS_COLS,
     )
-    return pd.concat([blocks, norm], ignore_index=True)
+
+
+_POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
 
 
 def _bucket_layout(
@@ -546,52 +621,10 @@ def _fused_blocks(
         .sortWithinPartitions("_seg", "_bkt", "_key")
     )
 
-    def assign_and_build(pdf: pd.DataFrame):
-        n = len(pdf)
-        bkt = pdf["_bkt"].to_numpy()
-        boundary = np.empty(n, dtype=bool)
-        boundary[0] = True
-        boundary[1:] = bkt[1:] != bkt[:-1]
-        run_start = np.maximum.accumulate(
-            np.where(boundary, np.arange(n), 0)
-        )
-        doc_id = pdf["_off"].to_numpy() + (np.arange(n) - run_start)
-        out = pdf[[text_col]].copy()
-        out["doc_id"] = doc_id
-        return _build_one_segment(out, analyzer, text_col, with_positions)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-                pending = None
-            if len(pdf) == 0:
-                continue
-            segs = pdf["_seg"].to_numpy()
-            change = np.empty(len(pdf), dtype=bool)
-            change[0] = True
-            change[1:] = segs[1:] != segs[:-1]
-            starts = np.flatnonzero(change)
-            if starts.size > 1:
-                cut = starts[-1]
-                pending = pdf.iloc[cut:].reset_index(drop=True)
-                pdf = pdf.iloc[:cut]
-                starts = starts[:-1]
-            else:
-                pending = pdf
-                continue
-            ends = np.append(starts[1:], len(pdf))
-            for s, e in zip(starts, ends):
-                out = assign_and_build(pdf.iloc[s:e].reset_index(drop=True))
-                if out is not None:
-                    yield out
-        if pending is not None and len(pending):
-            out = assign_and_build(pending.reset_index(drop=True))
-            if out is not None:
-                yield out
-
-    return arranged.mapInPandas(gen, POSTINGS_SCHEMA)
+    return arranged.mapInArrow(
+        _make_arrow_segment_gen(analyzer, text_col, with_positions, fused=True),
+        POSTINGS_SCHEMA,
+    )
 
 
 def fused_doc_map(

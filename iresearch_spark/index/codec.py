@@ -176,19 +176,46 @@ def encode_blocks_batch(
     Equivalent to calling pack_docs_freqs / varint_encode /
     encode_position_lists per block (unit-tested equivalence), but all
     varint work happens in three whole-batch passes; per-block cost is
-    reduced to two Python byte-slices. This is what makes building
-    millions of small posting lists (long-tail vocabulary) cheap.
-
-    flat_pos, when given, holds the concatenated positions of all rows
-    (row r owns flat_pos[pos_off[r]:pos_off[r+1]] with pos_off = cumsum
-    of freqs).
+    reduced to two Python byte-slices.
 
     Returns (docs_blobs, dls_blobs, pos_blobs|None) as lists of bytes.
+    """
+    bufs = encode_blocks_batch_offsets(
+        doc_ids, freqs, dls, block_starts, block_ends, flat_pos
+    )
+    docs_buf, docs_off, dls_buf, dls_off, pos_buf, pos_off = bufs
+    docs_blobs = [docs_buf[x:y] for x, y in zip(docs_off[:-1], docs_off[1:])]
+    dls_blobs = [dls_buf[x:y] for x, y in zip(dls_off[:-1], dls_off[1:])]
+    pos_blobs = None
+    if pos_buf is not None:
+        pos_blobs = [pos_buf[x:y] for x, y in zip(pos_off[:-1], pos_off[1:])]
+    return docs_blobs, dls_blobs, pos_blobs
+
+
+def encode_blocks_batch_offsets(
+    doc_ids: np.ndarray,
+    freqs: np.ndarray,
+    dls: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+    flat_pos: np.ndarray | None = None,
+):
+    """Like encode_blocks_batch but returns contiguous byte buffers plus
+    per-block offset arrays instead of per-block bytes objects:
+    (docs_buf, docs_off[B+1], dls_buf, dls_off[B+1], pos_buf|None,
+    pos_off|None). Block b's blob is buf[off[b]:off[b+1]] — consecutive
+    blocks are contiguous, so the (buffer, offsets) pair maps ZERO-COPY
+    onto an Arrow BinaryArray; no per-block Python object is created.
     """
     R = doc_ids.size
     B = block_starts.size
     if R == 0 or B == 0:
-        return [], [], ([] if flat_pos is not None else None)
+        z = np.zeros(1, dtype=np.int64)
+        return (
+            b"", z, b"", z,
+            (b"" if flat_pos is not None else None),
+            (z if flat_pos is not None else None),
+        )
     doc_ids = doc_ids.astype(np.uint64)
     freqs_u = freqs.astype(np.uint64)
     sizes_rows = (block_ends - block_starts).astype(np.int64)
@@ -223,21 +250,19 @@ def encode_blocks_batch(
     vsizes = varint_size(vals)
     voff = np.concatenate(([0], np.cumsum(vsizes)))
     buf = varint_encode(vals)
-    a = voff[val_start]
-    b = voff[val_start + block_len]
-    docs_blobs = [buf[x:y] for x, y in zip(a, b)]
+    # consecutive blocks are contiguous in the value stream, so the
+    # per-block byte ranges collapse to one offsets array
+    docs_off = voff[np.concatenate((val_start, [total_vals]))]
 
     # --- dls stream
     dls_u = dls.astype(np.uint64)
     dsizes = varint_size(dls_u)
     doff = np.concatenate(([0], np.cumsum(dsizes)))
     dbuf = varint_encode(dls_u)
-    dls_blobs = [
-        dbuf[x:y] for x, y in zip(doff[block_starts], doff[block_ends])
-    ]
+    dls_off = doff[np.concatenate((block_starts, [block_ends[-1]]))]
 
     # --- positions stream (delta restart per doc/row)
-    pos_blobs = None
+    pos_buf, pos_blob_off = None, None
     if flat_pos is not None:
         P = flat_pos.size
         pos_off = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
@@ -249,9 +274,9 @@ def encode_blocks_batch(
             pgaps[row_starts_in_pos] = p[row_starts_in_pos]
         psizes = varint_size(pgaps) if P else np.empty(0, np.int64)
         poff = np.concatenate(([0], np.cumsum(psizes)))
-        pbuf = varint_encode(pgaps)
-        pa = poff[pos_off[block_starts]]
-        pb = poff[pos_off[block_ends]]
-        pos_blobs = [pbuf[x:y] for x, y in zip(pa, pb)]
+        pos_buf = varint_encode(pgaps)
+        pos_blob_off = poff[
+            pos_off[np.concatenate((block_starts, [block_ends[-1]]))]
+        ]
 
-    return docs_blobs, dls_blobs, pos_blobs
+    return buf, docs_off, dbuf, dls_off, pos_buf, pos_blob_off

@@ -3,6 +3,7 @@ from iresearch_spark.search.ast import (  # noqa: F401
     And,
     Empty,
     Fuzzy,
+    NgramSimilarity,
     Not,
     Or,
     Phrase,

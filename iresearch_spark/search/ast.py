@@ -102,6 +102,25 @@ class SamePosition(Node):
 
 
 @dataclass(frozen=True)
+class NgramSimilarity(Node):
+    """Ngram-sequence similarity >= threshold (reference
+    `by_ngram_similarity`, ngram_similarity_filter.hpp:33-49): `terms`
+    is the target's analyzed ngram sequence; a doc matches when the
+    longest common subsequence of (query ngrams, doc ngram stream) /
+    len(terms) reaches `threshold`; score = boost * that ratio
+    (ngram_similarity_query.cpp scores by match ratio)."""
+
+    terms: tuple[str, ...]
+    threshold: float = 0.7
+    boost: float = 1.0
+
+    def __init__(self, terms, threshold: float = 0.7, boost: float = 1.0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "threshold", float(threshold))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
 class AllDocs(Node):
     """Match all docs with constant score = boost (reference `all`)."""
 

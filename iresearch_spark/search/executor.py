@@ -303,6 +303,8 @@ class SearchEngine:
             return self._eval_positional(
                 list(node.terms), [0] * len(node.terms), node.boost * boost
             )
+        if isinstance(node, ast.NgramSimilarity):
+            return self._eval_ngram_similarity(node, boost)
         if isinstance(node, (ast.And, ast.Or)):
             return self._eval_bool(node, boost, postings)
         if isinstance(node, ast.Not):
@@ -422,6 +424,78 @@ class SearchEngine:
             ),
         )
 
+    def _eval_ngram_similarity(self, node: ast.NgramSimilarity, boost: float) -> DataFrame:
+        """by_ngram_similarity (ngram_similarity_filter.hpp:33-49,
+        ngram_similarity_query.cpp): candidate docs hold >= ceil(t*m)
+        distinct query ngrams (min-match prefilter over the postings —
+        cheap, no positions); the exact longest-common-subsequence of
+        (query ngram sequence, doc ngram stream) then runs vectorized
+        per candidate in a pandas UDF. similarity = LCS/m; match iff
+        similarity >= threshold; score = boost * similarity."""
+        if not self.index.with_positions:
+            raise ValueError("index was built without positions")
+        boost = boost * node.boost
+        q_seq = list(node.terms)
+        m = len(q_seq)
+        if m == 0:
+            return self._empty()
+        min_match = max(1, math.ceil(node.threshold * m))
+        uniq = list(dict.fromkeys(q_seq))
+        dfs = self._term_dfs(uniq)
+        present = [t for t in uniq if dfs[t] > 0]
+        if not present:
+            return self._empty()
+        decoded = self.index.decoded_postings(terms=present, with_positions=True)
+        # sound prefilter: LCS >= min_match needs at least min_match doc
+        # occurrences of query ngrams (occurrence count, not distinct
+        # terms — the query sequence may repeat an ngram)
+        cand = (
+            decoded.groupBy("doc_id")
+            .agg(
+                F.sum(F.size("positions")).alias("_nocc"),
+                F.collect_list(F.struct("term", "positions")).alias("_plists"),
+            )
+            .filter(F.col("_nocc") >= min_match)
+        )
+        threshold = node.threshold
+
+        def lcs_ratio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            q_arr = q_seq  # closure
+            for pdf in batches:
+                out_doc, out_sim = [], []
+                for doc_id, plists in zip(pdf["doc_id"], pdf["_plists"]):
+                    # doc ngram stream restricted to query terms:
+                    # (position, term) sorted by position
+                    pos_all, term_all = [], []
+                    for item in plists:
+                        ps = item["positions"]
+                        pos_all.extend(ps)
+                        term_all.extend([item["term"]] * len(ps))
+                    order = np.argsort(np.asarray(pos_all, dtype=np.int64),
+                                       kind="stable")
+                    stream = [term_all[i] for i in order]
+                    # classic LCS(query_seq, stream) in O(m*len)
+                    prev = np.zeros(len(stream) + 1, dtype=np.int32)
+                    for qt in q_arr:
+                        cur = np.zeros_like(prev)
+                        for j, st in enumerate(stream, 1):
+                            cur[j] = (
+                                prev[j - 1] + 1
+                                if st == qt
+                                else max(cur[j - 1], prev[j])
+                            )
+                        prev = cur
+                    sim = float(prev[-1]) / m
+                    if sim >= threshold:
+                        out_doc.append(doc_id)
+                        out_sim.append(sim)
+                yield pd.DataFrame({"doc_id": out_doc, "_sim": out_sim})
+
+        sim_df = cand.mapInPandas(lcs_ratio, "doc_id long, _sim double")
+        return sim_df.select(
+            "doc_id", (F.lit(boost) * F.col("_sim")).alias("score")
+        )
+
     # --------------------------------------------------------------- WAND
 
     def _wand_terms(self, node: ast.Node) -> list | None:
@@ -437,7 +511,9 @@ class SearchEngine:
     def _plain_terms(self, node: ast.Node, acc: list[str]) -> None:
         if isinstance(node, ast.Term):
             acc.append(node.term)
-        elif isinstance(node, (ast.Terms, ast.Phrase, ast.SamePosition)):
+        elif isinstance(
+            node, (ast.Terms, ast.Phrase, ast.SamePosition, ast.NgramSimilarity)
+        ):
             acc.extend(node.terms)
         elif isinstance(node, (ast.And, ast.Or)):
             for c in node.children:

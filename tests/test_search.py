@@ -164,3 +164,33 @@ def test_empty_and_unsatisfiable(env):
     assert engine.matches(Empty()).count() == 0
     assert engine.matches(Or([Term("quick")], min_match=5)).count() == 0
     assert engine.matches(And([Term("quick"), Empty()])).count() == 0
+
+
+def test_ngram_similarity_query(spark):
+    """by_ngram_similarity as a query node: LCS(query ngram seq, doc
+    ngram stream)/m >= threshold (ngram_similarity_filter.hpp:33-49).
+    Index built with the char-ngram analyzer so positions ARE the ngram
+    stream order."""
+    from iresearch_spark.analysis.analyzers import get_analyzer
+    from iresearch_spark.search import NgramSimilarity
+
+    docs = [
+        (0, "abcd"),    # ngrams(2): ab bc cd  -- exact target
+        (1, "abxd"),    # ab bx xd -- shares only 'ab' -> 1/3
+        (2, "zabcd"),   # za ab bc cd -- contains full target subsequence
+        (3, "dcba"),    # dc cb ba -- none
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(
+        df, analyzer=get_analyzer("ngram", min_gram=2, max_gram=2),
+        bucket_bits=7,
+    )
+    eng = SearchEngine(idx)
+    q = NgramSimilarity(["ab", "bc", "cd"], threshold=0.9)
+    got = {r["doc_id"]: r["score"] for r in eng.search(q, k=10).collect()}
+    assert set(got) == {0, 2}
+    assert abs(got[0] - 1.0) < 1e-9
+    q2 = NgramSimilarity(["ab", "bc", "cd"], threshold=0.3)
+    got2 = {r["doc_id"]: round(r["score"], 6) for r in eng.search(q2, k=10).collect()}
+    assert set(got2) == {0, 1, 2}
+    assert abs(got2[1] - 1.0 / 3) < 1e-6
