@@ -744,4 +744,5 @@ def build_index(
         field_stats=field_stats,
         with_positions=with_positions,
         analyzer_name=analyzer.name,
+        blocks=blocks,
     )

@@ -98,6 +98,19 @@ class InvertedIndex:
     # read time, index_writer.hpp:376-411; stats stay stale until a
     # consolidation purges the postings — same semantics here)
     deleted: DataFrame | None = None
+    # the cached raw block DataFrame the tables above derive from (set
+    # by build_index) — kept so unpersist() can actually free it
+    blocks: DataFrame | None = None
+
+    def unpersist(self) -> "InvertedIndex":
+        for df in (self.postings, self.docs, self.term_stats,
+                   self.blocks, self.deleted):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        return self
 
     def delete_docs(self, doc_ids: DataFrame) -> "InvertedIndex":
         """Mark docs deleted (doc_ids: DataFrame with a doc_id column).

@@ -368,55 +368,35 @@ class SearchEngine:
         if any(dfs[t] == 0 for t in uniq):
             return self._empty()
         c0_sum = sum(self._c0(dfs[t], 1.0) for t in terms) * boost
-        slots = self._spark.createDataFrame(
-            [(t, i) for i, t in enumerate(terms)], "term string, slot int"
-        )
         decoded = self.index.decoded_postings(terms=uniq, with_positions=True)
-        cand = (
-            decoded.join(F.broadcast(slots), "term")
-            .groupBy("doc_id")
-            .agg(
-                F.countDistinct("slot").alias("_nslots"),
-                F.max("dl").alias("dl"),
-                F.collect_list(F.struct("slot", "positions")).alias("_plists"),
-            )
-            .filter(F.col("_nslots") == len(terms))
-        )
-        n_slots = len(terms)
+        # fully declarative position leapfrog: per-slot postings joined
+        # on doc_id (the conjunction), then phrase freq = |∩_i (P_i −
+        # offset_i)| via JVM array_intersect — whole-stage codegen, no
+        # Python in the path. A (term, doc) pair occupies exactly one
+        # decoded row, so each slot contributes one position array.
+        def _shift(off):
+            # NB: a 2-arg lambda would make F.transform pass the element
+            # INDEX as the second arg — capture the offset via closure
+            return lambda x: x - F.lit(int(off))
 
-        def phrase_freq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out_doc, out_freq, out_dl = [], [], []
-                for doc_id, dl, plists in zip(
-                    pdf["doc_id"], pdf["dl"], pdf["_plists"]
-                ):
-                    by_slot = {}
-                    for item in plists:
-                        s = item["slot"]
-                        arr = np.asarray(item["positions"], dtype=np.int64)
-                        by_slot[s] = (
-                            np.intersect1d(by_slot[s], arr)
-                            if s in by_slot
-                            else arr
-                        )
-                    cand_pos = by_slot[0] - offsets[0]
-                    for s in range(1, n_slots):
-                        cand_pos = np.intersect1d(
-                            cand_pos, by_slot[s] - offsets[s]
-                        )
-                        if cand_pos.size == 0:
-                            break
-                    if cand_pos.size:
-                        out_doc.append(doc_id)
-                        out_freq.append(int(cand_pos.size))
-                        out_dl.append(dl)
-                yield pd.DataFrame(
-                    {"doc_id": out_doc, "freq": out_freq, "dl": out_dl}
-                )
-
-        freq_df = cand.mapInPandas(
-            phrase_freq, "doc_id long, freq int, dl int"
-        )
+        parts = []
+        for i, (t, off) in enumerate(zip(terms, offsets)):
+            cols = [
+                F.col("doc_id"),
+                F.transform(F.col("positions"), _shift(off)).alias(f"_p{i}"),
+            ]
+            if i == 0:
+                cols.append(F.col("dl"))
+            parts.append(decoded.filter(F.col("term") == t).select(*cols))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.join(p, "doc_id")
+        inter = F.col("_p0")
+        for i in range(1, len(terms)):
+            inter = F.array_intersect(inter, F.col(f"_p{i}"))
+        freq_df = joined.select(
+            "doc_id", F.size(inter).alias("freq"), "dl"
+        ).filter(F.col("freq") > 0)
         return freq_df.select(
             "doc_id",
             (F.lit(c0_sum) * self._score_g(F.col("freq"), F.col("dl"))).alias(

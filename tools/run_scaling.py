@@ -88,7 +88,7 @@ best, cpu_per_build, steal_pcts = None, [], []
 idx = None
 for rep in range(reps):
     if idx is not None:
-        idx.postings.unpersist(); idx.docs.unpersist(); idx.term_stats.unpersist()
+        idx.unpersist()
     c0 = tree_cpu_sec(); s0, t0j = steal_jiffies()
     t0 = time.perf_counter()
     idx = build_index(pages, id_col=None, sort_key="url",
