@@ -116,7 +116,11 @@ def main():
     t, _ = timed(lambda: similarity.lsh_topk(emb, k=5, n_bits=6).count())
     queries["ann_lsh_topk"] = t
 
-    pages_n = int(os.environ.get("BENCH_PAGES_N", "0"))
+    # default ON: the sf0.1 documents table is only ~5k docs, so the
+    # index_build number above is fixed-cost-bound; this run measures
+    # the throughput-bound path on a corpus big enough to mean something
+    # (see BENCH/BASELINE.md for the 1M-page three-level evidence)
+    pages_n = int(os.environ.get("BENCH_PAGES_N", "100000"))
     if pages_n:
         from iresearch_spark.corpus import generate_pages
 
@@ -124,7 +128,10 @@ def main():
         pages = generate_pages(spark, pages_n).cache()
         pages.count()
         t, _ = timed(
-            lambda: _materialized_index(pages, id_col=None, sort_key="url")
+            lambda: _materialized_index(
+                pages, id_col=None, sort_key="url", analyzer="segmentation",
+                seg_bits=10,
+            )
         )
         queries[f"pages_index_build_{pages_n}"] = t
         extra["pages_docs_per_sec"] = round(pages_n / t, 1)
@@ -149,7 +156,8 @@ def main():
 
 
 def _materialized_index(docs, **kw):
-    idx = build_index(docs, analyzer="simple", bucket_bits=16, **kw)
+    kw.setdefault("analyzer", "simple")
+    idx = build_index(docs, bucket_bits=16, **kw)
     idx.cache()
     idx.postings.count()
     idx.term_stats.count()
