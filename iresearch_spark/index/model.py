@@ -164,13 +164,26 @@ class InvertedIndex:
         """
         postings = self.postings
         if optimize_layout:
-            n_part = max(postings.rdd.getNumPartitions(), 1)
+            # file count sized from data, not from shuffle parallelism:
+            # ~2M block rows per file keeps files O(100MB); a small
+            # index writes ONE file so query scans schedule one task
+            # instead of one per empty shuffle partition
+            n_blocks = postings.count()
+            n_part = max(1, min(
+                postings.rdd.getNumPartitions(), (n_blocks // 2_000_000) + 1
+            ))
             postings = postings.repartitionByRange(
                 n_part, F.col("term")
             ).sortWithinPartitions("term", "block_id")
+        else:
+            n_part = max(self.postings.rdd.getNumPartitions(), 1)
         postings.write.mode(mode).parquet(os.path.join(path, "postings"))
-        self.docs.write.mode(mode).parquet(os.path.join(path, "docs"))
-        self.term_stats.write.mode(mode).parquet(os.path.join(path, "term_stats"))
+        self.docs.coalesce(n_part).write.mode(mode).parquet(
+            os.path.join(path, "docs")
+        )
+        self.term_stats.coalesce(n_part).write.mode(mode).parquet(
+            os.path.join(path, "term_stats")
+        )
         if self.deleted is not None:
             self.deleted.write.mode(mode).parquet(os.path.join(path, "deleted"))
         manifest = {
