@@ -54,19 +54,32 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
-    """Decode a varint byte blob into a uint64 array, vectorized."""
-    b = np.frombuffer(buf, dtype=np.uint8)
+    """Decode a varint byte blob into a uint64 array, vectorized.
+
+    Loops over BYTE POSITION (<=10 iterations of whole-vector ops, and
+    the tail masks shrink geometrically for 1-2-byte-dominated data)
+    instead of np.bitwise_or.at per byte, which is ~20x slower."""
+    b = (
+        buf
+        if isinstance(buf, np.ndarray)
+        else np.frombuffer(buf, dtype=np.uint8)
+    )
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     ends = np.flatnonzero(b < 0x80)  # terminal byte of each value
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    idx = np.arange(b.size, dtype=np.int64)
-    owner = np.searchsorted(ends, idx)  # which value each byte belongs to
-    shift = ((idx - starts[owner]) * 7).astype(np.uint64)
-    vals = np.zeros(ends.size, dtype=np.uint64)
-    np.bitwise_or.at(vals, owner, (b & np.uint8(0x7F)).astype(np.uint64) << shift)
+    lens = ends - starts + 1
+    vals = (b[ends] & np.uint8(0x7F)).astype(np.uint64) << (
+        (lens - 1).astype(np.uint64) * np.uint64(7)
+    )
+    max_len = int(lens.max())
+    for j in range(max_len - 1):
+        m = np.flatnonzero(lens > j + 1)
+        vals[m] |= (b[starts[m] + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(
+            7 * j
+        )
     return vals
 
 

@@ -26,7 +26,11 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
     a dedicated id range)."""
     if a.with_positions != b.with_positions:
         raise ValueError("cannot merge indexes with different position settings")
-    postings = a.postings.unionByName(b.postings)
+
+    def _strip(df):  # loaded indexes carry the _tb partition column
+        return df.drop("_tb") if "_tb" in df.columns else df
+
+    postings = _strip(a.postings).unionByName(_strip(b.postings))
     docs = a.docs.unionByName(b.docs)
     term_stats = (
         a.term_stats.unionByName(b.term_stats)

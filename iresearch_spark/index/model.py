@@ -101,6 +101,29 @@ class InvertedIndex:
     # the cached raw block DataFrame the tables above derive from (set
     # by build_index) — kept so unpersist() can actually free it
     blocks: DataFrame | None = None
+    # number of term hash-bucket partitions of a SAVED index (None for
+    # an in-memory one): postings live under _tb=crc32(term)%B dirs, so
+    # a query that knows its exact terms prunes whole directories at
+    # plan time — the Spark-native analogue of the reference's FST
+    # term-dictionary seek (formats_burst_trie.cpp:953-966)
+    term_buckets: int | None = None
+
+    def postings_for_terms(self, terms: list[str]) -> DataFrame:
+        """Postings scan narrowed to the given exact terms: directory
+        (partition) pruning via the _tb bucket column when available,
+        plus the term predicate (parquet row-group pruning)."""
+        df = self.postings
+        if self.term_buckets and terms:
+            import zlib
+
+            buckets = sorted(
+                {
+                    zlib.crc32(t.encode("utf-8")) % self.term_buckets
+                    for t in terms
+                }
+            )
+            df = df.filter(F.col("_tb").isin(buckets))
+        return df.filter(F.col("term").isin(list(terms)))
 
     def unpersist(self) -> "InvertedIndex":
         for df in (self.postings, self.docs, self.term_stats,
@@ -134,10 +157,24 @@ class InvertedIndex:
         `PushedFilters` in .explain); decode is one `mapInArrow` pass —
         numpy cumsum per block, no per-row Python.
         """
-        df = self.postings
         if terms is not None:
-            df = df.filter(F.col("term").isin(list(terms)))
+            # spread the (small) filtered block set across the cluster
+            # before decoding: a hot term's blocks live in ONE bucket
+            # file, so without this the decode of millions of postings
+            # runs in a single task. The shuffle moves only the term's
+            # packed blobs (KBs..MBs), the decode then parallelizes.
+            df = self.postings_for_terms(list(terms)).repartition(
+                self.postings.sparkSession.sparkContext.defaultParallelism
+            )
+        else:
+            df = self.postings
         want_pos = with_positions and self.with_positions
+        # ship ONLY what the decoder reads — the JVM->Python transfer is
+        # the dominant query-path cost (measured 2x on full rows)
+        cols = ["term", "n_docs", "docs", "dls"]
+        if want_pos:
+            cols.append("positions")
+        df = df.select(*cols)
         schema = DECODED_POS_SCHEMA if want_pos else DECODED_SCHEMA
         return df.mapInArrow(
             _make_block_decoder(want_pos), schema
@@ -163,21 +200,35 @@ class InvertedIndex:
         (`formats_burst_trie.cpp:953-966`).
         """
         postings = self.postings
+        if "_tb" in postings.columns:  # re-saving a loaded index
+            postings = postings.drop("_tb")
+        term_buckets = None
         if optimize_layout:
-            # file count sized from data, not from shuffle parallelism:
-            # ~2M block rows per file keeps files O(100MB); a small
-            # index writes ONE file so query scans schedule one task
-            # instead of one per empty shuffle partition
+            # ~2M block rows per bucket keeps files O(100MB); min 16
+            # buckets so exact-term queries prune to <=1/16 of the
+            # index even when it is small
             n_blocks = postings.count()
             n_part = max(1, min(
                 postings.rdd.getNumPartitions(), (n_blocks // 2_000_000) + 1
             ))
-            postings = postings.repartitionByRange(
-                n_part, F.col("term")
-            ).sortWithinPartitions("term", "block_id")
+            term_buckets = max(16, n_part)
+            postings = (
+                postings.withColumn(
+                    "_tb",
+                    F.pmod(
+                        F.crc32(F.col("term").cast("binary")),
+                        F.lit(term_buckets),
+                    ).cast("int"),
+                )
+                .repartition(term_buckets, "_tb")
+                .sortWithinPartitions("term", "block_id")
+            )
+            postings.write.mode(mode).partitionBy("_tb").parquet(
+                os.path.join(path, "postings")
+            )
         else:
             n_part = max(self.postings.rdd.getNumPartitions(), 1)
-        postings.write.mode(mode).parquet(os.path.join(path, "postings"))
+            postings.write.mode(mode).parquet(os.path.join(path, "postings"))
         self.docs.coalesce(n_part).write.mode(mode).parquet(
             os.path.join(path, "docs")
         )
@@ -193,6 +244,7 @@ class InvertedIndex:
             "with_positions": self.with_positions,
             "analyzer": self.analyzer_name,
             "has_deleted": self.deleted is not None,
+            "term_buckets": term_buckets,
         }
         tmp = os.path.join(path, "_manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -218,6 +270,7 @@ class InvertedIndex:
                 if manifest.get("has_deleted")
                 else None
             ),
+            term_buckets=manifest.get("term_buckets"),
         )
 
     def cache(self) -> "InvertedIndex":
@@ -227,47 +280,127 @@ class InvertedIndex:
         return self
 
 
+def _binary_slab(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(data bytes as uint8 view, per-row absolute offsets[n+1]) of a
+    BinaryArray — Arrow already stores all blobs CONCATENATED, so the
+    whole batch decodes as one slab with zero copies."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_buf = arr.buffers()[1]
+    offsets = np.frombuffer(off_buf, dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, offsets
+
+
+def decode_batch_arrays(batch: pa.RecordBatch, want_pos: bool):
+    """Vectorized batch decode -> numpy arrays, no per-row Python.
+
+    Each binary column's blobs form one contiguous Arrow buffer,
+    decoded by a single varint pass + segmented cumsums (per-block
+    delta restarts handled by subtracting per-segment bases).
+
+    Returns None for an empty batch, else a dict:
+      term_dict  pa.Array   distinct terms of the batch
+      row_codes  int64[N]   per-posting index into term_dict
+      doc_ids    int64[N]
+      freqs      int64[N]
+      dls        int64[N]
+      pos_offsets int64[N+1], pos_values int32[...]  (when want_pos)
+    """
+    B = batch.num_rows
+    if B == 0:
+        return None
+    names = batch.schema.names
+    col = {n: batch.column(names.index(n)) for n in (
+        "term", "n_docs", "docs", "dls", "positions"
+    ) if n in names}
+    n_docs = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(n_docs.sum())
+    row_start = np.concatenate(([0], np.cumsum(n_docs)[:-1]))
+    owner = np.repeat(np.arange(B), n_docs)
+
+    # ---- docs stream: [packed gaps x n_docs, freqs of multis]
+    data, off = _binary_slab(col["docs"])
+    lo, hi = off[0], off[-1]
+    slab = data[lo:hi]
+    vals = codec.varint_decode(slab)
+    vcount_prefix = np.concatenate(([0], np.cumsum(slab < 0x80)))
+    val_start = vcount_prefix[off - lo][:-1]  # values before blob i
+    gap_idx = val_start[owner] + (np.arange(total) - row_start[owner])
+    packed = vals[gap_idx]
+    single = (packed & np.uint64(1)) == 1
+    deltas = (packed >> np.uint64(1)).astype(np.int64)
+    csum = np.cumsum(deltas)
+    base = csum[row_start] - deltas[row_start]
+    doc_ids = csum - base[owner]
+    freqs = np.ones(total, dtype=np.int64)
+    multi_rows = np.flatnonzero(~single)
+    if multi_rows.size:
+        # blob i's multi-freq values sit right after its gaps, in doc
+        # order — matching multi_rows' global order
+        multi_prefix = np.concatenate(([0], np.cumsum(~single)))
+        m_owner = owner[multi_rows]
+        src = val_start[m_owner] + n_docs[m_owner] + (
+            multi_prefix[multi_rows] - multi_prefix[row_start][m_owner]
+        )
+        freqs[multi_rows] = vals[src].astype(np.int64)
+
+    # ---- dls stream: exactly n_docs values per blob
+    ddata, doff = _binary_slab(col["dls"])
+    dls = codec.varint_decode(ddata[doff[0]:doff[-1]]).astype(np.int64)
+
+    term_col = col["term"]
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    enc = term_col.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    out = {
+        "term_dict": enc.dictionary,
+        "row_codes": codes[owner],
+        "doc_ids": doc_ids,
+        "freqs": freqs,
+        "dls": dls,
+    }
+    if want_pos:
+        pdata, poff = _binary_slab(col["positions"])
+        pvals = codec.varint_decode(pdata[poff[0]:poff[-1]]).astype(np.int64)
+        doc_pos_start = np.concatenate(([0], np.cumsum(freqs)))
+        starts_p = doc_pos_start[:-1]
+        pc_sum = np.cumsum(pvals)
+        pbase = pc_sum[starts_p] - pvals[starts_p]
+        powner = np.repeat(np.arange(total), freqs)
+        out["pos_offsets"] = doc_pos_start
+        out["pos_values"] = (pc_sum - pbase[powner]).astype(np.int32)
+    return out
+
+
 def _make_block_decoder(want_pos: bool):
-    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Posting blocks -> (term, doc_id, freq, dl[, positions]) rows —
+    decode_batch_arrays wrapped into RecordBatches (term column via
+    Arrow dictionary take; positions a zero-copy ListArray)."""
+
+    def decode(batches):
         for batch in batches:
-            tbl = batch.to_pydict()
-            terms_out: list[str] = []
-            docs_out: list[np.ndarray] = []
-            freqs_out: list[np.ndarray] = []
-            dls_out: list[np.ndarray] = []
-            pos_out: list[list] = []
-            counts: list[int] = []
-            for i in range(batch.num_rows):
-                n = tbl["n_docs"][i]
-                doc_ids, freqs = codec.unpack_docs_freqs(tbl["docs"][i], n)
-                dls = codec.varint_decode(tbl["dls"][i])
-                docs_out.append(doc_ids.astype(np.int64))
-                freqs_out.append(freqs.astype(np.int32))
-                dls_out.append(dls.astype(np.int32))
-                counts.append(n)
-                if want_pos:
-                    pos_concat = codec.decode_position_lists(
-                        tbl["positions"][i], freqs
-                    ).astype(np.int32)
-                    splits = np.cumsum(freqs.astype(np.int64))[:-1]
-                    pos_out.extend(
-                        [p.tolist() for p in np.split(pos_concat, splits)]
-                    )
-            if not counts:
+            d = decode_batch_arrays(batch, want_pos)
+            if d is None:
                 continue
-            term_arr = pa.array(
-                np.repeat(np.asarray(tbl["term"], dtype=object), counts)
-            )
             arrays = [
-                term_arr,
-                pa.array(np.concatenate(docs_out) if docs_out else []),
-                pa.array(np.concatenate(freqs_out) if freqs_out else []),
-                pa.array(np.concatenate(dls_out) if dls_out else []),
+                d["term_dict"].take(pa.array(d["row_codes"])),
+                pa.array(d["doc_ids"]),
+                pa.array(d["freqs"].astype(np.int32)),
+                pa.array(d["dls"].astype(np.int32)),
             ]
-            names = ["term", "doc_id", "freq", "dl"]
+            out_names = ["term", "doc_id", "freq", "dl"]
             if want_pos:
-                arrays.append(pa.array(pos_out, type=pa.list_(pa.int32())))
-                names.append("positions")
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(d["pos_offsets"].astype(np.int32)),
+                        pa.array(d["pos_values"]),
+                    )
+                )
+                out_names.append("positions")
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return decode

@@ -43,6 +43,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -66,6 +67,9 @@ class PreparedLeaf:
     predicate: object  # Column
     weights: dict[str, float]  # term -> c0 (0.0 => matched but unscored)
     single_term: bool = False
+    # exact matched-term list when statically known (Term/Terms/Fuzzy):
+    # enables term-bucket partition pruning on a saved index
+    exact_terms: list | None = None
 
 
 class SearchEngine:
@@ -98,6 +102,36 @@ class SearchEngine:
     def matches(self, query: ast.Node) -> DataFrame:
         """All matching docs with scores (unordered)."""
         return self._execute(query, k=None, mode="exhaustive")
+
+    def search_many(
+        self,
+        queries: dict[str, ast.Node],
+        k: int = 10,
+        mode: str = "exhaustive",
+    ) -> DataFrame:
+        """Batched top-k for MANY queries as ONE DataFrame job:
+        (query, doc_id, score), each query's rows already top-k ordered.
+
+        Query THROUGHPUT (the reference benchmark's q/s metric,
+        scripts/search-benchmark.sh) on Spark is bounded by the
+        ~0.3s/job scheduling floor when queries run one at a time; a
+        union of per-query top-k subplans pays that floor ONCE and runs
+        every query's stages concurrently across the cluster — wall
+        time ~= the slowest single query, not the sum. Per-query plans
+        (and results) are identical to `search()`.
+        """
+        parts = []
+        for name, node in queries.items():
+            topk = self.search(node, k=k, mode=mode)
+            parts.append(topk.select(F.lit(name).alias("query"), "doc_id", "score"))
+        if not parts:
+            return self._spark.createDataFrame(
+                [], "query string, doc_id long, score double"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def explain(self, query: ast.Node, k: int = 10, mode: str = "exhaustive"):
         self.search(query, k, mode).explain("formatted")
@@ -180,6 +214,7 @@ class SearchEngine:
                 predicate=col == node.term,
                 weights={node.term: self._c0(dfs[node.term], boost)},
                 single_term=True,
+                exact_terms=[node.term],
             )
         if isinstance(node, ast.Terms):
             terms = list(dict.fromkeys(node.terms))
@@ -190,7 +225,9 @@ class SearchEngine:
             w = {t: 0.0 for t in terms}
             for t in scored:
                 w[t] = self._c0(dfs[t], boost)
-            return PreparedLeaf(predicate=col.isin(terms), weights=w)
+            return PreparedLeaf(
+                predicate=col.isin(terms), weights=w, exact_terms=terms
+            )
         if isinstance(node, ast.Prefix):
             pred = col.startswith(node.prefix)
             expanded = self._expand(
@@ -254,6 +291,7 @@ class SearchEngine:
             return PreparedLeaf(
                 predicate=col.isin(terms) if terms else F.lit(False),
                 weights={r["term"]: self._c0(r["df"], boost) for r in cand},
+                exact_terms=terms or None,
             )
         raise TypeError(f"not a leaf: {node}")
 
@@ -266,24 +304,48 @@ class SearchEngine:
         rows = [(t, float(w)) for t, w in weights.items()]
         return self._spark.createDataFrame(rows, "term string, w double")
 
+    def _scorer_params(self) -> tuple:
+        from iresearch_spark.search.scorers import BM25
+
+        if isinstance(self.scorer, BM25):
+            return ("bm25", self.scorer.k, self.scorer.b,
+                    self.index.field_stats.avg_dl, False)
+        return ("tfidf", 0.0, 0.0, 0.0,
+                bool(getattr(self.scorer, "with_norms", False)))
+
     def _eval_leaf_df(
-        self, leaf: PreparedLeaf, postings: DataFrame | None = None
+        self,
+        leaf: PreparedLeaf,
+        postings: DataFrame | None = None,
+        local_topk: int | None = None,
     ) -> DataFrame:
-        """leaf -> (doc_id, score), one row per matching doc."""
-        src = postings if postings is not None else self.index.postings
-        blocks = src.filter(leaf.predicate)
-        decoded = _decode_blocks(blocks)
-        if not leaf.weights:
-            scored = decoded.withColumn("score", F.lit(0.0))
+        """leaf -> (doc_id, score), one row per matching doc.
+
+        Decode + score run FUSED in one mapInArrow pass (the c0 weights
+        are a tiny closure dict; g(tf,dl) is the same formula as
+        _score_g, evaluated in numpy float64) so only (doc_id, score)
+        ever crosses back to the JVM — the decoded-rows transfer was
+        the dominant query cost. For a root-level single-term query
+        `local_topk` additionally reduces each partition's output to
+        its k best candidates (a doc appears in exactly one block of a
+        term, so per-partition top-k is sound pre-aggregation)."""
+        if postings is not None:
+            blocks = postings.filter(leaf.predicate)
+        elif leaf.exact_terms is not None:
+            blocks = self.index.postings_for_terms(leaf.exact_terms)
         else:
-            w = F.broadcast(self._weights_df(leaf.weights))
-            scored = decoded.join(w, "term", "left").withColumn(
-                "score",
-                F.coalesce(F.col("w"), F.lit(0.0))
-                * self._score_g(F.col("freq"), F.col("dl")),
-            )
+            blocks = self.index.postings.filter(leaf.predicate)
+        slim = blocks.select("term", "n_docs", "docs", "dls").repartition(
+            self._spark.sparkContext.defaultParallelism
+        )
+        fused = _make_fused_scorer(
+            dict(leaf.weights),
+            self._scorer_params(),
+            local_topk if leaf.single_term else None,
+        )
+        scored = slim.mapInArrow(fused, RESULT_SCHEMA)
         if leaf.single_term:
-            return scored.select("doc_id", "score")
+            return scored
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
     def _eval(self, node: ast.Node, boost: float, postings=None) -> DataFrame:
@@ -514,6 +576,15 @@ class SearchEngine:
             terms = self._wand_terms(query)
             if terms is not None:
                 return self._apply_delete_mask(self._execute_wand(query, terms, k))
+        if (
+            k is not None
+            and isinstance(query, ast.Term)
+            and self.index.deleted is None
+        ):
+            # root single-term: per-partition top-k inside the fused
+            # decode+score pass — k rows per partition reach the JVM
+            leaf = self._prepare_leaf(query, 1.0)
+            return self._eval_leaf_df(leaf, local_topk=k)
         return self._apply_delete_mask(self._eval(query, 1.0))
 
     def _apply_delete_mask(self, df: DataFrame) -> DataFrame:
@@ -560,9 +631,9 @@ class SearchEngine:
         weights = {
             t: self._c0(dfs[t], boost * child_boosts.get(t, 1.0)) for t in dfs
         }
-        meta = self.index.postings.filter(
-            F.col("term").isin(list(weights))
-        ).select("term", "block_id", "n_docs", "block_max_freq", "block_min_dl")
+        meta = self.index.postings_for_terms(list(weights)).select(
+            "term", "block_id", "n_docs", "block_max_freq", "block_min_dl"
+        )
         w = F.broadcast(self._weights_df(weights))
         ub = meta.join(w, "term").withColumn(
             "_ub",
@@ -571,7 +642,7 @@ class SearchEngine:
         # seed = highest-upper-bound blocks; complete blocks => achieved scores
         seed_blocks = max(2, (4 * k) // 128 + 1)
         seed = ub.orderBy(F.desc("_ub")).limit(seed_blocks).select("term", "block_id")
-        seed_postings = self.index.postings.join(
+        seed_postings = self.index.postings_for_terms(list(weights)).join(
             F.broadcast(seed), ["term", "block_id"], "left_semi"
         )
         theta_df = (
@@ -598,16 +669,75 @@ class SearchEngine:
         # no broadcast hint on `keep`: when theta prunes little, the kept
         # block list can be large — AQE picks broadcast vs shuffle at
         # runtime from the actual size
-        survivors = self.index.postings.join(
+        survivors = self.index.postings_for_terms(list(weights)).join(
             keep, ["term", "block_id"], "left_semi"
         )
         return self._eval(query, 1.0, postings=survivors)
 
 
+def _make_fused_scorer(weights: dict, params: tuple, topk: int | None):
+    """decode + score (+ optional per-partition top-k) in one pass."""
+
+    def g_np(freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        kind, k, b, avg_dl, with_norms = params
+        if kind == "bm25":
+            c1 = k * (1.0 - b) + (k * b / avg_dl if avg_dl else 0.0) * dl
+            return freq / (c1 + freq)
+        s = np.sqrt(freq)
+        if with_norms:
+            s = s / np.sqrt(dl)
+        return s
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from iresearch_spark.index.model import decode_batch_arrays
+
+        acc_doc: list[np.ndarray] = []
+        acc_score: list[np.ndarray] = []
+        for batch in batches:
+            d = decode_batch_arrays(batch, False)
+            if d is None:
+                continue
+            c0 = np.fromiter(
+                (weights.get(t, 0.0) for t in d["term_dict"].to_pylist()),
+                dtype=np.float64,
+                count=len(d["term_dict"]),
+            )
+            score = c0[d["row_codes"]] * g_np(
+                d["freqs"].astype(np.float64), d["dls"].astype(np.float64)
+            )
+            if topk is None:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(d["doc_ids"]), pa.array(score)],
+                    names=["doc_id", "score"],
+                )
+            else:
+                acc_doc.append(d["doc_ids"])
+                acc_score.append(score)
+        if topk is not None and acc_doc:
+            docs = np.concatenate(acc_doc)
+            scores = np.concatenate(acc_score)
+            if docs.size > topk:
+                # ties broken by doc_id asc to keep the global
+                # (score desc, doc_id asc) order exact under pruning
+                order = np.lexsort((docs, -scores))[:topk]
+                docs, scores = docs[order], scores[order]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(docs), pa.array(scores)], names=["doc_id", "score"]
+            )
+
+    return run
+
+
 def _decode_blocks(blocks: DataFrame) -> DataFrame:
     from iresearch_spark.index.model import DECODED_SCHEMA, _make_block_decoder
 
-    return blocks.mapInArrow(_make_block_decoder(False), DECODED_SCHEMA)
+    # spread before decode (a hot term's blocks sit in one bucket file)
+    # and ship only the columns the decoder reads — the JVM->Python
+    # transfer dominates the query path (see decoded_postings)
+    spread = blocks.select("term", "n_docs", "docs", "dls").repartition(
+        blocks.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInArrow(_make_block_decoder(False), DECODED_SCHEMA)
 
 
 def _like_to_regex(pattern: str) -> str:

@@ -25,6 +25,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # posting blobs are tiny on the wire but expensive to DECODE
+        # (one 2MB shuffle fans a hot term's 1M packed postings out to
+        # the whole cluster); default 1MB coalescing would collapse
+        # that decode back to 1-2 tasks
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -194,3 +194,27 @@ def test_ngram_similarity_query(spark):
     got2 = {r["doc_id"]: round(r["score"], 6) for r in eng.search(q2, k=10).collect()}
     assert set(got2) == {0, 1, 2}
     assert abs(got2[1] - 1.0 / 3) < 1e-6
+
+
+def test_search_many_matches_individual(spark):
+    """Batched multi-query execution returns exactly the per-query
+    search() results (one job, same plans)."""
+    rows = _corpus(200, seed=5)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(df, analyzer="simple", bucket_bits=7)
+    eng = SearchEngine(idx)
+    qs = {
+        "t": Term("the"),
+        "and": And([Term("quick"), Term("fox")]),
+        "or": Or([Term("lazy"), Term("dog")], min_match=1),
+        "phrase": Phrase(["quick", "brown"]),
+    }
+    batched = {}
+    for r in eng.search_many(qs, k=5).collect():
+        batched.setdefault(r["query"], []).append((r["doc_id"], round(r["score"], 9)))
+    for name, node in qs.items():
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search(node, k=5).collect()
+        ]
+        assert sorted(batched.get(name, [])) == sorted(want), name
