@@ -60,6 +60,12 @@ def main():
     ap.add_argument("--mode", default="exhaustive", choices=["exhaustive", "wand"])
     ap.add_argument("--scorer", default="bm25")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--wand-min-postings", type=int, default=1 << 16,
+        help="mode=wand falls back to the exhaustive plan below this "
+             "candidate-postings count (pruning overhead beats payoff "
+             "on small candidate sets); 0 forces WAND",
+    )
     args = ap.parse_args()
 
     from iresearch_spark.index.model import InvertedIndex
@@ -67,7 +73,9 @@ def main():
 
     spark = SparkSession.builder.appName("iresearch-search").getOrCreate()
     idx = InvertedIndex.load(spark, args.index).cache()
-    engine = SearchEngine(idx, scorer=args.scorer)
+    engine = SearchEngine(
+        idx, scorer=args.scorer, wand_min_postings=args.wand_min_postings
+    )
 
     timings = {}
     with open(args.tasks) as f:
