@@ -58,6 +58,10 @@ RESULT_SCHEMA = T.StructType(
     ]
 )
 
+LEAF_RESULT_SCHEMA = T.StructType(
+    RESULT_SCHEMA.fields + [T.StructField("_leaf", T.IntegerType(), False)]
+)
+
 
 @dataclass
 class PreparedLeaf:
@@ -386,21 +390,52 @@ class SearchEngine:
             required = node.min_match
             if negatives:
                 raise NotImplementedError("Not inside Or is not supported")
+        # fold all plain-Term children into ONE fused scan: a single
+        # postings read + decode+score pass emits (doc_id, score, _leaf)
+        # for every folded term — n-term booleans cost one Python stage
+        # instead of n (duplicated terms fall back to per-leaf eval so
+        # each child keeps its own leaf id)
+        term_children = [
+            (i, c) for i, c in enumerate(positives) if isinstance(c, ast.Term)
+        ]
+        seen_terms = [c.term for _, c in term_children]
+        fold = term_children if len(set(seen_terms)) == len(seen_terms) else []
+        folded_idx = {i for i, _ in fold}
         parts = []
+        if fold and postings is None:
+            dfs = self._term_dfs([c.term for _, c in fold])
+            weights = {
+                c.term: self._c0(dfs[c.term], boost * c.boost) for _, c in fold
+            }
+            leaf_of = {c.term: i for i, c in fold}
+            blocks = self.index.postings_for_terms(list(weights))
+            slim = blocks.select("term", "n_docs", "docs", "dls").repartition(
+                self._spark.sparkContext.defaultParallelism
+            )
+            fused = _make_fused_scorer(
+                weights, self._scorer_params(), None, leaf_of=leaf_of
+            )
+            parts.append(slim.mapInArrow(fused, LEAF_RESULT_SCHEMA))
         for i, c in enumerate(positives):
+            if i in folded_idx and fold and postings is None:
+                continue
             parts.append(
-                self._eval(c, boost, postings).withColumn("_leaf", F.lit(i))
+                self._eval(c, boost, postings).withColumn(
+                    "_leaf", F.lit(i).cast("int")
+                )
             )
         if not parts:
             return self._empty()
         unioned = parts[0]
         for p in parts[1:]:
             unioned = unioned.unionByName(p)
+        # every leaf emits each doc at most once, so count == distinct
+        # leaf count (countDistinct would force a dedup expansion)
         merged = (
             unioned.groupBy("doc_id")
             .agg(
                 F.sum("score").alias("score"),
-                F.countDistinct("_leaf").alias("_cnt"),
+                F.count(F.lit(1)).alias("_cnt"),
             )
             .filter(F.col("_cnt") >= required)
             .select("doc_id", "score")
@@ -675,8 +710,13 @@ class SearchEngine:
         return self._eval(query, 1.0, postings=survivors)
 
 
-def _make_fused_scorer(weights: dict, params: tuple, topk: int | None):
-    """decode + score (+ optional per-partition top-k) in one pass."""
+def _make_fused_scorer(
+    weights: dict, params: tuple, topk: int | None, leaf_of: dict | None = None
+):
+    """decode + score (+ optional per-partition top-k) in one pass.
+    With `leaf_of` (term -> boolean-child index) the output gains a
+    _leaf column so one scan serves every plain-Term child of a
+    boolean node."""
 
     def g_np(freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
         kind, k, b, avg_dl, with_norms = params
@@ -697,15 +737,30 @@ def _make_fused_scorer(weights: dict, params: tuple, topk: int | None):
             d = decode_batch_arrays(batch, False)
             if d is None:
                 continue
+            dict_terms = d["term_dict"].to_pylist()
             c0 = np.fromiter(
-                (weights.get(t, 0.0) for t in d["term_dict"].to_pylist()),
+                (weights.get(t, 0.0) for t in dict_terms),
                 dtype=np.float64,
-                count=len(d["term_dict"]),
+                count=len(dict_terms),
             )
             score = c0[d["row_codes"]] * g_np(
                 d["freqs"].astype(np.float64), d["dls"].astype(np.float64)
             )
-            if topk is None:
+            if leaf_of is not None:
+                leaf_codes = np.fromiter(
+                    (leaf_of.get(t, -1) for t in dict_terms),
+                    dtype=np.int32,
+                    count=len(dict_terms),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(d["doc_ids"]),
+                        pa.array(score),
+                        pa.array(leaf_codes[d["row_codes"]]),
+                    ],
+                    names=["doc_id", "score", "_leaf"],
+                )
+            elif topk is None:
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(d["doc_ids"]), pa.array(score)],
                     names=["doc_id", "score"],
