@@ -135,3 +135,29 @@ def test_save_load_roundtrip(tmp_path, spark, built):
         (r["term"], r["doc_id"], r["freq"]) for r in idx2.decoded_postings().collect()
     )
     assert a == b
+
+
+def test_fused_build_partitioning_independent(spark):
+    """The fused (sort_key) build must produce BYTE-IDENTICAL posting
+    blocks regardless of input partitioning (SURVEY §7.0 determinism:
+    block content is a pure function of the data and parameters)."""
+    from iresearch_spark.corpus import generate_pages
+
+    def build_sig(n_parts):
+        pages = generate_pages(spark, 1500, seed=23).repartition(n_parts)
+        idx = build_index(
+            pages, id_col=None, sort_key="url", analyzer="segmentation",
+            seg_bits=8,
+        )
+        rows = idx.postings.select(
+            "term", "block_id", "docs", "dls", "positions"
+        ).collect()
+        sig = sorted(
+            (r["term"], r["block_id"], bytes(r["docs"]), bytes(r["dls"]),
+             bytes(r["positions"]) if r["positions"] else b"")
+            for r in rows
+        )
+        idx.unpersist()
+        return sig
+
+    assert build_sig(1) == build_sig(7)
