@@ -2,35 +2,35 @@
 
 Pipeline (reference lifecycle §3.1 of SURVEY.md — `IndexWriter::Insert`
 -> `field_data::invert` -> segment flush -> consolidation — re-expressed
-Spark-first):
+Spark-first as a FUSED local-segment build):
 
-  pages/docs DF
-    -> [mapInPandas]  analyze + per-doc term aggregation
-                      (one row per (doc, distinct term): freq, positions,
-                      dl — this is the map-side combine that keeps the
-                      token shuffle at distinct-term granularity, not
-                      per-occurrence)
-    -> docs table     (doc_id, dl)                [groupBy doc_id]
-    -> term_stats     (term, df, cf)              [groupBy term,
-                      partial-agg map-side; hot terms are no problem
-                      because input rows are already (doc,term)-unique]
-    -> postings       [groupBy (term, doc_bucket) + applyInPandas]
-                      128-doc blocks, delta-gap varint docs, varint dls,
-                      position deltas, per-block WAND maxima
+  pages DF
+    -> slim counting pass  (sort key only; column-pruned scan) ->
+       driver-side bucket layout: per-bucket doc-id offsets + grouping
+       of adjacent hash buckets into ~2^seg_bits-doc segments
+    -> ONE projected shuffle (sort key + text; html/metadata never
+       move) repartitioned by segment, sorted by (segment, bucket, key)
+    -> ONE mapInArrow pass per partition: assign bucket-contiguous doc
+       ids by run-ranking, tokenize (Arrow-vectorized, zero per-token
+       Python objects), sort by integer term codes, encode 128-doc
+       posting blocks (delta-gap varint docs + freq flag, varint dls,
+       position deltas, per-block WAND maxima) with zero-copy Arrow
+       blob output; per-segment norm blocks under the "" sentinel term
+    -> docs / term_stats / field_stats all derived from the (compact)
+       block rows — token rows never cross the wire
 
-Skew handling (explicit, per north_rule): posting lists are built per
-(term, doc_bucket) where doc_bucket = doc_id >> bucket_bits. A term
-appearing in every document of a 10^12-doc corpus never lands in one
-task: each group holds at most 2^bucket_bits postings. Because buckets
-partition the doc-id space into contiguous ranges, block_ids derived as
-(bucket << k) | local_block are globally ordered by doc range — the
-"merge" of bucket-local runs is free (the reference's k-way segment
-merge, `core/index/merge_writer.cpp:511`, becomes a no-op by
-construction).
+Skew handling (explicit, per north_rule): a segment is a fixed group of
+adjacent hash buckets holding ~2^seg_bits documents, so a term
+appearing in every document of a 10^12-doc corpus still yields bounded
+per-task work, and block_ids (= first_doc) are globally doc-ordered —
+the reference's k-way segment merge (`core/index/merge_writer.cpp:511`)
+becomes a union by construction.
 
 Determinism: output tables are value-deterministic regardless of
-parallelism — block content depends only on (term, doc-id set), never on
-partition enumeration order.
+parallelism — doc ids are hash-bucket ranks of the sort key, segment
+boundaries are a pure function of the key set and parameters, and block
+content depends only on (term, doc-id set), never on partition
+enumeration order (byte-identity tested at different partitionings).
 """
 
 from __future__ import annotations
@@ -52,84 +52,7 @@ from iresearch_spark.index.model import (
     InvertedIndex,
 )
 
-TOKEN_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("term", T.StringType(), False),
-        T.StructField("freq", T.IntegerType(), False),
-        T.StructField("positions", T.ArrayType(T.IntegerType()), True),
-        T.StructField("dl", T.IntegerType(), False),
-    ]
-)
-
 BLOCK_SIZE = 128  # posting block granularity (formats_10.cpp:88-129)
-
-
-def tokenize(
-    df: DataFrame,
-    analyzer: Analyzer,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    with_positions: bool = True,
-) -> DataFrame:
-    """(doc_id, text) -> one row per (doc, distinct term).
-
-    One mapInPandas pass; inside, tokenization + (doc, term) aggregation
-    is vectorized with numpy lexsort + boundary detection (no pandas
-    groupby.apply, no per-token Python in the aggregation).
-    """
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            doc_ids = pdf[id_col].to_numpy()
-            analyzed = analyzer.analyze_batch(pdf[text_col].tolist())
-            n_tokens = np.fromiter(
-                (len(t[0]) for t in analyzed), dtype=np.int64, count=len(analyzed)
-            )
-            if n_tokens.sum() == 0:
-                continue
-            flat_terms = np.concatenate(
-                [np.asarray(t[0], dtype=object) for t in analyzed if t[0]]
-            )
-            flat_pos = np.concatenate(
-                [np.asarray(t[1], dtype=np.int64) for t in analyzed if t[0]]
-            )
-            flat_doc = np.repeat(doc_ids, n_tokens)
-            flat_dl = np.repeat(n_tokens, n_tokens)
-            # stable sort by (doc, term); positions stay ascending per group
-            order = np.lexsort((flat_terms, flat_doc))
-            flat_terms = flat_terms[order]
-            flat_doc = flat_doc[order]
-            flat_pos = flat_pos[order]
-            flat_dl = flat_dl[order]
-            boundary = np.empty(flat_terms.size, dtype=bool)
-            boundary[0] = True
-            boundary[1:] = (flat_doc[1:] != flat_doc[:-1]) | (
-                flat_terms[1:] != flat_terms[:-1]
-            )
-            starts = np.flatnonzero(boundary)
-            freqs = np.diff(np.append(starts, flat_terms.size))
-            out = {
-                "doc_id": flat_doc[starts],
-                "term": flat_terms[starts],
-                "freq": freqs.astype(np.int32),
-                "dl": flat_dl[starts].astype(np.int32),
-            }
-            if with_positions:
-                # list of ndarray views — Arrow converts to list<int32>
-                # without a per-element Python round-trip
-                out["positions"] = np.split(
-                    flat_pos.astype(np.int32), starts[1:]
-                )
-            else:
-                out["positions"] = None
-            yield pd.DataFrame(out)[
-                ["doc_id", "term", "freq", "positions", "dl"]
-            ]
-
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col), text_col
-    ).mapInPandas(run, TOKEN_SCHEMA)
 
 
 def assign_doc_ids(df: DataFrame, key_col: str, n_buckets: int = 1024) -> DataFrame:
