@@ -89,6 +89,12 @@ def minhash_signatures(
                the 100 TB path; same LSH quality, not SQL-portable)
     """
     sh = _shingles(df, text_col, id_col, n)
+    return _signatures_from_shingles(sh, num_hashes, hash_family)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, hash_family: str
+) -> DataFrame:
     if hash_family == "xxhash":
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}")
@@ -125,7 +131,10 @@ def minhash_lsh_pairs(
     collapsed by exact_duplicates first.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_family)
+    # cache: the distinct-shingle set feeds the signature aggregation
+    # AND both sides of the exact-verify join — computed once
+    sh = _shingles(df, text_col, id_col, n).cache()
+    sigs = _signatures_from_shingles(sh, num_hashes, hash_family)
     band_cols = [
         F.concat_ws(
             "_", F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
@@ -148,7 +157,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    verified = _verify_jaccard(df, cand, text_col, id_col, n)
+    verified = _verify_jaccard_from_shingles(sh, cand)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -214,7 +223,10 @@ def ngram_jaccard_pairs(
 
 
 def _verify_jaccard(df, cand, text_col, id_col, n) -> DataFrame:
-    sh = _shingles(df, text_col, id_col, n)
+    return _verify_jaccard_from_shingles(_shingles(df, text_col, id_col, n), cand)
+
+
+def _verify_jaccard_from_shingles(sh, cand) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))

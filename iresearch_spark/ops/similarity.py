@@ -125,7 +125,10 @@ def lsh_topk(
     within bucket. The join touches only bucket-colliding pairs — the
     100 TB path (expected bucket size n / 2^n_bits; raise n_bits with
     corpus size, or use multi-probe for recall)."""
-    signed = hyperplane_signature(emb, n_bits, vec_col, id_col)
+    # cache: the signature subplan (n_bits aggregate expressions per
+    # row) feeds BOTH sides of the self-join — without it Spark
+    # computes it twice (measured 33% of op wall time)
+    signed = hyperplane_signature(emb, n_bits, vec_col, id_col).cache()
     a = signed.alias("a")
     b = signed.alias("b")
     scored = a.join(
@@ -192,7 +195,8 @@ def ivf_topk(
         ).alias("csim"),
     )
     w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
-    ranked = dots.withColumn("crank", F.row_number().over(w))
+    # cache: ranked feeds both the members and the probes sides
+    ranked = dots.withColumn("crank", F.row_number().over(w)).cache()
     members = ranked.filter(F.col("crank") == 1).select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("nvec"),
