@@ -146,7 +146,12 @@ class _LazyUniques:
         return len(self._dict)
 
 
-def _make_arrow_flat(kind: str) -> Callable[[Sequence[str]], FlatTokens]:
+_FLAT_STEMMER = MemoStemmer()  # module-level memo: amortized across batches
+
+
+def _make_arrow_flat(
+    kind: str, stem: bool = False
+) -> Callable[[Sequence[str]], FlatTokens]:
     """Arrow-compute tokenizer: the whole batch flows through Arrow C++
     (lower/split/trim/dictionary-encode); Python only sees int arrays
     plus the distinct-term dictionary. kind: simple|whitespace|
@@ -164,12 +169,17 @@ def _make_arrow_flat(kind: str) -> Callable[[Sequence[str]], FlatTokens]:
             arr = pc.utf8_lower(arr)
         if kind in ("simple", "whitespace"):
             lists = pc.utf8_split_whitespace(arr)
-        else:  # segmentation: unicode word runs, inner apostrophes kept
+        else:  # segmentation/text: unicode word runs, inner apostrophes kept
             # runs of 2+ apostrophes never join words in the regex
             # semantics ([^\W_]+(?:'[^\W_]+)*) — normalize them to a
             # separator, then split on non-(letter|digit|') and _
             arr = pc.replace_substring_regex(arr, pattern="''+", replacement=" ")
-            lists = pc.split_pattern_regex(arr, pattern=r"(?:[^\pL\pN']|_)+")
+            # "text": pyarrow's utf8_normalize ignores `form` (always
+            # decomposes), so NFC runs on the token DICTIONARY instead;
+            # combining marks (\pM) must therefore stay attached to
+            # their token here
+            word_class = r"(?:[^\pL\pM\pN']|_)+" if kind == "text" else r"(?:[^\pL\pN']|_)+"
+            lists = pc.split_pattern_regex(arr, pattern=word_class)
         lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
         offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         # null slots (None texts) produce equal offsets => 0 tokens
@@ -178,7 +188,7 @@ def _make_arrow_flat(kind: str) -> Callable[[Sequence[str]], FlatTokens]:
             valid = ~np.asarray(pc.is_null(lists).to_numpy(zero_copy_only=False))
             counts = np.where(valid, counts, 0)
         flat = pc.list_flatten(lists)
-        if kind == "segmentation":
+        if kind in ("segmentation", "text"):
             flat = pc.replace_substring_regex(
                 flat, pattern=r"^'+|'+$", replacement=""
             )
@@ -197,6 +207,30 @@ def _make_arrow_flat(kind: str) -> Callable[[Sequence[str]], FlatTokens]:
         enc = pc.dictionary_encode(flat)
         enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if kind == "text":
+            # NFC + optional stem applied to the DICTIONARY, not the
+            # tokens: per batch this runs once per distinct term (the
+            # stemmer is memoized across batches), then an integer
+            # remap folds merged terms together
+            import pandas as pd
+
+            def _xform(u):
+                u = unicodedata.normalize("NFC", u)
+                return _FLAT_STEMMER(u) if stem else u
+
+            stemmed = np.asarray(
+                [_xform(u) for u in enc.dictionary.to_pylist()],
+                dtype=object,
+            )
+            remap, new_uniques = pd.factorize(stemmed, sort=False)
+            new_uniques = np.asarray(new_uniques, dtype=object)
+            return FlatTokens(
+                codes=remap.astype(np.int64)[codes],
+                uniques=new_uniques,
+                n_tokens=n_tokens,
+                positions=positions,
+                uniques_arrow=pa.array(new_uniques, type=pa.string()),
+            )
         return FlatTokens(
             codes=codes,
             uniques=_LazyUniques(enc.dictionary),
@@ -337,6 +371,14 @@ def _text_en(
     accent: bool = False,
     **_opts,
 ) -> Analyzer:
+    # the fast path covers the north-rule chain (tokenize + NFC +
+    # lowercase + stem); stopword gaps and accent folding fall back to
+    # the generic per-token chain
+    flat = (
+        _make_arrow_flat("text", stem=stemming)
+        if not stopwords and not accent
+        else None
+    )
     return Analyzer(
         "text_en",
         _make_chain(
@@ -347,6 +389,7 @@ def _text_en(
             stopwords=frozenset(stopwords) if stopwords else None,
             stemming=stemming,
         ),
+        _flat_fn=flat,
     )
 
 

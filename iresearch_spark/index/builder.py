@@ -448,7 +448,11 @@ _POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
 
 
 def _bucket_layout(
-    df: DataFrame, key_col: str, n_buckets: int, seg_target_docs: int
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int,
+    seg_target_docs: int,
+    id_base: int = 0,
 ) -> tuple[dict[int, int], dict[int, int]]:
     """Driver-side layout from a slim counting pass (reads ONLY key_col;
     the scan is column-pruned, no text/html moves).
@@ -475,7 +479,7 @@ def _bucket_layout(
     cnt = {r["_bkt"]: r["cnt"] for r in counts}
     offsets: dict[int, int] = {}
     seg_of: dict[int, int] = {}
-    acc = 0
+    acc = id_base  # incremental segments claim the range [id_base, ...)
     seg = 0
     seg_acc = 0
     for b in sorted(cnt):
@@ -589,6 +593,7 @@ def build_index(
     extra_doc_cols: list[str] | None = None,
     seg_bits: int | None = None,
     n_buckets: int = 1024,
+    id_base: int = 0,
 ) -> InvertedIndex:
     """End-to-end index build via local segments (see build_segments).
 
@@ -616,7 +621,7 @@ def build_index(
             raise ValueError("need id_col or sort_key")
         # fused path: id assignment inside the segment-build shuffle
         offsets, seg_of = _bucket_layout(
-            df, sort_key, n_buckets, 1 << seg_bits
+            df, sort_key, n_buckets, 1 << seg_bits, id_base=id_base
         )
         fused_offsets = offsets
         blocks = _fused_blocks(

@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from iresearch_spark.analysis.analyzers import Analyzer, get_analyzer
-from iresearch_spark.index.builder import assign_doc_ids, build_index
+from iresearch_spark.index.builder import build_index
 from iresearch_spark.index.merge import build_metrics, merge_indexes
 from iresearch_spark.index.model import FieldStats, InvertedIndex
 
@@ -74,16 +74,18 @@ class IncrementalIndexer:
         if n_rows == 0:
             return
         base = manifest["next_doc_id"]
-        with_ids = assign_doc_ids(batch_df, self.sort_key).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(base)
-        )
+        # fused build with an id offset: the micro-batch's segment claims
+        # the doc-id range [base, base+n) in one projected shuffle (no
+        # separate window-rank pass per epoch)
         idx = build_index(
-            with_ids,
+            batch_df,
             text_col=self.text_col,
-            id_col="doc_id",
+            id_col=None,
+            sort_key=self.sort_key,
             analyzer=self.analyzer,
             with_positions=self.with_positions,
             bucket_bits=self.bucket_bits,
+            id_base=base,
         )
         seg_path = os.path.join(self.index_dir, "segments", seg_id)
         idx.save(seg_path)

@@ -120,12 +120,13 @@ def test_flat_path_matches_batch_path():
         "house's September 1929 — déjà vu; zürich/über?",
         "", None, "   ", "'''", "_", "a_b", "tab\tsep\nnewline",
         "ALL CAPS and MiXeD 42x7",
+        "decomposed cafe\u0301 and nai\u0308ve forms",  # NFC must compose
     ]
     from iresearch_spark.corpus import build_vocab
 
     vocab = build_vocab(200)
     fixtures.append(" ".join(vocab.tolist()))
-    for name in ("simple", "whitespace", "segmentation"):
+    for name in ("simple", "whitespace", "segmentation", "text_en"):
         a = get_analyzer(name)
         assert a._flat_fn is not None, name
         ft = a.analyze_flat(fixtures)
@@ -143,7 +144,9 @@ def test_flat_path_matches_batch_path():
 def test_flat_fallback_for_generic_analyzer():
     import numpy as np
 
-    a = get_analyzer("text_en")  # no arrow fast path -> generic fallback
+    # stopwords force the generic per-token fallback (position gaps)
+    a = get_analyzer("text_en", stopwords=["the"])
+    assert a._flat_fn is None
     ft = a.analyze_flat(["Running runs", "cats"])
     assert ft.n_tokens.tolist() == [2, 1]
     terms = [ft.uniques[c] for c in ft.codes]
