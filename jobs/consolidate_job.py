@@ -1,0 +1,57 @@
+"""spark-submit entry point: consolidate an incremental index's
+segments into one compacted index (the reference's
+`IndexWriter::Consolidate` + merge policy, `core/utils/index_utils.hpp`
+/ `index_writer.cpp:1340`, as a batch job).
+
+Reads every committed segment from the incremental manifest, unions
+them (doc-id ranges are disjoint by construction, so the k-way segment
+merge is a plain union — merge.py), optionally re-blocks posting lists
+to full 128-doc blocks, purges deleted docs if a delete mask exists,
+and writes one term-bucket-partitioned index directory.
+
+Usage:
+  spark-submit --py-files iresearch_spark.zip jobs/consolidate_job.py \
+      --index /path/to/incremental_index --output /path/to/compacted \
+      [--reblock] [--bucket-bits 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True,
+                    help="incremental index dir (with segments/ + manifest)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--reblock", action="store_true",
+                    help="rewrite posting lists into full 128-doc blocks "
+                         "(decode + re-encode; use after many small "
+                         "segment appends fragmented the lists)")
+    ap.add_argument("--bucket-bits", type=int, default=16)
+    args = ap.parse_args()
+
+    from iresearch_spark.index.merge import consolidate, purge_deleted
+    from iresearch_spark.streaming.incremental import IncrementalIndexer
+
+    spark = SparkSession.builder.appName("iresearch-consolidate").getOrCreate()
+    ix = IncrementalIndexer(index_dir=args.index)
+    idx = ix.read(spark)
+    if idx is None:
+        raise SystemExit(f"no committed segments under {args.index}")
+    if idx.deleted is not None:
+        idx = purge_deleted(idx, args.bucket_bits)
+    elif args.reblock:
+        idx = consolidate(idx, args.bucket_bits)
+    idx.save(args.output)
+    print(
+        f"consolidated {idx.field_stats.n_docs} docs, "
+        f"{idx.field_stats.total_term_freq} tokens -> {args.output}"
+    )
+
+
+if __name__ == "__main__":
+    main()
