@@ -242,6 +242,21 @@ def _make_arrow_flat(
     return run
 
 
+def _simple_lower(text: str) -> str:
+    """Per-codepoint simple lowercase, matching utf8proc/Arrow
+    `utf8_lower` (used by the vectorized fast path): no full case
+    expansion (U+0130 'İ' -> 'i', not 'i'+combining dot) and no
+    context-sensitive final sigma. str.lower() differs on exactly
+    those, which would make fast- and slow-built indexes disagree."""
+    if text.isascii():
+        return text.lower()
+    out = []
+    for c in text:
+        l = c.lower()
+        out.append(l if len(l) == 1 else l[0])
+    return "".join(out)
+
+
 def _strip_accents(token: str) -> str:
     return "".join(
         c for c in unicodedata.normalize("NFD", token)
@@ -267,7 +282,7 @@ def _make_chain(
             if nfc:
                 text = unicodedata.normalize("NFC", text)
             if lowercase:
-                text = text.lower()
+                text = _simple_lower(text)
             raw = tokenize(text)
             if accent:
                 raw = [_strip_accents(t) for t in raw]
@@ -373,7 +388,12 @@ def _text_en(
 ) -> Analyzer:
     # the fast path covers the north-rule chain (tokenize + NFC +
     # lowercase + stem); stopword gaps and accent folding fall back to
-    # the generic per-token chain
+    # the generic per-token chain. KNOWN divergence (fast vs slow, not
+    # oracle-relevant): a combining mark with no composed NFC form
+    # (e.g. q+U+0303) stays attached to its token in the fast path
+    # (\\pM in the word class) but splits the token in the regex chain
+    # — composable sequences (é, ï, ...) agree byte-for-byte, which
+    # the differential test locks with decomposed fixtures
     flat = (
         _make_arrow_flat("text", stem=stemming)
         if not stopwords and not accent

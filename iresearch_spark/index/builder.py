@@ -302,7 +302,10 @@ def _make_arrow_segment_gen(analyzer, text_col, with_positions, fused):
 
 def _binary_from_offsets(buf: bytes, off: np.ndarray) -> pa.BinaryArray:
     """Zero-copy Arrow BinaryArray over (contiguous buffer, offsets)."""
-    assert off[-1] < (1 << 31), "segment blob exceeds 2GB — shrink seg_bits"
+    if off[-1] >= (1 << 31):  # explicit raise: survives python -O
+        raise ValueError(
+            "segment blob exceeds 2GB (int32 Arrow offsets) — shrink seg_bits"
+        )
     off32 = np.ascontiguousarray(off, dtype=np.int32)
     return pa.Array.from_buffers(
         pa.binary(), off32.size - 1,

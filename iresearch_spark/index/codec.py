@@ -189,7 +189,8 @@ def encode_blocks_batch(
     Equivalent to calling pack_docs_freqs / varint_encode /
     encode_position_lists per block (unit-tested equivalence), but all
     varint work happens in three whole-batch passes; per-block cost is
-    reduced to two Python byte-slices.
+    reduced to two Python byte-slices. Blocks MUST tile the row range
+    contiguously (block_ends[b] == block_starts[b+1]) — validated.
 
     Returns (docs_blobs, dls_blobs, pos_blobs|None) as lists of bytes.
     """
@@ -228,6 +229,12 @@ def encode_blocks_batch_offsets(
             b"", z, b"", z,
             (b"" if flat_pos is not None else None),
             (z if flat_pos is not None else None),
+        )
+    if B > 1 and not np.array_equal(block_ends[:-1], block_starts[1:]):
+        raise ValueError(
+            "blocks must tile the row range contiguously "
+            "(block_ends[b] == block_starts[b+1]) — the per-block byte "
+            "ranges collapse to one offsets array only then"
         )
     doc_ids = doc_ids.astype(np.uint64)
     freqs_u = freqs.astype(np.uint64)

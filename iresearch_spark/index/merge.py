@@ -32,6 +32,12 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
 
     postings = _strip(a.postings).unionByName(_strip(b.postings))
     docs = a.docs.unionByName(b.docs)
+    # the delete masks must survive the merge — otherwise a consolidate
+    # over segments with pending deletes would resurrect deleted docs
+    deleted = None
+    if a.deleted is not None or b.deleted is not None:
+        parts = [d.select("doc_id") for d in (a.deleted, b.deleted) if d is not None]
+        deleted = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1]).distinct()
     term_stats = (
         a.term_stats.unionByName(b.term_stats)
         .groupBy("term")
@@ -48,6 +54,7 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         field_stats=fs,
         with_positions=a.with_positions,
         analyzer_name=a.analyzer_name,
+        deleted=deleted,
     )
 
 

@@ -132,7 +132,10 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     # cache: the distinct-shingle set feeds the signature aggregation
-    # AND both sides of the exact-verify join — computed once
+    # AND both sides of the exact-verify join — computed once. The
+    # cache entry lives until the returned DataFrame is GC'd (Spark's
+    # ContextCleaner); long-lived sessions looping over this op should
+    # drop references promptly or call spark.catalog.clearCache()
     sh = _shingles(df, text_col, id_col, n).cache()
     sigs = _signatures_from_shingles(sh, num_hashes, hash_family)
     band_cols = [

@@ -339,9 +339,16 @@ class SearchEngine:
             blocks = self.index.postings_for_terms(leaf.exact_terms)
         else:
             blocks = self.index.postings.filter(leaf.predicate)
-        slim = blocks.select("term", "n_docs", "docs", "dls").repartition(
-            self._spark.sparkContext.defaultParallelism
-        )
+        slim = blocks.select("term", "n_docs", "docs", "dls")
+        if leaf.exact_terms is not None:
+            # narrow exact-term scans land in one bucket file — a tiny
+            # blob shuffle buys decode parallelism. Broad predicate
+            # leaves (prefix/wildcard/range, full matches()) already
+            # span many partitions; shuffling ALL their blobs would
+            # move most of the index, so they decode in place.
+            slim = slim.repartition(
+                self._spark.sparkContext.defaultParallelism
+            )
         fused = _make_fused_scorer(
             dict(leaf.weights),
             self._scorer_params(),

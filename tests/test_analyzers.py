@@ -121,6 +121,7 @@ def test_flat_path_matches_batch_path():
         "", None, "   ", "'''", "_", "a_b", "tab\tsep\nnewline",
         "ALL CAPS and MiXeD 42x7",
         "decomposed cafe\u0301 and nai\u0308ve forms",  # NFC must compose
+        "\u0130stanbul and \u039f\u03a3 sigma",  # simple case fold parity
     ]
     from iresearch_spark.corpus import build_vocab
 
