@@ -234,24 +234,31 @@ class SearchEngine:
             )
         if isinstance(node, ast.Prefix):
             pred = col.startswith(node.prefix)
+            limit = min(node.scored_terms_limit, self.scored_terms_limit)
             expanded = self._expand(
-                F.col("term").startswith(node.prefix),
-                limit=min(node.scored_terms_limit, self.scored_terms_limit),
+                F.col("term").startswith(node.prefix), limit=limit
             )
             return PreparedLeaf(
                 predicate=pred,
                 weights={t: self._c0(d, boost) for t, d in expanded},
+                # expansion below the cap is COMPLETE: the leaf matches
+                # exactly these terms, unlocking bucket pruning + the
+                # decode-spread shuffle of the exact-term path
+                exact_terms=(
+                    [t for t, _ in expanded] if len(expanded) < limit else None
+                ),
             )
         if isinstance(node, ast.Wildcard):
             regex = _like_to_regex(node.pattern)
             pred = col.rlike(regex)
-            expanded = self._expand(
-                F.col("term").rlike(regex),
-                limit=min(node.scored_terms_limit, self.scored_terms_limit),
-            )
+            limit = min(node.scored_terms_limit, self.scored_terms_limit)
+            expanded = self._expand(F.col("term").rlike(regex), limit=limit)
             return PreparedLeaf(
                 predicate=pred,
                 weights={t: self._c0(d, boost) for t, d in expanded},
+                exact_terms=(
+                    [t for t, _ in expanded] if len(expanded) < limit else None
+                ),
             )
         if isinstance(node, ast.Range):
             conds = []
@@ -271,12 +278,14 @@ class SearchEngine:
             for c in conds[1:]:
                 pred = pred & c
             pred_post = pred
-            expanded = self._expand(
-                pred, limit=min(node.scored_terms_limit, self.scored_terms_limit)
-            )
+            limit = min(node.scored_terms_limit, self.scored_terms_limit)
+            expanded = self._expand(pred, limit=limit)
             return PreparedLeaf(
                 predicate=pred_post,
                 weights={t: self._c0(d, boost) for t, d in expanded},
+                exact_terms=(
+                    [t for t, _ in expanded] if len(expanded) < limit else None
+                ),
             )
         if isinstance(node, ast.Fuzzy):
             # JVM-side Levenshtein over the (small) distinct-term table;
