@@ -348,6 +348,36 @@ def _segment_record_batches(
         texts = texts.combine_chunks()
     ft = analyzer.analyze_flat(texts)
     n_tokens = ft.n_tokens
+    # norm blocks: (doc id, dl) runs under the sentinel term, one row
+    # per doc INCLUDING dl=0 for zero-token docs — the reference's
+    # `all()` matches every doc in the segment (filter.hpp:160), so the
+    # docs table must cover them; BM25's N stays docs-with-tokens
+    # (docs_with_field, bm25.cpp:48-54), computed in build_index.
+    m = doc_ids.size
+    if m:
+        n_bs = np.arange(0, m, BLOCK_SIZE)
+        n_be = np.minimum(n_bs + BLOCK_SIZE, m)
+        nd_dls = n_tokens.astype(np.int64)
+        nb_buf, nb_off, nl_buf, nl_off, _, _ = codec.encode_blocks_batch_offsets(
+            doc_ids, np.ones(m, dtype=np.int64), nd_dls, n_bs, n_be, None
+        )
+        NB = n_bs.size
+        yield pa.RecordBatch.from_arrays(
+            [
+                _empty_strings(NB),  # NORM_TERM sentinel ""
+                pa.array(doc_ids[n_bs]),
+                pa.array((n_be - n_bs).astype(np.int32)),
+                pa.array(doc_ids[n_bs]),
+                pa.array(doc_ids[n_be - 1]),
+                _binary_from_offsets(nb_buf, nb_off),
+                _binary_from_offsets(nl_buf, nl_off),
+                pa.nulls(NB, pa.binary()),
+                pa.array(np.full(NB, 1, dtype=np.int32)),
+                pa.array(np.minimum.reduceat(nd_dls, n_bs).astype(np.int32)),
+                pa.array(np.add.reduceat(nd_dls, n_bs).astype(np.int64)),
+            ],
+            names=_POSTINGS_COLS,
+        )
     if ft.codes.size == 0:
         return
     flat_doc = np.repeat(doc_ids, n_tokens)
@@ -413,35 +443,6 @@ def _segment_record_batches(
             pa.array(np.maximum.reduceat(freqs, bs).astype(np.int32)),
             pa.array(np.minimum.reduceat(row_dl, bs).astype(np.int32)),
             pa.array(np.add.reduceat(freqs, bs).astype(np.int64)),
-        ],
-        names=_POSTINGS_COLS,
-    )
-    # norm blocks: (doc id, dl) runs under the sentinel term
-    live = n_tokens > 0
-    nd_ids = doc_ids[live]
-    nd_dls = n_tokens[live]
-    m = nd_ids.size
-    if m == 0:
-        return
-    n_bs = np.arange(0, m, BLOCK_SIZE)
-    n_be = np.minimum(n_bs + BLOCK_SIZE, m)
-    nb_buf, nb_off, nl_buf, nl_off, _, _ = codec.encode_blocks_batch_offsets(
-        nd_ids, np.ones(m, dtype=np.int64), nd_dls, n_bs, n_be, None
-    )
-    NB = n_bs.size
-    yield pa.RecordBatch.from_arrays(
-        [
-            _empty_strings(NB),  # NORM_TERM sentinel ""
-            pa.array(nd_ids[n_bs]),
-            pa.array((n_be - n_bs).astype(np.int32)),
-            pa.array(nd_ids[n_bs]),
-            pa.array(nd_ids[n_be - 1]),
-            _binary_from_offsets(nb_buf, nb_off),
-            _binary_from_offsets(nl_buf, nl_off),
-            pa.nulls(NB, pa.binary()),
-            pa.array(np.full(NB, 1, dtype=np.int32)),
-            pa.array(np.minimum.reduceat(nd_dls, n_bs).astype(np.int32)),
-            pa.array(np.add.reduceat(nd_dls, n_bs).astype(np.int64)),
         ],
         names=_POSTINGS_COLS,
     )
@@ -645,6 +646,13 @@ def build_index(
     docs = norm_blocks.mapInArrow(
         _make_block_decoder(False), DECODED_SCHEMA
     ).select("doc_id", F.col("dl").cast("int").alias("dl"))
+    # BM25's N = docs_with_field (docs that produced >=1 token,
+    # bm25.cpp:48-54); the docs table itself covers EVERY doc (dl=0
+    # rows included) so AllDocs matches the reference's all().
+    stats_row = docs.agg(
+        F.count(F.when(F.col("dl") > 0, True)).alias("n"),
+        F.sum("dl").alias("ttf"),
+    ).collect()[0]
     if extra_doc_cols:
         if fused_offsets is not None:
             passthrough = fused_doc_map(
@@ -660,9 +668,6 @@ def build_index(
         F.sum("n_docs").alias("df"), F.sum("block_cf").alias("cf")
     )
 
-    stats_row = norm_blocks.agg(
-        F.sum("n_docs").alias("n"), F.sum("block_cf").alias("ttf")
-    ).collect()[0]
     field_stats = FieldStats(
         n_docs=int(stats_row["n"] or 0),
         total_term_freq=int(stats_row["ttf"] or 0),

@@ -80,6 +80,11 @@ def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
             F.col("dl").cast("int").alias("dl"),
         )
     postings = build_postings(decoded, index.with_positions, bucket_bits)
+    # the re-encoded blocks still contain deleted docs' postings (decode
+    # above is mask-free), so pending deletes must survive as a mask —
+    # dropping it here would silently resurrect deleted docs. Callers
+    # wanting a mask-free result run purge_deleted first (the
+    # consolidate job does).
     return InvertedIndex(
         postings=postings,
         docs=index.docs,
@@ -87,6 +92,7 @@ def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         field_stats=index.field_stats,
         with_positions=index.with_positions,
         analyzer_name=index.analyzer_name,
+        deleted=index.deleted,
     )
 
 

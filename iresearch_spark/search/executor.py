@@ -696,8 +696,15 @@ class SearchEngine:
         seed_postings = self.index.postings_for_terms(list(weights)).join(
             F.broadcast(seed), ["term", "block_id"], "left_semi"
         )
+        # the seed evaluation must see the delete mask: a deleted doc's
+        # achieved score would inflate theta above the true live k-th
+        # score and prune blocks holding live top-k docs (the reference
+        # applies the deleted-docs bitset inside every doc_iterator, so
+        # its WAND threshold only ever rises on live docs)
         theta_df = (
-            self._eval(query, 1.0, postings=seed_postings)
+            self._apply_delete_mask(
+                self._eval(query, 1.0, postings=seed_postings)
+            )
             .orderBy(F.desc("score"))
             .limit(k)
             .agg(

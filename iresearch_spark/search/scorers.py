@@ -113,10 +113,12 @@ def get_scorer(name: str, **opts):
     """Scorer registry (reference REGISTER_SCORER_JSON, bm25.cpp:195-196)."""
     if name == "bm25":
         return BM25(**opts)
-    if name == "bm15":
-        return BM25(b=0.0)
-    if name == "bm11":
-        return BM25(b=1.0)
+    if name in ("bm15", "bm11"):
+        # the b constant IS the variant — an explicit b would silently
+        # contradict the name, so reject it; other opts (k) pass through
+        if "b" in opts:
+            raise ValueError(f"{name} fixes b; pass scorer='bm25' to set b")
+        return BM25(b=0.0 if name == "bm15" else 1.0, **opts)
     if name == "tfidf":
         return TFIDF(**opts)
     raise KeyError(f"unknown scorer {name!r}")
