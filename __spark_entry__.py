@@ -27,6 +27,7 @@ from iresearch_spark.ops import dedup, similarity, textstats
 from iresearch_spark.ops.hashing import hash60_sql, seeded_hash60_sql
 from iresearch_spark.search import (
     And,
+    Exists,
     Fuzzy,
     Not,
     Or,
@@ -121,6 +122,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["boosted_and"] = _match_q(
         And([Term(HIGH1, boost=2.0), Term(HIGH2)], boost=1.5)
     )
+    # exclusion inside a disjunction (reference boolean_filter.cpp:221-312
+    # passes excl into the prepared Or)
+    q["or_not"] = _match_q(Or([Term(HIGH1), Term(MED1), Not(Term(LOW1))]))
+    # ScoreMergeType kMax (scorer.hpp:224-235): best-field / dismax
+    q["or_max_merge"] = _match_q(
+        Or([Term(HIGH1), Term(HIGH2)], merge_type="max")
+    )
+    # variadic phrase: prefix slot (phrase_filter.cpp:75-121)
+    q["phrase_prefix"] = _match_q(Phrase([Prefix("s"), MED1]))
+
+    # by_column_existence as a query node over a stored column
+    def exists_lang(spark, sf_dir):
+        key = os.path.abspath(sf_dir) + ":exists"
+        if key not in _INDEX_CACHE:
+            idx = build_index(
+                _docs(spark, sf_dir), analyzer="simple", bucket_bits=16,
+                extra_doc_cols=["lang"],
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        eng = SearchEngine(_INDEX_CACHE[key])
+        return _rounded(eng.matches(Exists("lang", boost=1.5)))
+
+    q["exists_lang"] = exists_lang
 
     # --- top-k + WAND (SURVEY §2.5) ---
     q["topk_bm25"] = _topk_q(Or([Term(t) for t in TOPK_TERMS]), k=10)
@@ -422,6 +448,42 @@ term_scores AS (
 SELECT doc_id, ROUND(SUM(score), 6) AS score FROM (
   SELECT * FROM phrase_scores UNION ALL SELECT * FROM term_scores
 ) GROUP BY doc_id
+"""
+    o["or_not"] = (
+        _match_sql(f"t.term IN {_in([HIGH1, MED1])}").rstrip()
+        + f"\nHAVING t.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{LOW1}')\n"
+    )
+    o["or_max_merge"] = f"""{_CTE}
+SELECT t.doc_id, ROUND(MAX({_score()}), 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s
+JOIN tstats ts ON ts.term = t.term
+WHERE t.term IN {_in([HIGH1, HIGH2])}
+GROUP BY t.doc_id
+"""
+    # variadic phrase: slot 0 matches any 's%' term, slot df = SUM over
+    # matched variants (phrase_filter.cpp visitor collects every term
+    # into the same stats slot)
+    _df0 = "(SELECT CAST(SUM(df) AS BIGINT) FROM tstats WHERE term LIKE 's%')"
+    _df1 = f"(SELECT df FROM tstats WHERE term = '{MED1}')"
+    o["phrase_prefix"] = f"""{_CTE},
+arrs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+         FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+toksp AS (SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos FROM arrs),
+pmatch AS (
+  SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS ptf
+  FROM toksp p0 JOIN toksp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term LIKE 's%' AND p1.term = '{MED1}'
+  GROUP BY p0.doc_id
+)
+SELECT m.doc_id,
+  ROUND((({_K}+1.0) * (ln(1.0 + (s.n_docs - {_df0} + 0.5)/({_df0} + 0.5))
+                     + ln(1.0 + (s.n_docs - {_df1} + 0.5)/({_df1} + 0.5)))) * m.ptf
+        / ({_K}*(1.0-{_B}) + ({_K}*{_B}/(s.ttf*1.0/s.n_docs))*d.dl + m.ptf), 6) AS score
+FROM pmatch m JOIN dl d USING (doc_id) CROSS JOIN stats s
+"""
+    o["exists_lang"] = """
+SELECT doc_id, ROUND(CAST(1.5 AS DOUBLE), 6) AS score
+FROM documents WHERE lang IS NOT NULL
 """
     o["boosted_and"] = f"""{_CTE}
 SELECT t.doc_id,

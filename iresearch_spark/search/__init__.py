@@ -2,7 +2,9 @@ from iresearch_spark.search.ast import (  # noqa: F401
     AllDocs,
     And,
     Empty,
+    Exists,
     Fuzzy,
+    Nested,
     NgramSimilarity,
     Not,
     Or,

@@ -77,9 +77,13 @@ class Range(Node):
 @dataclass(frozen=True)
 class Phrase(Node):
     """Positional phrase (reference `by_phrase`, phrase_query.cpp:49-113).
-    `terms` are already-analyzed tokens at consecutive positions."""
+    Each slot is an already-analyzed token at its consecutive position —
+    or, for a VARIADIC phrase (reference phrase_filter.cpp:75-121
+    visitor over by_prefix/by_wildcard/by_edit_distance options), a leaf
+    node (Prefix/Wildcard/Fuzzy/Terms/Range) whose expansion matches any
+    of its terms at that position: Phrase([Prefix("presiden"), "obama"])."""
 
-    terms: tuple[str, ...]
+    terms: tuple  # str | Node per slot
     boost: float = 1.0
 
     def __init__(self, terms, boost: float = 1.0):
@@ -143,27 +147,74 @@ class Not(Node):
     boost: float = 1.0
 
 
+# ScoreMergeType (reference scorer.hpp:224-235): how children's scores
+# combine per matching doc. kSum is the default; kMax = best-field /
+# dismax-style; kNoop leaves the score untouched (constant 0).
+MERGE_TYPES = ("sum", "max", "min", "noop")
+
+
 @dataclass(frozen=True)
 class And(Node):
-    """Conjunction, scores summed (reference boolean_filter.cpp:140-212)."""
+    """Conjunction (reference boolean_filter.cpp:140-212); child scores
+    merged per `merge_type` (default sum)."""
 
     children: tuple[Node, ...]
     boost: float = 1.0
+    merge_type: str = "sum"
 
-    def __init__(self, children, boost: float = 1.0):
+    def __init__(self, children, boost: float = 1.0, merge_type: str = "sum"):
+        if merge_type not in MERGE_TYPES:
+            raise ValueError(f"merge_type must be one of {MERGE_TYPES}")
         object.__setattr__(self, "children", tuple(children))
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "merge_type", merge_type)
 
 
 @dataclass(frozen=True)
 class Or(Node):
-    """Disjunction with min_match (reference boolean_filter.cpp:221-312)."""
+    """Disjunction with min_match (reference boolean_filter.cpp:221-312);
+    child scores merged per `merge_type` (default sum)."""
 
     children: tuple[Node, ...]
     min_match: int = 1
     boost: float = 1.0
+    merge_type: str = "sum"
 
-    def __init__(self, children, min_match: int = 1, boost: float = 1.0):
+    def __init__(self, children, min_match: int = 1, boost: float = 1.0,
+                 merge_type: str = "sum"):
+        if merge_type not in MERGE_TYPES:
+            raise ValueError(f"merge_type must be one of {MERGE_TYPES}")
         object.__setattr__(self, "children", tuple(children))
         object.__setattr__(self, "min_match", min_match)
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "merge_type", merge_type)
+
+
+@dataclass(frozen=True)
+class Exists(Node):
+    """Docs whose stored column is non-null, constant score = boost
+    (reference `by_column_existence`, column_existence_filter.hpp —
+    prefix-mode matching is a columnstore detail with no Spark
+    analogue). Requires the index to carry the column via
+    build_index(extra_doc_cols=[...])."""
+
+    column: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Nested(Node):
+    """Parent/child block join (reference `ByNestedFilter`,
+    nested_filter.hpp:33-94): a parent doc matches when the number of
+    its child docs matching `child` falls in [min_children,
+    max_children]; child scores merge per `merge_type`. Parentage comes
+    from a stored `parent_col` on child docs (the reference uses
+    doc-id adjacency inside a block; on Spark the relation is an
+    explicit column carried via build_index(extra_doc_cols=[...]))."""
+
+    child: Node
+    parent_col: str = "parent_id"
+    min_children: int = 1
+    max_children: int | None = None
+    boost: float = 1.0
+    merge_type: str = "sum"

@@ -378,13 +378,27 @@ class SearchEngine:
             )
         if isinstance(node, ast.Phrase):
             return self._eval_positional(
-                list(node.terms), list(range(len(node.terms))),
+                [self._slot_candidates(p) for p in node.terms],
+                list(range(len(node.terms))),
                 node.boost * boost,
             )
         if isinstance(node, ast.SamePosition):
             return self._eval_positional(
-                list(node.terms), [0] * len(node.terms), node.boost * boost
+                [self._slot_candidates(t) for t in node.terms],
+                [0] * len(node.terms),
+                node.boost * boost,
             )
+        if isinstance(node, ast.Exists):
+            if node.column not in self.index.docs.columns:
+                raise ValueError(
+                    f"docs table has no column {node.column!r}; build the "
+                    "index with extra_doc_cols=[...] to store it"
+                )
+            return self.index.docs.filter(
+                F.col(node.column).isNotNull()
+            ).select("doc_id", F.lit(float(node.boost * boost)).alias("score"))
+        if isinstance(node, ast.Nested):
+            return self._eval_nested(node, boost)
         if isinstance(node, ast.NgramSimilarity):
             return self._eval_ngram_similarity(node, boost)
         if isinstance(node, (ast.And, ast.Or)):
@@ -403,9 +417,10 @@ class SearchEngine:
         if isinstance(node, ast.And):
             required = n_pos
         else:
+            # exclusions don't count toward min_match — the reference
+            # splits incl/excl and passes excl into the disjunction
+            # (boolean_filter.cpp:221-312)
             required = node.min_match
-            if negatives:
-                raise NotImplementedError("Not inside Or is not supported")
         # fold all plain-Term children into ONE fused scan: a single
         # postings read + decode+score pass emits (doc_id, score, _leaf)
         # for every folded term — n-term booleans cost one Python stage
@@ -446,16 +461,23 @@ class SearchEngine:
         for p in parts[1:]:
             unioned = unioned.unionByName(p)
         # every leaf emits each doc at most once, so count == distinct
-        # leaf count (countDistinct would force a dedup expansion)
+        # leaf count (countDistinct would force a dedup expansion).
+        # Child scores merge per ScoreMergeType (scorer.hpp:224-235):
+        # sum (default), max (dismax/best-field), min, or noop (score
+        # untouched -> constant 0).
+        merge = node.merge_type
+        score_agg = {"sum": F.sum, "max": F.max, "min": F.min}.get(
+            merge, F.sum
+        )("score").alias("score")
         merged = (
             unioned.groupBy("doc_id")
-            .agg(
-                F.sum("score").alias("score"),
-                F.count(F.lit(1)).alias("_cnt"),
-            )
+            .agg(score_agg, F.count(F.lit(1)).alias("_cnt"))
             .filter(F.col("_cnt") >= required)
-            .select("doc_id", "score")
         )
+        if merge == "noop":
+            merged = merged.select("doc_id", F.lit(0.0).alias("score"))
+        else:
+            merged = merged.select("doc_id", "score")
         if negatives:
             excl = None
             for neg in negatives:
@@ -464,48 +486,136 @@ class SearchEngine:
             merged = merged.join(excl.distinct(), "doc_id", "left_anti")
         return merged
 
+    def _slot_candidates(self, part) -> list[tuple[str, int]]:
+        """One phrase slot -> [(term, df)] candidates. A plain string is
+        a single fixed term; a leaf node (Prefix/Wildcard/Fuzzy/Terms/
+        Range) expands against term_stats — the reference's variadic
+        phrase visitor over by_prefix/by_wildcard/by_edit_distance
+        options (phrase_filter.cpp:75-121). Expansion obeys the leaf's
+        scored_terms_limit/max_terms cap, mirroring the standalone leaf
+        behavior."""
+        if isinstance(part, str):
+            dfs = self._term_dfs([part])
+            return [(part, dfs[part])]
+        if isinstance(part, ast.Terms):
+            uniq = list(dict.fromkeys(part.terms))
+            dfs = self._term_dfs(uniq)
+            return [(t, dfs[t]) for t in uniq]
+        if isinstance(part, ast.Prefix):
+            return self._expand(
+                F.col("term").startswith(part.prefix),
+                limit=min(part.scored_terms_limit, self.scored_terms_limit),
+            )
+        if isinstance(part, ast.Wildcard):
+            regex = _like_to_regex(part.pattern)
+            return self._expand(
+                F.col("term").rlike(regex),
+                limit=min(part.scored_terms_limit, self.scored_terms_limit),
+            )
+        if isinstance(part, ast.Range):
+            conds = []
+            if part.min_term is not None:
+                conds.append(
+                    F.col("term") >= part.min_term
+                    if part.include_min
+                    else F.col("term") > part.min_term
+                )
+            if part.max_term is not None:
+                conds.append(
+                    F.col("term") <= part.max_term
+                    if part.include_max
+                    else F.col("term") < part.max_term
+                )
+            pred = conds[0] if conds else F.lit(True)
+            for c in conds[1:]:
+                pred = pred & c
+            return self._expand(
+                pred, limit=min(part.scored_terms_limit, self.scored_terms_limit)
+            )
+        if isinstance(part, ast.Fuzzy):
+            dist = F.levenshtein(F.col("term"), F.lit(part.term))
+            rows = (
+                self.index.term_stats.withColumn("_d", dist)
+                .filter(F.col("_d") <= part.distance)
+                .orderBy(F.asc("_d"), F.desc("df"), F.asc("term"))
+                .limit(part.max_terms)
+                .select("term", "df")
+                .collect()
+            )
+            return [(r["term"], r["df"]) for r in rows]
+        raise TypeError(f"unsupported phrase slot: {part!r}")
+
     def _eval_positional(
-        self, terms: list[str], offsets: list[int], boost: float
+        self,
+        slots: list[list[tuple[str, int]]],
+        offsets: list[int],
+        boost: float,
     ) -> DataFrame:
-        """Positional conjunction: match positions p where term_i occurs
-        at p + offsets[i] for every i. Phrase = offsets 0..m-1
-        (reference phrase_iterator.hpp leapfrog, done here as numpy set
-        intersection per candidate doc); same-position = all-zero
-        offsets (same_position_filter.cpp). The match count feeds the
-        scorer with the summed per-term c0 (phrase_query.cpp composes
-        per-term scorers over the shared phrase frequency)."""
+        """Positional conjunction: match positions p where SOME candidate
+        term of slot_i occurs at p + offsets[i] for every i. Phrase =
+        offsets 0..m-1 (reference phrase_iterator.hpp leapfrog);
+        same-position = all-zero offsets (same_position_filter.cpp);
+        variadic slots carry >1 candidate (phrase_filter.cpp:75-121).
+        The match count feeds the scorer with the summed per-slot c0,
+        each slot's df being the SUM over its matched variants — the
+        reference's visitor collects every matched term into the same
+        stats slot (phrase_query.cpp composes per-part scorers over the
+        shared phrase frequency)."""
         if not self.index.with_positions:
             raise ValueError("index was built without positions")
-        uniq = list(dict.fromkeys(terms))
-        dfs = self._term_dfs(uniq)
-        if any(dfs[t] == 0 for t in uniq):
-            return self._empty()
-        c0_sum = sum(self._c0(dfs[t], 1.0) for t in terms) * boost
-        decoded = self.index.decoded_postings(terms=uniq, with_positions=True)
+        clean: list[list[tuple[str, int]]] = []
+        for s in slots:
+            s2 = [(t, d) for t, d in dict(s).items() if d > 0]
+            if not s2:
+                return self._empty()  # a slot with no live terms
+            clean.append(s2)
+        c0_sum = sum(
+            self._c0(sum(d for _, d in s), 1.0) for s in clean
+        ) * boost
+        all_terms = list(dict.fromkeys(t for s in clean for t, _ in s))
+        decoded = self.index.decoded_postings(
+            terms=all_terms, with_positions=True
+        )
         # fully declarative position leapfrog: per-slot postings joined
         # on doc_id (the conjunction), then phrase freq = |∩_i (P_i −
         # offset_i)| via JVM array_intersect — whole-stage codegen, no
         # Python in the path. A (term, doc) pair occupies exactly one
-        # decoded row, so each slot contributes one position array.
+        # decoded row; a multi-candidate slot unions its terms' position
+        # arrays per doc first (one groupBy bounded by the slot's
+        # candidate postings).
         def _shift(off):
             # NB: a 2-arg lambda would make F.transform pass the element
             # INDEX as the second arg — capture the offset via closure
             return lambda x: x - F.lit(int(off))
 
         parts = []
-        for i, (t, off) in enumerate(zip(terms, offsets)):
+        for i, (s, off) in enumerate(zip(clean, offsets)):
+            terms_i = [t for t, _ in s]
+            if len(terms_i) == 1:
+                slot_df = decoded.filter(F.col("term") == terms_i[0])
+            else:
+                slot_df = (
+                    decoded.filter(F.col("term").isin(terms_i))
+                    .groupBy("doc_id")
+                    .agg(
+                        F.array_distinct(
+                            F.flatten(F.collect_list("positions"))
+                        ).alias("positions"),
+                        F.min("dl").alias("dl"),
+                    )
+                )
             cols = [
                 F.col("doc_id"),
                 F.transform(F.col("positions"), _shift(off)).alias(f"_p{i}"),
             ]
             if i == 0:
                 cols.append(F.col("dl"))
-            parts.append(decoded.filter(F.col("term") == t).select(*cols))
+            parts.append(slot_df.select(*cols))
         joined = parts[0]
         for p in parts[1:]:
             joined = joined.join(p, "doc_id")
         inter = F.col("_p0")
-        for i in range(1, len(terms)):
+        for i in range(1, len(clean)):
             inter = F.array_intersect(inter, F.col(f"_p{i}"))
         freq_df = joined.select(
             "doc_id", F.size(inter).alias("freq"), "dl"
@@ -516,6 +626,48 @@ class SearchEngine:
                 "score"
             ),
         )
+
+    def _eval_nested(self, node: ast.Nested, boost: float) -> DataFrame:
+        """Parent/child match (reference ByNestedFilter,
+        nested_filter.hpp:33-94): evaluate the child query, roll matches
+        up to parents via the stored parent_col, keep parents whose
+        matching-child count lies in [min_children, max_children]. The
+        rollup is ONE groupBy shuffle bounded by matching child docs —
+        at 100 TB that is the candidate set, not the corpus."""
+        if node.parent_col not in self.index.docs.columns:
+            raise ValueError(
+                f"docs table has no column {node.parent_col!r}; build the "
+                "index with extra_doc_cols=[...] to store it"
+            )
+        if node.min_children < 1:
+            raise ValueError("min_children must be >= 1")
+        child = self._eval(node.child, 1.0)
+        pmap = self.index.docs.filter(
+            F.col(node.parent_col).isNotNull()
+        ).select("doc_id", F.col(node.parent_col).alias("_parent"))
+        merged = (
+            child.join(pmap, "doc_id")
+            .groupBy("_parent")
+            .agg(
+                {"sum": F.sum, "max": F.max, "min": F.min}.get(
+                    node.merge_type, F.sum
+                )("score").alias("score"),
+                F.count(F.lit(1)).alias("_nc"),
+            )
+        )
+        cond = F.col("_nc") >= node.min_children
+        if node.max_children is not None:
+            cond = cond & (F.col("_nc") <= node.max_children)
+        score = (
+            F.lit(0.0)
+            if node.merge_type == "noop"
+            else F.lit(float(node.boost * boost)) * F.col("score")
+        )
+        out = merged.filter(cond).select(
+            F.col("_parent").alias("doc_id"), score.alias("score")
+        )
+        # parents must be actual docs of this index
+        return out.join(self.index.docs.select("doc_id"), "doc_id", "left_semi")
 
     def _eval_ngram_similarity(self, node: ast.NgramSimilarity, boost: float) -> DataFrame:
         """by_ngram_similarity (ngram_similarity_filter.hpp:33-49,
@@ -595,8 +747,10 @@ class SearchEngine:
         """Flat scored-term query shapes eligible for block-max pruning."""
         if isinstance(node, ast.Term):
             return [node.term]
-        if isinstance(node, (ast.And, ast.Or)) and all(
-            isinstance(c, ast.Term) for c in node.children
+        if (
+            isinstance(node, (ast.And, ast.Or))
+            and node.merge_type == "sum"  # block-max bounds assume sum
+            and all(isinstance(c, ast.Term) for c in node.children)
         ):
             return [c.term for c in node.children]
         return None
@@ -605,13 +759,19 @@ class SearchEngine:
         if isinstance(node, ast.Term):
             acc.append(node.term)
         elif isinstance(
-            node, (ast.Terms, ast.Phrase, ast.SamePosition, ast.NgramSimilarity)
+            node, (ast.Terms, ast.SamePosition, ast.NgramSimilarity)
         ):
             acc.extend(node.terms)
+        elif isinstance(node, ast.Phrase):
+            for p in node.terms:  # variadic slots expand at prepare time
+                if isinstance(p, str):
+                    acc.append(p)
+                elif isinstance(p, ast.Terms):
+                    acc.extend(p.terms)
         elif isinstance(node, (ast.And, ast.Or)):
             for c in node.children:
                 self._plain_terms(c, acc)
-        elif isinstance(node, ast.Not):
+        elif isinstance(node, (ast.Not, ast.Nested)):
             self._plain_terms(node.child, acc)
 
     def _execute(self, query: ast.Node, k: int | None, mode: str) -> DataFrame:
@@ -819,14 +979,26 @@ def _decode_blocks(blocks: DataFrame) -> DataFrame:
 
 
 def _like_to_regex(pattern: str) -> str:
+    """SQL-LIKE pattern -> anchored regex. Backslash escapes the next
+    char (reference wildcard_utils.hpp:43 kEscape='\\\\'), so '\\%' and
+    '\\_' match literal '%'/'_' and '\\\\' a literal backslash; a
+    trailing bare backslash is literal."""
     import re as _re
 
     out = []
-    for ch in pattern:
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(_re.escape(pattern[i + 1]))
+            i += 2
+            continue
         if ch == "%":
             out.append(".*")
         elif ch == "_":
             out.append(".")
         else:
             out.append(_re.escape(ch))
+        i += 1
     return "^" + "".join(out) + "$"

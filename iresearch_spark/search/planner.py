@@ -41,35 +41,45 @@ def _rewrite(node: ast.Node) -> ast.Node:
         # And(AllDocs, Not x ...) (:83-87,314-336)
         if all(isinstance(c, ast.Not) for c in children):
             children = [ast.AllDocs(boost=0.0)] + children
-        # single-child flattening (:153-156)
+        # single-child flattening (:153-156; the reference also ignores
+        # merge_type for the single-node case)
         if len(children) == 1 and not isinstance(children[0], ast.Not):
             return _apply_boost(children[0], node.boost)
-        return ast.And(children, node.boost)
+        return ast.And(children, node.boost, node.merge_type)
 
     if isinstance(node, ast.Or):
         children = [_rewrite(c) for c in node.children]
         # Or drops Empty children (:232-240)
         children = [c for c in children if not isinstance(c, ast.Empty)]
-        n = len(children)
+        positives = [c for c in children if not isinstance(c, ast.Not)]
+        n = len(positives)
         if n == 0:
+            # an Or of only negations matches nothing — the reference
+            # returns prepared::empty() when incl is empty (:254-257)
             return ast.Empty()
         mm = node.min_match
-        # min-match specialization (:213-220,287-312)
+        # min-match specialization over POSITIVES (:213-220,287-312):
+        # exclusions don't count toward min_match
         if mm > n:
             return ast.Empty()  # unsatisfiable
         if mm <= 0:
             # min_match=0 matches everything (reference: `all`)
-            return ast.Or([ast.AllDocs()] + children, 1, node.boost)
-        if n == 1 and not isinstance(children[0], ast.Not):
+            return ast.Or([ast.AllDocs()] + children, 1, node.boost,
+                          node.merge_type)
+        if len(children) == 1 and not isinstance(children[0], ast.Not):
             return _apply_boost(children[0], node.boost)
         if mm == n:
-            return ast.And(children, node.boost)
-        return ast.Or(children, mm, node.boost)
+            return ast.And(children, node.boost, node.merge_type)
+        return ast.Or(children, mm, node.boost, node.merge_type)
 
     if isinstance(node, ast.Terms) and len(node.terms) == 1:
         return ast.Term(node.terms[0], node.boost)
 
-    if isinstance(node, (ast.Phrase, ast.SamePosition)) and len(node.terms) == 1:
+    if (
+        isinstance(node, (ast.Phrase, ast.SamePosition))
+        and len(node.terms) == 1
+        and isinstance(node.terms[0], str)
+    ):
         return ast.Term(node.terms[0], node.boost)
 
     return node
