@@ -387,6 +387,61 @@ sh AS (
 """
 
 
+def _ngram_similarity_sql(
+    q_terms: list[str], threshold: float, head_len: int
+) -> str:
+    """DuckDB replay of the by_ngram_similarity query: 2-gram stream of
+    substr(text,1,head_len) restricted to the query grams, then
+    LCS(query sequence, stream) via one running-max window pass per
+    query slot — layer i:
+      dp_i(j) = running_max( greatest(dp_{i-1}(j),
+                             lag(dp_{i-1})(j) + [gram_j = q_i]) )
+    (the classic LCS row recurrence; dp rows are non-decreasing in j so
+    the running max subsumes the cur[j-1] term). sim = max(dp_m)/m."""
+    m = len(q_terms)
+    in_list = ", ".join(f"'{t}'" for t in q_terms)
+    layers = []
+    prev = "0"  # dp_0 == 0 everywhere
+    src = "seq"
+    for i, qt in enumerate(q_terms, 1):
+        eq = f"CASE WHEN gram = '{qt}' THEN 1 ELSE 0 END"
+        lag_prev = (
+            "0" if prev == "0"
+            else f"coalesce(lag({prev}) OVER (PARTITION BY doc_id ORDER BY j), 0)"
+        )
+        layers.append(
+            f"c{i} AS (SELECT doc_id, j, gram, "
+            + (f"{prev}, " if prev != "0" else "")
+            + f"greatest({prev}, {lag_prev} + {eq}) AS t{i} FROM {src}),\n"
+            f"m{i} AS (SELECT doc_id, j, gram, "
+            f"max(t{i}) OVER (PARTITION BY doc_id ORDER BY j) AS dp{i} FROM c{i})"
+        )
+        prev = f"dp{i}"
+        src = f"m{i}"
+    return f"""
+WITH h AS (
+  SELECT doc_id, substr(text, 1, {head_len}) AS head
+  FROM documents WHERE text IS NOT NULL
+),
+a AS (SELECT doc_id, regexp_split_to_array(head, '') AS ch FROM h),
+p AS (SELECT doc_id, generate_subscripts(ch, 1) AS pos, unnest(ch) AS c FROM a),
+g AS (
+  SELECT x.doc_id, x.pos, x.c || y.c AS gram
+  FROM p x JOIN p y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+),
+s AS (SELECT doc_id, pos, gram FROM g WHERE gram IN ({in_list})),
+seq AS (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS j
+  FROM s
+),
+{",".join(layers)},
+lcs AS (SELECT doc_id, max(dp{m}) AS l FROM m{m} GROUP BY doc_id)
+SELECT doc_id, ROUND(l * 1.0 / {m}, 6) AS score
+FROM lcs WHERE l * 1.0 / {m} >= {threshold}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["term_high"] = _match_sql(f"t.term = '{HIGH1}'")
@@ -604,5 +659,85 @@ r AS (
 )
 SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS BIGINT) AS rank
 FROM r WHERE rk <= 3
+"""
+    o["ngram_similarity_query"] = _ngram_similarity_sql(
+        ["ba", "at", "tc", "ch"], threshold=0.5, head_len=40
+    )
+    # LSH top-k is fully deterministic: the oracle replays the literal
+    # hyperplane sign matrix and the 1e-6 integer quantization, so the
+    # bucket assignment is bit-identical to the Spark plan
+    from iresearch_spark.ops.similarity import hyperplane_sign_matrix
+
+    n_bits, dims = 6, 64  # the entry's parameters / testdata embedding width
+    signs = hyperplane_sign_matrix(n_bits, dims)
+    sign_rows = ", ".join(
+        f"({i}, {d + 1}, {signs[i][d]})"
+        for i in range(n_bits)
+        for d in range(dims)
+    )
+    o["ann_lsh_topk"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (
+  SELECT vec_id, generate_subscripts(e, 1) AS dim,
+         CAST(round(unnest(e) * 1000000) AS BIGINT) AS r
+  FROM v
+),
+signs(bit, dim, sgn) AS (VALUES {sign_rows}),
+dots AS (
+  SELECT q.vec_id, s.bit, SUM(q.r * s.sgn) AS dot
+  FROM q JOIN signs s ON s.dim = q.dim GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS sig
+  FROM dots GROUP BY 1
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(va.e, vb.e) AS c
+  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+),
+r2 AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+FROM r2 WHERE rk <= 3
+"""
+    # IVF is deterministic too: centroids = the n_centroids ids with the
+    # lowest seeded md5 hash, assignment/probing by cosine with
+    # (csim desc, cid asc) tie-break — replayed verbatim
+    _cent_hash = seeded_hash60_sql("CAST(vec_id AS VARCHAR)", 97)
+    o["ann_ivf_topk"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, e AS ce FROM v
+  ORDER BY {_cent_hash}, vec_id LIMIT 8
+),
+dots AS (
+  SELECT v.vec_id AS id, v.e, c.cid, list_cosine_similarity(v.e, c.ce) AS csim
+  FROM v CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid ASC) AS crank
+  FROM dots
+),
+members AS (SELECT id AS neighbor_id, e AS ne, cid FROM ranked WHERE crank = 1),
+probes AS (SELECT id AS query_id, e AS qe, cid FROM ranked WHERE crank <= 3),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id, list_cosine_similarity(p.qe, m.ne) AS c
+  FROM probes p JOIN members m USING (cid)
+  WHERE p.query_id <> m.neighbor_id
+),
+r2 AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+  FROM cand
+)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+FROM r2 WHERE rk <= 3
 """
     return o

@@ -118,7 +118,10 @@ def main():
         ).count()
     )
     queries["dedup_minhash_lsh"] = t
-    t, _ = timed(lambda: similarity.lsh_topk(emb, k=5, n_bits=6).count())
+    t = min(
+        timed(lambda: similarity.lsh_topk(emb, k=5, n_bits=6).count())[0]
+        for _ in range(repeat)
+    )
     queries["ann_lsh_topk"] = t
 
     # default ON: the sf0.1 documents table is only ~5k docs, so the

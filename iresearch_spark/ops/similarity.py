@@ -2,9 +2,12 @@
 
 Baseline: exact brute-force cosine top-k (JVM-side dot products via
 zip_with/aggregate — no Python in the loop). Scale path: LSH bucketing
-(random-hyperplane signs from the seeded md5 hash family — no shared
-random state) that turns the quadratic join into a bucket join, and an
-IVF variant (coarse centroids + probe) for 100 TB corpora.
+(random-hyperplane signs precomputed driver-side from the seeded md5
+family and embedded as plan literals — no shared random state, no
+per-row hashing) that turns the quadratic join into a bucket join, and
+an IVF variant (coarse centroids + probe) for 100 TB corpora. Both
+approximate variants are fully deterministic, so the driver's DuckDB
+oracle replays them exactly.
 
 The reference exposes a `nearest_neighbors` fastText analyzer
 (`nearest_neighbors_stream.cpp`, SURVEY §2.1) — model-bound and out of
@@ -76,42 +79,70 @@ def brute_force_topk(
     )
 
 
+def hyperplane_sign_matrix(n_bits: int, dims: int) -> list[list[int]]:
+    """The (n_bits x dims) hyperplane sign matrix, a pure function of
+    (bit, dim): sign = +1 iff the 60-bit md5 hash of f"{bit}:{dim}" is
+    even — the same seeded family as ops.hashing, computed ONCE
+    driver-side and embedded as literals (the previous per-row md5
+    evaluation recomputed these constants for every row x dim x bit and
+    dominated lsh_topk wall time)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1
+            for d in range(dims)
+        ]
+        for i in range(n_bits)
+    ]
+
+
 def hyperplane_signature(
     emb: DataFrame,
     n_bits: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dims: int | None = None,
 ) -> DataFrame:
-    """Random-hyperplane LSH signature: bit i = sign(<v, r_i>) where
-    r_i[d] in {-1,+1} is derived from the seeded md5 family (so every
-    engine and every executor derives identical hyperplanes; no
-    broadcast of random matrices needed).
+    """Random-hyperplane LSH signature: bit i = sign(<v, r_i>) with
+    r_i[d] in {-1,+1} from `hyperplane_sign_matrix` — a literal in the
+    plan, so the whole signature is JVM whole-stage codegen with zero
+    hashing per row. The dot product runs over 1e-6-quantized integer
+    components: exact integer arithmetic makes the sign bit identical
+    in any engine and any summation order (the DuckDB oracle replays
+    it verbatim), where a float dot could flip near-zero signs.
 
-    (id, sig int) — cosine-similar vectors collide with probability
-    1 - angle/pi per bit."""
+    (id, vec, norm, sig) — cosine-similar vectors collide with
+    probability 1 - angle/pi per bit."""
     base = with_norm(emb, vec_col, id_col)
-    dims = F.sequence(F.lit(0), F.size("vec") - 1)
-    # r_i[d] = +1 if hash60(concat(i,':',d)) is even else -1
+    if dims is None:
+        row = emb.select(F.size(F.col(vec_col)).alias("n")).first()
+        dims = int(row["n"]) if row is not None else 0
+    signs = hyperplane_sign_matrix(n_bits, dims)
+    # quantize ONCE into a materialized column so the n_bits dot
+    # products don't each re-run the transform
+    quant = base.withColumn(
+        "_rq",
+        F.transform(F.col("vec"), lambda x: F.round(x * F.lit(1e6)).cast("long")),
+    )
     bit_exprs = []
     for i in range(n_bits):
-        sign = F.transform(
-            dims,
-            lambda d: F.when(
-                seeded_hash60(d.cast("string"), i) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
-        )
+        sign_arr = F.array(*[F.lit(s) for s in signs[i]])
         dot = F.aggregate(
-            F.zip_with(F.col("vec"), sign, lambda x, s: x * s),
-            F.lit(0.0),
+            F.zip_with(F.col("_rq"), sign_arr, lambda x, s: x * s),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bit_exprs.append(
-            F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * (2 ** i)
+            F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+            * (2 ** i)
         )
     sig = bit_exprs[0]
     for e in bit_exprs[1:]:
         sig = sig + e
-    return base.select("id", "vec", "norm", sig.alias("sig"))
+    return quant.select("id", "vec", "norm", sig.alias("sig"))
 
 
 def lsh_topk(

@@ -705,31 +705,38 @@ class SearchEngine:
         threshold = node.threshold
 
         def lcs_ratio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            q_arr = q_seq  # closure
+            # LCS row recurrence vectorized over the stream axis:
+            #   cur[j] = max(prev[j], prev[j-1] + eq[j], cur[j-1])
+            # cur[j-1] only propagates earlier maxima, so
+            #   cur = running_max(max(prev[1:], prev[:-1] + eq))
+            # — no per-token Python loop; only the m query slots loop.
+            uniq_q = list(dict.fromkeys(q_seq))
+            tcode = {t: k for k, t in enumerate(uniq_q)}
+            q_codes = [tcode[t] for t in q_seq]
             for pdf in batches:
                 out_doc, out_sim = [], []
                 for doc_id, plists in zip(pdf["doc_id"], pdf["_plists"]):
                     # doc ngram stream restricted to query terms:
-                    # (position, term) sorted by position
-                    pos_all, term_all = [], []
+                    # (position, term code) sorted by position
+                    pos_parts, code_parts = [], []
                     for item in plists:
-                        ps = item["positions"]
-                        pos_all.extend(ps)
-                        term_all.extend([item["term"]] * len(ps))
-                    order = np.argsort(np.asarray(pos_all, dtype=np.int64),
-                                       kind="stable")
-                    stream = [term_all[i] for i in order]
-                    # classic LCS(query_seq, stream) in O(m*len)
-                    prev = np.zeros(len(stream) + 1, dtype=np.int32)
-                    for qt in q_arr:
-                        cur = np.zeros_like(prev)
-                        for j, st in enumerate(stream, 1):
-                            cur[j] = (
-                                prev[j - 1] + 1
-                                if st == qt
-                                else max(cur[j - 1], prev[j])
-                            )
-                        prev = cur
+                        ps = np.asarray(item["positions"], dtype=np.int64)
+                        pos_parts.append(ps)
+                        code_parts.append(
+                            np.full(ps.size, tcode[item["term"]], np.int32)
+                        )
+                    pos_all = np.concatenate(pos_parts)
+                    codes = np.concatenate(code_parts)
+                    stream = codes[np.argsort(pos_all, kind="stable")]
+                    prev = np.zeros(stream.size + 1, dtype=np.int32)
+                    cur = np.empty_like(prev)
+                    for qc in q_codes:
+                        eq = (stream == qc).astype(np.int32)
+                        cur[0] = 0
+                        np.maximum.accumulate(
+                            np.maximum(prev[1:], prev[:-1] + eq), out=cur[1:]
+                        )
+                        prev, cur = cur, prev
                     sim = float(prev[-1]) / m
                     if sim >= threshold:
                         out_doc.append(doc_id)
