@@ -170,7 +170,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold via shingle inverted
     index: explode distinct shingles, self-join on shingle (docs sharing
@@ -181,9 +181,20 @@ def ngram_jaccard_pairs(
     (a boilerplate shingle shared by 10^9 docs must not produce 10^18
     pairs; dropping it cannot remove any pair above a high threshold
     when docs still share their rarer shingles — standard practice, and
-    an approximation only for ubiquitous-shingle corpora).
+    an approximation only for ubiquitous-shingle corpora). The guard is
+    ON by default so the naive call cannot hit the pair blowup; pass
+    None for the exact quadratic semantics on small corpora. Dropped
+    shingles are exactly those with df > max_shingle_df (inspect via
+    `sh.groupBy("shingle").count()` if an audit is needed); their
+    intersection contributions vanish from BOTH the numerator and
+    nothing else — union sizes keep every shingle, so reported Jaccard
+    only ever under-counts for pairs sharing a dropped shingle.
     """
     sh = _shingles(df, text_col, id_col, n)
+    # union sizes from the UNFILTERED shingle sets: the skew guard then
+    # only removes intersection mass, so Jaccard under-counts for pairs
+    # sharing a dropped shingle and never over-counts (no false pairs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -192,7 +203,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -179,6 +179,50 @@ def lsh_topk(
     )
 
 
+def _kmeans_centroids(
+    base: DataFrame, n_centroids: int, sample_size: int, n_iter: int
+) -> DataFrame:
+    """Spherical k-means on a deterministic hash-ordered sample,
+    driver-side numpy (the sample is bounded by `sample_size` rows no
+    matter the corpus size — the scale-safe analogue of k-means||).
+    Deterministic: seeded sample order, seeded kmeans++ init, fixed
+    iteration count. Returns (cid, cvec, cnorm) with unit centroids."""
+    import numpy as np
+
+    rows = (
+        base.withColumn("_h", seeded_hash60(F.col("id").cast("string"), 131))
+        .orderBy("_h", "id")
+        .limit(sample_size)
+        .select("vec")
+        .collect()
+    )
+    X = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(0)
+    # kmeans++ init on cosine distance
+    cents = [X[int(rng.integers(len(X)))]]
+    for _ in range(1, min(n_centroids, len(X))):
+        sims = np.max(np.stack([X @ c for c in cents]), axis=0)
+        d2 = np.maximum(1.0 - sims, 0.0) ** 2
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(X[int(rng.choice(len(X), p=p))])
+    C = np.stack(cents)
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    C[j] = m / n
+    spark = base.sparkSession
+    return spark.createDataFrame(
+        [(j, [float(x) for x in C[j]], 1.0) for j in range(C.shape[0])],
+        "cid long, cvec array<double>, cnorm double",
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -186,27 +230,37 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: str = "hash",
+    sample_size: int = 4096,
+    kmeans_iters: int = 8,
 ) -> DataFrame:
-    """IVF-style approximate top-k: coarse centroids = the `n_centroids`
-    vectors with the lowest seeded hash of their id (a deterministic
-    sample — at real scale, replace with k-means on a sample), each
-    vector assigned to its nearest centroid, queries probe the
-    `n_probe` nearest centroid cells.
+    """IVF-style approximate top-k. Coarse centroids come from
+    `centroids`: "hash" = the `n_centroids` vectors with the lowest
+    seeded hash of their id (deterministic sample, oracle-replayable);
+    "kmeans" = spherical k-means on a bounded driver-side sample
+    (better-balanced cells on clustered embeddings). Each vector is
+    assigned to its nearest centroid; queries probe the `n_probe`
+    nearest cells.
 
     The candidate join is (vector x probed-cell) co-partitioned by
     centroid id — shuffle volume n * n_probe * cell_size instead of
     n^2."""
     base = with_norm(emb, vec_col, id_col)
-    cents = (
-        base.withColumn("_h", seeded_hash60(F.col("id").cast("string"), 97))
-        .orderBy("_h", "id")
-        .limit(n_centroids)
-        .select(
-            F.col("id").alias("cid"),
-            F.col("vec").alias("cvec"),
-            F.col("norm").alias("cnorm"),
+    if centroids == "kmeans":
+        cents = _kmeans_centroids(base, n_centroids, sample_size, kmeans_iters)
+    elif centroids == "hash":
+        cents = (
+            base.withColumn("_h", seeded_hash60(F.col("id").cast("string"), 97))
+            .orderBy("_h", "id")
+            .limit(n_centroids)
+            .select(
+                F.col("id").alias("cid"),
+                F.col("vec").alias("cvec"),
+                F.col("norm").alias("cnorm"),
+            )
         )
-    )
+    else:
+        raise ValueError("centroids must be 'hash' or 'kmeans'")
     cents = F.broadcast(cents)
     # assign every vector to nearest centroid; queries keep top n_probe
     a = base.alias("a")

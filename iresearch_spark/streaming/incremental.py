@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from iresearch_spark.analysis.analyzers import Analyzer, get_analyzer
 from iresearch_spark.index.builder import build_index
-from iresearch_spark.index.merge import build_metrics, merge_indexes
+from iresearch_spark.index.merge import build_metrics
 from iresearch_spark.index.model import FieldStats, InvertedIndex
 
 
@@ -119,19 +119,69 @@ class IncrementalIndexer:
 
     def read(self, spark: SparkSession) -> InvertedIndex | None:
         """Point-in-time merged view of all committed segments (the
-        reference DirectoryReader over SubReaders)."""
+        reference DirectoryReader over SubReaders).
+
+        ONE multi-path parquet scan per table + one stats aggregation,
+        regardless of segment count: the earlier pairwise merge_indexes
+        loop grew the plan (and re-aggregated term_stats) O(#segments),
+        a driver-side plan explosion after months of daily micro-batches.
+        Doc-id disjointness across segments is the manifest's contract,
+        so a plain union IS the merged index."""
+        import json as _json
+
         manifest = self._read_manifest()
         segs = manifest["segments"]
         if not segs:
             return None
-        idx = InvertedIndex.load(
-            spark, os.path.join(self.index_dir, "segments", segs[0]["id"])
+        paths = [
+            os.path.join(self.index_dir, "segments", s["id"]) for s in segs
+        ]
+        if len(paths) == 1:
+            return InvertedIndex.load(spark, paths[0])
+        sub_manifests = []
+        for p in paths:
+            with open(os.path.join(p, "manifest.json")) as f:
+                sub_manifests.append(_json.load(f))
+        if any(m.get("has_deleted") for m in sub_manifests):
+            # deletes are per-segment parquet dirs; only some exist, so
+            # they can't ride one multi-path read
+            parts = [
+                spark.read.parquet(os.path.join(p, "deleted")).select("doc_id")
+                for p, m in zip(paths, sub_manifests)
+                if m.get("has_deleted")
+            ]
+            deleted = parts[0]
+            for d in parts[1:]:
+                deleted = deleted.unionByName(d)
+            deleted = deleted.distinct()
+        else:
+            deleted = None
+        # recursiveFileLookup: each segment's postings dir is its own
+        # _tb=<bucket> partition tree; multiple partitioned roots in one
+        # read trip partition discovery (CONFLICTING_DIRECTORY_STRUCTURES),
+        # so read the files flat. The _tb column (directory-level bucket
+        # pruning) is lost for the multi-segment view — term predicates
+        # still prune via per-file parquet min/max (postings are term-
+        # sorted within buckets); consolidate_job compacts back to a
+        # single bucket-pruned index.
+        postings = spark.read.option("recursiveFileLookup", "true").parquet(
+            *[os.path.join(p, "postings") for p in paths]
         )
-        for s in segs[1:]:
-            idx = merge_indexes(
-                idx,
-                InvertedIndex.load(
-                    spark, os.path.join(self.index_dir, "segments", s["id"])
-                ),
-            )
-        return idx
+        term_stats = (
+            spark.read.parquet(*[os.path.join(p, "term_stats") for p in paths])
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        return InvertedIndex(
+            postings=postings,
+            docs=spark.read.parquet(*[os.path.join(p, "docs") for p in paths]),
+            term_stats=term_stats,
+            field_stats=FieldStats(
+                n_docs=sum(m["n_docs"] for m in sub_manifests),
+                total_term_freq=sum(m["total_term_freq"] for m in sub_manifests),
+            ),
+            with_positions=sub_manifests[0]["with_positions"],
+            analyzer_name=sub_manifests[0]["analyzer"],
+            deleted=deleted,
+            term_buckets=None,  # no _tb column on the flat multi-root read
+        )

@@ -217,3 +217,32 @@ def test_frame_sample(spark):
     got = multimodal.frame_sample(media, every_ms=1000).collect()
     ts = sorted(r["sample_ts"] for r in got)
     assert ts == [0, 1000, 2000, 3000]
+
+
+def test_ngram_jaccard_skew_guard(spark):
+    """A boilerplate shingle shared by every doc must not explode the
+    pair join: the default guard drops it, union sizes stay unfiltered
+    (Jaccard only under-counts — no false pairs)."""
+    from iresearch_spark.ops import dedup as _dedup
+
+    rows = [
+        (i, "c1 c2 c3 " + ("x y z" if i < 2 else f"u{i} v{i} w{i}"))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in _dedup.ngram_jaccard_pairs(
+            df, n=3, threshold=0.5, max_shingle_df=5
+        ).collect()
+    }
+    # docs 0,1 share 3 rare shingles of 4 total each -> 3/(4+4-3)
+    assert got == {(0, 1): round(3 / 5, 6)}
+    # without the guard the boilerplate shingle joins every pair
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in _dedup.ngram_jaccard_pairs(
+            df, n=3, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    assert exact[(0, 1)] == 1.0

@@ -95,3 +95,19 @@ def test_lsh_recall_vs_brute_force(emb384):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_ivf_kmeans_centroids_recall(emb384):
+    k = 3
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb384, k=k).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb384, k=k, n_centroids=12, n_probe=3, centroids="kmeans"
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
