@@ -288,13 +288,26 @@ class SearchEngine:
                 ),
             )
         if isinstance(node, ast.Fuzzy):
-            # JVM-side Levenshtein over the (small) distinct-term table;
-            # cap to max_terms by (distance asc, df desc, term asc) —
+            # JVM-side Levenshtein over the distinct-term table, behind
+            # a cheap length-band prefilter (|len(a)-len(b)| <= d is
+            # necessary for distance <= d) so the O(len^2) DP runs only
+            # on plausible terms — at 10^8-term vocabularies the band
+            # cuts the scan by ~the length distribution's spread; cap
+            # to max_terms by (distance asc, df desc, term asc) —
             # reference: levenshtein_filter.cpp:251-263 + sample collector.
-            dist = F.levenshtein(F.col("term"), F.lit(node.term))
+            tlen = len(node.term)
+            # threshold arg short-circuits the DP (returns -1 above it)
+            dist = F.levenshtein(
+                F.col("term"), F.lit(node.term), node.distance
+            )
             cand = (
-                self.index.term_stats.withColumn("_d", dist)
-                .filter(F.col("_d") <= node.distance)
+                self.index.term_stats.filter(
+                    F.length("term").between(
+                        tlen - node.distance, tlen + node.distance
+                    )
+                )
+                .withColumn("_d", dist)
+                .filter((F.col("_d") >= 0) & (F.col("_d") <= node.distance))
                 .orderBy(F.asc("_d"), F.desc("df"), F.asc("term"))
                 .limit(node.max_terms)
                 .select("term", "df")
@@ -533,10 +546,18 @@ class SearchEngine:
                 pred, limit=min(part.scored_terms_limit, self.scored_terms_limit)
             )
         if isinstance(part, ast.Fuzzy):
-            dist = F.levenshtein(F.col("term"), F.lit(part.term))
+            tlen = len(part.term)
+            dist = F.levenshtein(
+                F.col("term"), F.lit(part.term), part.distance
+            )
             rows = (
-                self.index.term_stats.withColumn("_d", dist)
-                .filter(F.col("_d") <= part.distance)
+                self.index.term_stats.filter(
+                    F.length("term").between(
+                        tlen - part.distance, tlen + part.distance
+                    )
+                )
+                .withColumn("_d", dist)
+                .filter((F.col("_d") >= 0) & (F.col("_d") <= part.distance))
                 .orderBy(F.asc("_d"), F.desc("df"), F.asc("term"))
                 .limit(part.max_terms)
                 .select("term", "df")
