@@ -54,12 +54,15 @@ class Wildcard(Node):
 @dataclass(frozen=True)
 class Fuzzy(Node):
     """Levenshtein distance <= d (reference `by_edit_distance`,
-    levenshtein_filter.cpp:171-263; bench uses max_terms=50)."""
+    levenshtein_filter.cpp:171-263; bench uses max_terms=50).
+    `transpositions=True` uses Damerau (optimal string alignment)
+    distance — the reference's with_transpositions option."""
 
     term: str
     distance: int = 1
     max_terms: int = 50
     boost: float = 1.0
+    transpositions: bool = False
 
 
 @dataclass(frozen=True)

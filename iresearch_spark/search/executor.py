@@ -288,38 +288,59 @@ class SearchEngine:
                 ),
             )
         if isinstance(node, ast.Fuzzy):
-            # JVM-side Levenshtein over the distinct-term table, behind
-            # a cheap length-band prefilter (|len(a)-len(b)| <= d is
-            # necessary for distance <= d) so the O(len^2) DP runs only
-            # on plausible terms — at 10^8-term vocabularies the band
-            # cuts the scan by ~the length distribution's spread; cap
-            # to max_terms by (distance asc, df desc, term asc) —
-            # reference: levenshtein_filter.cpp:251-263 + sample collector.
-            tlen = len(node.term)
-            # threshold arg short-circuits the DP (returns -1 above it)
-            dist = F.levenshtein(
-                F.col("term"), F.lit(node.term), node.distance
-            )
-            cand = (
-                self.index.term_stats.filter(
-                    F.length("term").between(
-                        tlen - node.distance, tlen + node.distance
-                    )
-                )
-                .withColumn("_d", dist)
-                .filter((F.col("_d") >= 0) & (F.col("_d") <= node.distance))
-                .orderBy(F.asc("_d"), F.desc("df"), F.asc("term"))
-                .limit(node.max_terms)
-                .select("term", "df")
-                .collect()
-            )
-            terms = [r["term"] for r in cand]
+            cand = self._fuzzy_candidates(node)
+            terms = [t for t, _ in cand]
             return PreparedLeaf(
                 predicate=col.isin(terms) if terms else F.lit(False),
-                weights={r["term"]: self._c0(r["df"], boost) for r in cand},
+                weights={t: self._c0(d, boost) for t, d in cand},
                 exact_terms=terms or None,
             )
         raise TypeError(f"not a leaf: {node}")
+
+    def _fuzzy_candidates(self, node: ast.Fuzzy) -> list[tuple[str, int]]:
+        """Edit-distance term expansion over the distinct-term table,
+        behind a cheap length-band prefilter (|len(a)-len(b)| <= d is
+        necessary for distance <= d) so the O(len^2) DP runs only on
+        plausible terms — at 10^8-term vocabularies the band cuts the
+        scan by ~the length distribution's spread. Cap to max_terms by
+        (distance asc, df desc, term asc) — reference:
+        levenshtein_filter.cpp:251-263 + sample collector. Plain
+        Levenshtein runs JVM-side with the threshold short-circuit;
+        transpositions (Damerau/OSA — the reference's parametric DFA
+        with with_transpositions) run as an Arrow-batched pandas pass
+        over the banded vocabulary slice."""
+        tlen = len(node.term)
+        banded = self.index.term_stats.filter(
+            F.length("term").between(
+                tlen - node.distance, tlen + node.distance
+            )
+        )
+        if node.transpositions:
+            q, dmax = node.term, node.distance
+
+            def osa(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    d = [_osa_distance(q, t, dmax) for t in pdf["term"]]
+                    out = pdf.assign(_d=pd.array(d, dtype="int32"))
+                    yield out[out["_d"] <= dmax][["term", "df", "_d"]]
+
+            scored = banded.select(
+                "term", F.col("df").cast("long").alias("df")
+            ).mapInPandas(osa, "term string, df long, _d int")
+        else:
+            dist = F.levenshtein(
+                F.col("term"), F.lit(node.term), node.distance
+            )  # threshold arg short-circuits the DP (returns -1 above it)
+            scored = banded.withColumn("_d", dist).filter(
+                (F.col("_d") >= 0) & (F.col("_d") <= node.distance)
+            )
+        rows = (
+            scored.orderBy(F.asc("_d"), F.desc("df"), F.asc("term"))
+            .limit(node.max_terms)
+            .select("term", "df")
+            .collect()
+        )
+        return [(r["term"], r["df"]) for r in rows]
 
     # ------------------------------------------------------ execute helpers
 
@@ -546,24 +567,7 @@ class SearchEngine:
                 pred, limit=min(part.scored_terms_limit, self.scored_terms_limit)
             )
         if isinstance(part, ast.Fuzzy):
-            tlen = len(part.term)
-            dist = F.levenshtein(
-                F.col("term"), F.lit(part.term), part.distance
-            )
-            rows = (
-                self.index.term_stats.filter(
-                    F.length("term").between(
-                        tlen - part.distance, tlen + part.distance
-                    )
-                )
-                .withColumn("_d", dist)
-                .filter((F.col("_d") >= 0) & (F.col("_d") <= part.distance))
-                .orderBy(F.asc("_d"), F.desc("df"), F.asc("term"))
-                .limit(part.max_terms)
-                .select("term", "df")
-                .collect()
-            )
-            return [(r["term"], r["df"]) for r in rows]
+            return self._fuzzy_candidates(part)
         raise TypeError(f"unsupported phrase slot: {part!r}")
 
     def _eval_positional(
@@ -1004,6 +1008,36 @@ def _decode_blocks(blocks: DataFrame) -> DataFrame:
         blocks.sparkSession.sparkContext.defaultParallelism
     )
     return spread.mapInArrow(_make_block_decoder(False), DECODED_SCHEMA)
+
+
+def _osa_distance(a: str, b: str, cap: int) -> int:
+    """Optimal-string-alignment (Damerau without overlapping edits)
+    distance, capped: returns cap+1 as soon as the row minimum exceeds
+    cap. Matches the reference's with_transpositions distance
+    (levenshtein_utils.cpp builds the same OSA-parameterized automaton)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ai == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                prev2 is not None
+                and j > 1
+                and ai == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        if min(cur) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
 
 
 def _like_to_regex(pattern: str) -> str:

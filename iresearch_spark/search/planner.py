@@ -72,6 +72,16 @@ def _rewrite(node: ast.Node) -> ast.Node:
             return ast.And(children, node.boost, node.merge_type)
         return ast.Or(children, mm, node.boost, node.merge_type)
 
+    if isinstance(node, ast.Nested):
+        import dataclasses
+
+        child = _rewrite(node.child)
+        if isinstance(child, ast.Empty):
+            return ast.Empty()
+        if child is not node.child:
+            return dataclasses.replace(node, child=child)
+        return node
+
     if isinstance(node, ast.Terms) and len(node.terms) == 1:
         return ast.Term(node.terms[0], node.boost)
 

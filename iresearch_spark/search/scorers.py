@@ -119,6 +119,11 @@ def get_scorer(name: str, **opts):
         if "b" in opts:
             raise ValueError(f"{name} fixes b; pass scorer='bm25' to set b")
         return BM25(b=0.0 if name == "bm15" else 1.0, **opts)
+    if name == "bm1":
+        # k=0 -> score = c0 (constant per term, bm25.hpp:107-113)
+        if "k" in opts:
+            raise ValueError("bm1 fixes k=0; pass scorer='bm25' to set k")
+        return BM25(k=0.0, **opts)
     if name == "tfidf":
         return TFIDF(**opts)
     raise KeyError(f"unknown scorer {name!r}")

@@ -213,3 +213,52 @@ def test_nested(spark):
                            merge_type="max"))
     )
     assert set(got) == {1}
+
+
+# --------------------------------------------- fuzzy transpositions / bm1
+
+
+def test_osa_distance_golden():
+    from iresearch_spark.search.executor import _osa_distance
+
+    assert _osa_distance("abcd", "abdc", 2) == 1   # one transposition
+    assert _osa_distance("abcd", "abdc", 0) == 1   # capped: returns cap+1
+    assert _osa_distance("ca", "abc", 3) == 3      # OSA (not full Damerau =2)
+    assert _osa_distance("kitten", "sitting", 3) == 3
+    assert _osa_distance("same", "same", 1) == 0
+
+
+def test_fuzzy_transpositions(spark):
+    rows = [(0, "spakr x"), (1, "spark y"), (2, "sprak z"), (3, "spork w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ix = build_index(df, analyzer="simple", bucket_bits=7)
+    eng = SearchEngine(ix)
+    # plain levenshtein d=1 from "spark": spark(0), spork(1 sub);
+    # spakr/sprak are distance 2 without transpositions
+    lev = {r["doc_id"] for r in eng.matches(Fuzzy("spark", distance=1)).collect()}
+    assert lev == {1, 3}
+    # OSA d=1 adds the transposed variants
+    osa = {
+        r["doc_id"]
+        for r in eng.matches(
+            Fuzzy("spark", distance=1, transpositions=True)
+        ).collect()
+    }
+    assert osa == {0, 1, 2, 3}
+
+
+def test_bm1_scorer(idx):
+    from iresearch_spark.search.scorers import get_scorer
+
+    eng = SearchEngine(idx, scorer="bm1")
+    py = PyIndex(ROWS)
+    df = len(py.postings["banana"])
+    c0 = (0.0 + 1.0) * py.idf_bm25(df)
+    got = _scores(eng.matches(Term("banana")))
+    assert set(got) == set(py.eval(Term("banana")))
+    for v in got.values():
+        assert math.isclose(v, c0, rel_tol=1e-9)  # constant per doc
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        get_scorer("bm1", k=2.0)
