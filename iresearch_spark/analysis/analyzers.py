@@ -61,6 +61,10 @@ class FlatTokens:
     n_tokens: np.ndarray   # int64 [n_docs] tokens per input text
     positions: np.ndarray  # int64 [n_tokens_total] position within doc
     uniques_arrow: object = None  # pa.Array of the same dictionary (optional)
+    # per-token character spans (reference IndexFeatures OFFS) — only
+    # set by analyze_flat_spans on span-capable analyzers
+    starts: np.ndarray | None = None  # int64 [n_tokens_total]
+    lens: np.ndarray | None = None    # int64 [n_tokens_total]
 
 
 @dataclass(frozen=True)
@@ -72,6 +76,10 @@ class Analyzer:
     # optional vectorized batch tokenizer (Arrow-native, zero per-token
     # Python); must be byte-identical to _fn — differential-tested
     _flat_fn: Callable[[Sequence[str]], FlatTokens] | None = None
+    # optional span-capable tokenizer: per doc (terms, positions,
+    # char starts, char lens), token stream identical to _fn —
+    # differential-tested. Required for with_offsets index builds.
+    _span_fn: Callable | None = None
 
     def analyze_batch(self, texts: Sequence[str]) -> list[TokensAndPositions]:
         """texts -> per-doc (terms, positions); None/empty -> ([], [])."""
@@ -89,6 +97,61 @@ class Analyzer:
             to_pylist = getattr(texts, "to_pylist", None)
             texts = to_pylist() if to_pylist is not None else list(texts)
         return _flat_from_batch(self.analyze_batch(texts))
+
+    @property
+    def supports_offsets(self) -> bool:
+        return self._span_fn is not None
+
+    def analyze_flat_spans(self, texts) -> FlatTokens:
+        """Like analyze_flat but with per-token character spans
+        (starts/lens set) — the OFFS posting feature's source. Slower
+        than the Arrow fast path (per-doc regex scan), which is the
+        documented cost of enabling offsets (the reference similarly
+        pays extra to write its offset streams)."""
+        if self._span_fn is None:
+            raise ValueError(
+                f"analyzer {self.name!r} does not support offsets"
+            )
+        if not isinstance(texts, (list, tuple)):
+            to_pylist = getattr(texts, "to_pylist", None)
+            texts = to_pylist() if to_pylist is not None else list(texts)
+        per_doc = self._span_fn(texts)
+        import pandas as pd
+
+        n_tokens = np.fromiter(
+            (len(t[0]) for t in per_doc), dtype=np.int64, count=len(per_doc)
+        )
+        if n_tokens.sum() == 0:
+            e = np.empty(0, np.int64)
+            return FlatTokens(
+                codes=e, uniques=np.empty(0, object), n_tokens=n_tokens,
+                positions=e, starts=e, lens=e,
+            )
+        flat_terms = np.concatenate(
+            [np.asarray(t[0], dtype=object) for t in per_doc if t[0]]
+        )
+        flat_pos = np.concatenate(
+            [np.asarray(t[1], dtype=np.int64) for t in per_doc if t[0]]
+        )
+        flat_starts = np.concatenate(
+            [np.asarray(t[2], dtype=np.int64) for t in per_doc if t[0]]
+        )
+        flat_lens = np.concatenate(
+            [np.asarray(t[3], dtype=np.int64) for t in per_doc if t[0]]
+        )
+        codes, uniques = pd.factorize(flat_terms, sort=False)
+        import pyarrow as pa
+
+        uniq = np.asarray(uniques, dtype=object)
+        return FlatTokens(
+            codes=codes.astype(np.int64),
+            uniques=uniq,
+            n_tokens=n_tokens,
+            positions=flat_pos,
+            uniques_arrow=pa.array(uniq, type=pa.string()),
+            starts=flat_starts,
+            lens=flat_lens,
+        )
 
 
 def _flat_from_batch(per_doc: list[TokensAndPositions]) -> FlatTokens:
@@ -342,6 +405,39 @@ def _ngram_fn(min_gram: int, max_gram: int, preserve_original: bool):
 _REGISTRY: dict[str, Callable[..., Analyzer]] = {}
 
 
+_NONWS_RE = re.compile(r"\S+")
+
+
+def _make_span_chain(token_re: "re.Pattern", lowercase: bool):
+    """Span-capable tokenizer: per doc (terms, positions, starts, lens).
+    `_simple_lower` is length-preserving, so spans found in the lowered
+    text index the ORIGINAL text identically. Token streams must equal
+    the analyzer's `_fn` output — differential-tested."""
+
+    def run(texts: Sequence[str]):
+        out = []
+        for text in texts:
+            if not text:
+                out.append(([], [], [], []))
+                continue
+            t = _simple_lower(text) if lowercase else text
+            terms, positions, starts, lens = [], [], [], []
+            pos = 0
+            for m in token_re.finditer(t):
+                g = m.group()
+                if not g:
+                    continue
+                terms.append(g)
+                positions.append(pos)
+                starts.append(m.start())
+                lens.append(m.end() - m.start())
+                pos += 1
+            out.append((terms, positions, starts, lens))
+        return out
+
+    return run
+
+
 def _register(name: str):
     def deco(factory):
         _REGISTRY[name] = factory
@@ -356,6 +452,7 @@ def _whitespace(**_opts) -> Analyzer:
         "whitespace",
         _make_chain(_ws_tokenize, lowercase=False),
         _flat_fn=_make_arrow_flat("whitespace"),
+        _span_fn=_make_span_chain(_NONWS_RE, lowercase=False),
     )
 
 
@@ -365,6 +462,7 @@ def _simple(**_opts) -> Analyzer:
         "simple",
         _make_chain(_ws_tokenize, lowercase=True),
         _flat_fn=_make_arrow_flat("simple"),
+        _span_fn=_make_span_chain(_NONWS_RE, lowercase=True),
     )
 
 
@@ -376,6 +474,7 @@ def _segmentation(case: str = "lower", **_opts) -> Analyzer:
         "segmentation",
         _make_chain(_word_tokenize, lowercase=(case == "lower")),
         _flat_fn=_make_arrow_flat("segmentation") if case == "lower" else None,
+        _span_fn=_make_span_chain(_WORD_RE, lowercase=(case == "lower")),
     )
 
 

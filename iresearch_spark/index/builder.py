@@ -98,7 +98,10 @@ def assign_doc_ids(df: DataFrame, key_col: str, n_buckets: int = 1024) -> DataFr
 
 
 def build_postings(
-    tokens: DataFrame, with_positions: bool, bucket_bits: int = 16
+    tokens: DataFrame,
+    with_positions: bool,
+    bucket_bits: int = 16,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """(doc,term) rows -> posting-block rows, skew-bounded by doc bucket.
 
@@ -116,12 +119,14 @@ def build_postings(
         "term", "_bucket", "doc_id"
     )
     return arranged.mapInPandas(
-        _make_partition_block_builder(with_positions, bucket_bits),
+        _make_partition_block_builder(with_positions, bucket_bits, with_offsets),
         POSTINGS_SCHEMA,
     )
 
 
-def _make_partition_block_builder(with_positions: bool, bucket_bits: int):
+def _make_partition_block_builder(
+    with_positions: bool, bucket_bits: int, with_offsets: bool = False
+):
     blocks_per_bucket_bits = max(bucket_bits - 7, 1)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -149,7 +154,8 @@ def _make_partition_block_builder(with_positions: bool, bucket_bits: int):
                 pending = pdf
                 continue
             yield _encode_groups(
-                pdf, starts, with_positions, blocks_per_bucket_bits
+                pdf, starts, with_positions, blocks_per_bucket_bits,
+                with_offsets,
             )
         if pending is not None and len(pending):
             terms = pending["term"].to_numpy()
@@ -162,12 +168,14 @@ def _make_partition_block_builder(with_positions: bool, bucket_bits: int):
                 np.flatnonzero(change),
                 with_positions,
                 blocks_per_bucket_bits,
+                with_offsets,
             )
 
     return build
 
 
-def _encode_groups(pdf, starts, with_positions, blocks_per_bucket_bits):
+def _encode_groups(pdf, starts, with_positions, blocks_per_bucket_bits,
+                   with_offsets=False):
     """Encode every (term,bucket) run of a sorted batch into posting
     blocks with ONE whole-batch codec pass (codec.encode_blocks_batch);
     per-block Python cost is two byte-slices."""
@@ -196,6 +204,24 @@ def _encode_groups(pdf, starts, with_positions, blocks_per_bucket_bits):
     docs_blobs, dls_blobs, pos_blobs = codec.encode_blocks_batch(
         doc_ids, freqs, dls, block_starts, block_ends, flat_pos
     )
+    ostart_blobs = olen_blobs = None
+    if with_offsets:
+        def _flat(colname):
+            col = pdf[colname].to_numpy()
+            return (
+                np.concatenate(col).astype(np.uint64)
+                if len(col)
+                else np.empty(0, np.uint64)
+            )
+
+        ob, oo = codec.encode_occurrence_stream(
+            _flat("off_starts"), freqs, block_starts, block_ends, delta=True
+        )
+        lb, lo = codec.encode_occurrence_stream(
+            _flat("off_lens"), freqs, block_starts, block_ends, delta=False
+        )
+        ostart_blobs = [ob[x:y] for x, y in zip(oo[:-1], oo[1:])]
+        olen_blobs = [lb[x:y] for x, y in zip(lo[:-1], lo[1:])]
     block_id = (buckets[block_starts] << blocks_per_bucket_bits) | local
     return pd.DataFrame(
         {
@@ -214,6 +240,8 @@ def _encode_groups(pdf, starts, with_positions, blocks_per_bucket_bits):
                 np.int32
             ),
             "block_cf": np.add.reduceat(freqs, block_starts).astype(np.int64),
+            "off_starts": ostart_blobs,
+            "off_lens": olen_blobs,
         }
     )
 
@@ -228,6 +256,7 @@ def build_segments(
     id_col: str = "doc_id",
     with_positions: bool = True,
     seg_bits: int = 14,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """Local segment build — the reference's per-writer-thread segment
     (`segment_writer.cpp` + `field_data::invert`) as ONE mapInPandas
@@ -251,12 +280,16 @@ def build_segments(
         .sortWithinPartitions("_seg", "doc_id")
     )
     return arranged.mapInArrow(
-        _make_arrow_segment_gen(analyzer, text_col, with_positions, fused=False),
+        _make_arrow_segment_gen(
+            analyzer, text_col, with_positions, fused=False,
+            with_offsets=with_offsets,
+        ),
         POSTINGS_SCHEMA,
     )
 
 
-def _make_arrow_segment_gen(analyzer, text_col, with_positions, fused):
+def _make_arrow_segment_gen(analyzer, text_col, with_positions, fused,
+                            with_offsets=False):
     """Arrow-native partition consumer: walks sorted `_seg` runs with a
     trailing-run carry across batches (zero-copy Table slices), builds
     each segment with _segment_record_batches. Entirely Arrow/numpy —
@@ -289,12 +322,12 @@ def _make_arrow_segment_gen(analyzer, text_col, with_positions, fused):
             for s, e in zip(starts, ends):
                 yield from _segment_record_batches(
                     tbl.slice(int(s), int(e - s)), analyzer, text_col,
-                    with_positions, fused,
+                    with_positions, fused, with_offsets,
                 )
         if pending is not None and pending.num_rows:
             yield from _segment_record_batches(
                 pending.combine_chunks(), analyzer, text_col,
-                with_positions, fused,
+                with_positions, fused, with_offsets,
             )
 
     return gen
@@ -322,7 +355,8 @@ def _empty_strings(n: int) -> pa.StringArray:
 
 
 def _segment_record_batches(
-    seg_tbl: pa.Table, analyzer, text_col, with_positions, fused
+    seg_tbl: pa.Table, analyzer, text_col, with_positions, fused,
+    with_offsets=False,
 ) -> Iterator[pa.RecordBatch]:
     """One segment -> posting-block + norm-block RecordBatches.
 
@@ -346,7 +380,11 @@ def _segment_record_batches(
     texts = seg_tbl.column(text_col)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    ft = analyzer.analyze_flat(texts)
+    ft = (
+        analyzer.analyze_flat_spans(texts)
+        if with_offsets
+        else analyzer.analyze_flat(texts)
+    )
     n_tokens = ft.n_tokens
     # norm blocks: (doc id, dl) runs under the sentinel term, one row
     # per doc INCLUDING dl=0 for zero-token docs — the reference's
@@ -375,6 +413,8 @@ def _segment_record_batches(
                 pa.array(np.full(NB, 1, dtype=np.int32)),
                 pa.array(np.minimum.reduceat(nd_dls, n_bs).astype(np.int32)),
                 pa.array(np.add.reduceat(nd_dls, n_bs).astype(np.int64)),
+                pa.nulls(NB, pa.binary()),
+                pa.nulls(NB, pa.binary()),
             ],
             names=_POSTINGS_COLS,
         )
@@ -419,6 +459,17 @@ def _segment_record_batches(
             row_doc, freqs, row_dl, bs, be, flat_pos_for_enc
         )
     )
+    if with_offsets:
+        # per-occurrence char spans ride the SAME occurrence order as
+        # positions (stable lexsort), encoded as delta starts + raw lens
+        s_starts = ft.starts[order]
+        s_lens = ft.lens[order]
+        ostart_buf, ostart_off = codec.encode_occurrence_stream(
+            s_starts, freqs, bs, be, delta=True
+        )
+        olen_buf, olen_off = codec.encode_occurrence_stream(
+            s_lens, freqs, bs, be, delta=False
+        )
     B = bs.size
     term_arr = pc.take(ft.uniques_arrow, pa.array(row_code[bs]))
     if isinstance(term_arr, pa.ChunkedArray):
@@ -443,6 +494,16 @@ def _segment_record_batches(
             pa.array(np.maximum.reduceat(freqs, bs).astype(np.int32)),
             pa.array(np.minimum.reduceat(row_dl, bs).astype(np.int32)),
             pa.array(np.add.reduceat(freqs, bs).astype(np.int64)),
+            (
+                _binary_from_offsets(ostart_buf, ostart_off)
+                if with_offsets
+                else pa.nulls(B, pa.binary())
+            ),
+            (
+                _binary_from_offsets(olen_buf, olen_off)
+                if with_offsets
+                else pa.nulls(B, pa.binary())
+            ),
         ],
         names=_POSTINGS_COLS,
     )
@@ -536,6 +597,7 @@ def _fused_blocks(
     offsets: dict[int, int],
     seg_of: dict[int, int],
     n_buckets: int,
+    with_offsets: bool = False,
 ) -> DataFrame:
     spark = df.sparkSession
     map_df = spark.createDataFrame(
@@ -553,7 +615,10 @@ def _fused_blocks(
     )
 
     return arranged.mapInArrow(
-        _make_arrow_segment_gen(analyzer, text_col, with_positions, fused=True),
+        _make_arrow_segment_gen(
+            analyzer, text_col, with_positions, fused=True,
+            with_offsets=with_offsets,
+        ),
         POSTINGS_SCHEMA,
     )
 
@@ -598,6 +663,7 @@ def build_index(
     seg_bits: int | None = None,
     n_buckets: int = 1024,
     id_base: int = 0,
+    with_offsets: bool = False,
 ) -> InvertedIndex:
     """End-to-end index build via local segments (see build_segments).
 
@@ -610,6 +676,13 @@ def build_index(
     """
     if isinstance(analyzer, str):
         analyzer = get_analyzer(analyzer)
+    if with_offsets and not analyzer.supports_offsets:
+        raise ValueError(
+            f"analyzer {analyzer.name!r} has no span tokenizer — offsets "
+            "(IndexFeatures OFFS) need whitespace/simple/segmentation"
+        )
+    if with_offsets and not with_positions:
+        raise ValueError("with_offsets requires with_positions")
     if seg_bits is None:
         # segment = unit of build parallelism AND the skew bound: pick
         # 2^10 docs/segment so even small corpora fan out across
@@ -630,11 +703,12 @@ def build_index(
         fused_offsets = offsets
         blocks = _fused_blocks(
             df, sort_key, analyzer, text_col, with_positions, offsets, seg_of,
-            n_buckets,
+            n_buckets, with_offsets=with_offsets,
         )
     else:
         blocks = build_segments(
-            df, analyzer, text_col, id_col, with_positions, seg_bits
+            df, analyzer, text_col, id_col, with_positions, seg_bits,
+            with_offsets=with_offsets,
         )
     blocks.cache()
 
@@ -679,6 +753,7 @@ def build_index(
         term_stats=term_stats,
         field_stats=field_stats,
         with_positions=with_positions,
+        with_offsets=with_offsets,
         analyzer_name=analyzer.name,
         blocks=blocks,
     )

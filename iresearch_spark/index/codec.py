@@ -284,19 +284,44 @@ def encode_blocks_batch_offsets(
     # --- positions stream (delta restart per doc/row)
     pos_buf, pos_blob_off = None, None
     if flat_pos is not None:
-        P = flat_pos.size
-        pos_off = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
-        p = flat_pos.astype(np.uint64)
-        pgaps = np.empty(P, dtype=np.uint64)
-        if P:
-            pgaps[1:] = p[1:] - p[:-1]
-            row_starts_in_pos = pos_off[:-1]
-            pgaps[row_starts_in_pos] = p[row_starts_in_pos]
-        psizes = varint_size(pgaps) if P else np.empty(0, np.int64)
-        poff = np.concatenate(([0], np.cumsum(psizes)))
-        pos_buf = varint_encode(pgaps)
-        pos_blob_off = poff[
-            pos_off[np.concatenate((block_starts, [block_ends[-1]]))]
-        ]
+        pos_buf, pos_blob_off = encode_occurrence_stream(
+            flat_pos, freqs, block_starts, block_ends, delta=True
+        )
 
     return buf, docs_off, dbuf, dls_off, pos_buf, pos_blob_off
+
+
+def encode_occurrence_stream(
+    flat_vals: np.ndarray,
+    freqs: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+    delta: bool = True,
+):
+    """Encode one per-occurrence value stream (positions, offset starts,
+    offset lengths — reference IndexFeatures POS/OFFS,
+    index_features.hpp:50-57) into per-block varint blobs.
+
+    `flat_vals` holds doc1's occurrences then doc2's ...; `freqs` gives
+    per-(term,doc)-row occurrence counts. With `delta`, values are
+    delta-encoded restarting at each row (requires ascending values
+    within a row — true for positions and character starts); without,
+    raw varints (offset lengths). Returns (buf, blob_off[B+1]): block
+    b's blob is buf[blob_off[b]:blob_off[b+1]], contiguous — zero-copy
+    Arrow BinaryArray material."""
+    P = flat_vals.size
+    occ_off = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+    v = flat_vals.astype(np.uint64)
+    if delta:
+        g = np.empty(P, dtype=np.uint64)
+        if P:
+            g[1:] = v[1:] - v[:-1]
+            row_starts = occ_off[:-1]
+            g[row_starts[row_starts < P]] = v[row_starts[row_starts < P]]
+    else:
+        g = v
+    sizes = varint_size(g) if P else np.empty(0, np.int64)
+    off = np.concatenate(([0], np.cumsum(sizes)))
+    buf = varint_encode(g)
+    blob_off = off[occ_off[np.concatenate((block_starts, [block_ends[-1]]))]]
+    return buf, blob_off

@@ -26,6 +26,8 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
     a dedicated id range)."""
     if a.with_positions != b.with_positions:
         raise ValueError("cannot merge indexes with different position settings")
+    if a.with_offsets != b.with_offsets:
+        raise ValueError("cannot merge indexes with different offset settings")
 
     def _strip(df):  # loaded indexes carry the _tb partition column
         return df.drop("_tb") if "_tb" in df.columns else df
@@ -53,33 +55,42 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         term_stats=term_stats,
         field_stats=fs,
         with_positions=a.with_positions,
+        with_offsets=a.with_offsets,
         analyzer_name=a.analyzer_name,
         deleted=deleted,
     )
+
+
+def _reblock_columns(decoded, index: InvertedIndex):
+    """Project decoded rows to the token-row shape build_postings
+    expects, with null placeholders for absent occurrence streams."""
+    cols = [
+        F.col("doc_id"),
+        F.col("term"),
+        F.col("freq"),
+        (
+            F.col("positions")
+            if index.with_positions
+            else F.lit(None).cast("array<int>").alias("positions")
+        ),
+        F.col("dl").cast("int").alias("dl"),
+    ]
+    if index.with_offsets:
+        cols.extend([F.col("off_starts"), F.col("off_lens")])
+    return decoded.select(*cols)
 
 
 def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
     """Rewrite posting blocks into full 128-doc blocks under a (possibly
     coarser) doc-bucket grid: decode -> re-block. One shuffle keyed by
     (term, bucket) — bounded group sizes, skew-proof (SURVEY §3.3)."""
-    decoded = index.decoded_postings(with_positions=index.with_positions)
-    if index.with_positions:
-        decoded = decoded.select(
-            "doc_id",
-            "term",
-            "freq",
-            "positions",
-            F.col("dl").cast("int").alias("dl"),
-        )
-    else:
-        decoded = decoded.select(
-            "doc_id",
-            "term",
-            "freq",
-            F.lit(None).cast("array<int>").alias("positions"),
-            F.col("dl").cast("int").alias("dl"),
-        )
-    postings = build_postings(decoded, index.with_positions, bucket_bits)
+    decoded = index.decoded_postings(
+        with_positions=index.with_positions, with_offsets=index.with_offsets
+    )
+    decoded = _reblock_columns(decoded, index)
+    postings = build_postings(
+        decoded, index.with_positions, bucket_bits, index.with_offsets
+    )
     # the re-encoded blocks still contain deleted docs' postings (decode
     # above is mask-free), so pending deletes must survive as a mask —
     # dropping it here would silently resurrect deleted docs. Callers
@@ -91,6 +102,7 @@ def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         term_stats=index.term_stats,
         field_stats=index.field_stats,
         with_positions=index.with_positions,
+        with_offsets=index.with_offsets,
         analyzer_name=index.analyzer_name,
         deleted=index.deleted,
     )
@@ -105,26 +117,22 @@ def purge_deleted(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
     if index.deleted is None:
         return index
     mask = index.deleted.select("doc_id")
-    decoded = index.decoded_postings(with_positions=index.with_positions)
-    live = decoded.join(mask, "doc_id", "left_anti")
-    if index.with_positions:
-        live = live.select(
-            "doc_id", "term", "freq", "positions",
-            F.col("dl").cast("int").alias("dl"),
-        )
-    else:
-        live = live.select(
-            "doc_id", "term", "freq",
-            F.lit(None).cast("array<int>").alias("positions"),
-            F.col("dl").cast("int").alias("dl"),
-        )
-    postings = build_postings(live, index.with_positions, bucket_bits)
+    decoded = index.decoded_postings(
+        with_positions=index.with_positions, with_offsets=index.with_offsets
+    )
+    live = _reblock_columns(decoded.join(mask, "doc_id", "left_anti"), index)
+    postings = build_postings(
+        live, index.with_positions, bucket_bits, index.with_offsets
+    )
     docs = index.docs.join(mask, "doc_id", "left_anti")
     term_stats = live.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("freq").alias("cf")
     )
+    # BM25's N = docs_with_field (dl>0), matching build_index — the
+    # docs table itself keeps dl=0 rows for AllDocs coverage
     stats_row = docs.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("ttf")
+        F.count(F.when(F.col("dl") > 0, True)).alias("n"),
+        F.sum("dl").alias("ttf"),
     ).collect()[0]
     return InvertedIndex(
         postings=postings,
@@ -135,6 +143,7 @@ def purge_deleted(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
             total_term_freq=int(stats_row["ttf"] or 0),
         ),
         with_positions=index.with_positions,
+        with_offsets=index.with_offsets,
         analyzer_name=index.analyzer_name,
         deleted=None,
     )

@@ -56,6 +56,11 @@ POSTINGS_SCHEMA = T.StructType(
         # per-block total term frequency — lets term_stats (df, cf) be
         # aggregated from block rows without touching token rows
         T.StructField("block_cf", T.LongType(), False),
+        # per-occurrence character spans (reference IndexFeatures OFFS,
+        # index_features.hpp:50-57): start deltas / lengths, varint —
+        # null unless the index was built with_offsets
+        T.StructField("off_starts", T.BinaryType(), True),
+        T.StructField("off_lens", T.BinaryType(), True),
     ]
 )
 
@@ -72,6 +77,11 @@ DECODED_POS_SCHEMA = T.StructType(
     DECODED_SCHEMA.fields
     + [T.StructField("positions", T.ArrayType(T.IntegerType()), True)]
 )
+
+_OFFSET_FIELDS = [
+    T.StructField("off_starts", T.ArrayType(T.IntegerType()), True),
+    T.StructField("off_lens", T.ArrayType(T.IntegerType()), True),
+]
 
 
 @dataclass
@@ -94,6 +104,8 @@ class InvertedIndex:
     field_stats: FieldStats
     with_positions: bool = True
     analyzer_name: str = "simple"
+    # per-occurrence character offsets stored (IndexFeatures OFFS)
+    with_offsets: bool = False
     # delete mask (reference: per-segment deleted-docs bitset applied at
     # read time, index_writer.hpp:376-411; stats stay stale until a
     # consolidation purges the postings — same semantics here)
@@ -149,9 +161,13 @@ class InvertedIndex:
     # ---- decode paths ----------------------------------------------------
 
     def decoded_postings(
-        self, terms: list[str] | None = None, with_positions: bool = False
+        self,
+        terms: list[str] | None = None,
+        with_positions: bool = False,
+        with_offsets: bool = False,
     ) -> DataFrame:
-        """Posting blocks -> (term, doc_id, freq, dl[, positions]) rows.
+        """Posting blocks -> (term, doc_id, freq, dl[, positions]
+        [, off_starts, off_lens]) rows.
 
         The term filter is a pushed-down parquet predicate (check
         `PushedFilters` in .explain); decode is one `mapInArrow` pass —
@@ -169,15 +185,20 @@ class InvertedIndex:
         else:
             df = self.postings
         want_pos = with_positions and self.with_positions
+        want_offs = with_offsets and self.with_offsets
         # ship ONLY what the decoder reads — the JVM->Python transfer is
         # the dominant query-path cost (measured 2x on full rows)
         cols = ["term", "n_docs", "docs", "dls"]
         if want_pos:
             cols.append("positions")
+        if want_offs:
+            cols.extend(["off_starts", "off_lens"])
         df = df.select(*cols)
         schema = DECODED_POS_SCHEMA if want_pos else DECODED_SCHEMA
+        if want_offs:
+            schema = T.StructType(schema.fields + _OFFSET_FIELDS)
         return df.mapInArrow(
-            _make_block_decoder(want_pos), schema
+            _make_block_decoder(want_pos, want_offs), schema
         )
 
     # ---- persistence -----------------------------------------------------
@@ -242,6 +263,7 @@ class InvertedIndex:
             "n_docs": self.field_stats.n_docs,
             "total_term_freq": self.field_stats.total_term_freq,
             "with_positions": self.with_positions,
+            "with_offsets": self.with_offsets,
             "analyzer": self.analyzer_name,
             "has_deleted": self.deleted is not None,
             "term_buckets": term_buckets,
@@ -264,6 +286,7 @@ class InvertedIndex:
                 total_term_freq=manifest["total_term_freq"],
             ),
             with_positions=manifest["with_positions"],
+            with_offsets=manifest.get("with_offsets", False),
             analyzer_name=manifest["analyzer"],
             deleted=(
                 spark.read.parquet(os.path.join(path, "deleted"))
@@ -294,7 +317,7 @@ def _binary_slab(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets
 
 
-def decode_batch_arrays(batch: pa.RecordBatch, want_pos: bool):
+def decode_batch_arrays(batch: pa.RecordBatch, want_pos: bool, want_offs: bool = False):
     """Vectorized batch decode -> numpy arrays, no per-row Python.
 
     Each binary column's blobs form one contiguous Arrow buffer,
@@ -314,7 +337,7 @@ def decode_batch_arrays(batch: pa.RecordBatch, want_pos: bool):
         return None
     names = batch.schema.names
     col = {n: batch.column(names.index(n)) for n in (
-        "term", "n_docs", "docs", "dls", "positions"
+        "term", "n_docs", "docs", "dls", "positions", "off_starts", "off_lens"
     ) if n in names}
     n_docs = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
     total = int(n_docs.sum())
@@ -363,27 +386,39 @@ def decode_batch_arrays(batch: pa.RecordBatch, want_pos: bool):
         "freqs": freqs,
         "dls": dls,
     }
-    if want_pos:
-        pdata, poff = _binary_slab(col["positions"])
-        pvals = codec.varint_decode(pdata[poff[0]:poff[-1]]).astype(np.int64)
+    if want_pos or want_offs:
         doc_pos_start = np.concatenate(([0], np.cumsum(freqs)))
         starts_p = doc_pos_start[:-1]
-        pc_sum = np.cumsum(pvals)
-        pbase = pc_sum[starts_p] - pvals[starts_p]
         powner = np.repeat(np.arange(total), freqs)
         out["pos_offsets"] = doc_pos_start
-        out["pos_values"] = (pc_sum - pbase[powner]).astype(np.int32)
+
+        def _delta_stream(column):
+            data, off = _binary_slab(column)
+            vals = codec.varint_decode(data[off[0]:off[-1]]).astype(np.int64)
+            csum2 = np.cumsum(vals)
+            base2 = csum2[starts_p] - vals[starts_p]
+            return (csum2 - base2[powner]).astype(np.int32)
+
+        if want_pos:
+            out["pos_values"] = _delta_stream(col["positions"])
+        if want_offs:
+            out["off_start_values"] = _delta_stream(col["off_starts"])
+            ldata, loff = _binary_slab(col["off_lens"])
+            out["off_len_values"] = codec.varint_decode(
+                ldata[loff[0]:loff[-1]]
+            ).astype(np.int32)
     return out
 
 
-def _make_block_decoder(want_pos: bool):
-    """Posting blocks -> (term, doc_id, freq, dl[, positions]) rows —
-    decode_batch_arrays wrapped into RecordBatches (term column via
-    Arrow dictionary take; positions a zero-copy ListArray)."""
+def _make_block_decoder(want_pos: bool, want_offs: bool = False):
+    """Posting blocks -> (term, doc_id, freq, dl[, positions]
+    [, off_starts, off_lens]) rows — decode_batch_arrays wrapped into
+    RecordBatches (term column via Arrow dictionary take; occurrence
+    streams zero-copy ListArrays)."""
 
     def decode(batches):
         for batch in batches:
-            d = decode_batch_arrays(batch, want_pos)
+            d = decode_batch_arrays(batch, want_pos, want_offs)
             if d is None:
                 continue
             arrays = [
@@ -401,6 +436,15 @@ def _make_block_decoder(want_pos: bool):
                     )
                 )
                 out_names.append("positions")
+            if want_offs:
+                occ_off = pa.array(d["pos_offsets"].astype(np.int32))
+                arrays.append(
+                    pa.ListArray.from_arrays(occ_off, pa.array(d["off_start_values"]))
+                )
+                arrays.append(
+                    pa.ListArray.from_arrays(occ_off, pa.array(d["off_len_values"]))
+                )
+                out_names.extend(["off_starts", "off_lens"])
             yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return decode

@@ -140,6 +140,41 @@ class SearchEngine:
     def explain(self, query: ast.Node, k: int = 10, mode: str = "exhaustive"):
         self.search(query, k, mode).explain("formatted")
 
+    def highlight(
+        self, terms: list[str], doc_ids: DataFrame | None = None
+    ) -> DataFrame:
+        """Character spans of the given (already-analyzed) terms:
+        (doc_id, term, start, length) per occurrence — the reference's
+        OFFS posting feature (index_features.hpp:50-57) surfaced for
+        highlighting/snippet workloads. Requires an index built with
+        with_offsets=True. `doc_ids` (a DataFrame with a doc_id column,
+        e.g. a top-k result) restricts the decode to those docs."""
+        if not self.index.with_offsets:
+            raise ValueError("index was built without offsets")
+        dec = self.index.decoded_postings(
+            terms=list(terms), with_offsets=True
+        )
+        if doc_ids is not None:
+            dec = dec.join(
+                F.broadcast(doc_ids.select("doc_id")), "doc_id", "left_semi"
+            )
+        dec = self._apply_delete_mask(dec)
+        return dec.select(
+            "doc_id",
+            "term",
+            F.explode(
+                F.arrays_zip(
+                    F.col("off_starts").alias("start"),
+                    F.col("off_lens").alias("length"),
+                )
+            ).alias("_o"),
+        ).select(
+            "doc_id",
+            "term",
+            F.col("_o.start").alias("start"),
+            F.col("_o.length").alias("length"),
+        )
+
     # ------------------------------------------------------ prepare helpers
 
     def _term_dfs(self, terms: list[str]) -> dict[str, int]:
