@@ -77,7 +77,9 @@ def main():
     # production setting: WAND prunes only when the candidate set is
     # big enough to pay for it (sandbox corpora fall back to the
     # exhaustive plan; differential tests force WAND with the default)
-    engine = SearchEngine(idx, wand_min_postings=1 << 16)
+    # preload_stats: term dictionary memory-resident, like the reference's
+    # FST — removes the per-query stats-lookup job (documented opt-in)
+    engine = SearchEngine(idx, wand_min_postings=1 << 16, preload_stats=True)
     # warmup: spin up Python workers / JIT before timed runs
     engine.search(Term("batch"), k=1).collect()
     search_tasks = {

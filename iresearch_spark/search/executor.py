@@ -83,6 +83,7 @@ class SearchEngine:
         scorer: str | object = "bm25",
         scored_terms_limit: int = 1024,
         wand_min_postings: int = 0,
+        preload_stats: bool = False,
     ):
         self.index = index
         self.scorer = get_scorer(scorer) if isinstance(scorer, str) else scorer
@@ -93,6 +94,21 @@ class SearchEngine:
         self.wand_min_postings = wand_min_postings
         self._spark: SparkSession = index.postings.sparkSession
         self._df_cache: dict[str, int] = {}
+        self._stats_preloaded = False
+        if preload_stats:
+            self.preload_stats()
+
+    def preload_stats(self) -> None:
+        """Materialize the whole term_stats table into the driver-side
+        df cache — the analogue of the reference holding its FST term
+        dictionary in memory. Removes the per-query stats-lookup Spark
+        job (one scheduling floor per query) for exact-term queries.
+        Driver memory is vocabulary-sized, so this is OPT-IN: right for
+        repeated-query serving where the vocab fits (10^7 terms ~ a few
+        hundred MB); leave off for one-shot queries on huge vocabs."""
+        for r in self.index.term_stats.select("term", "df").collect():
+            self._df_cache[r["term"]] = r["df"]
+        self._stats_preloaded = True
 
     # ------------------------------------------------------------------ API
 
@@ -179,6 +195,12 @@ class SearchEngine:
 
     def _term_dfs(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]
+        if missing and self._stats_preloaded:
+            # the cache holds the ENTIRE vocabulary — absent terms have
+            # df 0, no Spark round-trip needed
+            for t in missing:
+                self._df_cache[t] = 0
+            missing = []
         if missing:
             rows = (
                 self.index.term_stats.filter(F.col("term").isin(missing))

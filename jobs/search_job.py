@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--mode", default="exhaustive", choices=["exhaustive", "wand"])
     ap.add_argument("--scorer", default="bm25")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--no-preload-stats", action="store_true",
+                    help="skip driver-side term-dictionary preload "
+                    "(use for one-shot queries on huge vocabularies)")
     ap.add_argument(
         "--wand-min-postings", type=int, default=1 << 16,
         help="mode=wand falls back to the exhaustive plan below this "
@@ -74,7 +77,12 @@ def main():
     spark = SparkSession.builder.appName("iresearch-search").getOrCreate()
     idx = InvertedIndex.load(spark, args.index).cache()
     engine = SearchEngine(
-        idx, scorer=args.scorer, wand_min_postings=args.wand_min_postings
+        idx,
+        scorer=args.scorer,
+        wand_min_postings=args.wand_min_postings,
+        # task-set serving: hold the term dictionary driver-side (the
+        # reference's memory-resident FST) — one fewer job per query
+        preload_stats=not args.no_preload_stats,
     )
 
     timings = {}

@@ -102,7 +102,7 @@ for rep in range(reps):
     best = dt if best is None or dt < best else best
 t_build = best
 
-engine = SearchEngine(idx)
+engine = SearchEngine(idx, preload_stats=True)
 engine.search(Term("the"), k=1).collect()  # warmup
 tasks = {
     "HighTerm": Term("ref"), "LowTerm": Term("projectile"),
