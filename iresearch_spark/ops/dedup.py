@@ -151,6 +151,10 @@ def minhash_lsh_pairs(
             "band"
         ),
     )
+    # cache: both sides of the band self-join read `stacked`; without
+    # it the 16-hash signature aggregation over the shingle set runs
+    # twice. (doc_id, band) is 4 rows/doc — cheap to hold at any scale.
+    stacked = stacked.cache()
     a = stacked.alias("a")
     b = stacked.alias("b")
     cand = (
