@@ -148,6 +148,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["exists_lang"] = exists_lang
 
+    # ByNestedFilter analogue: parent = the decade-leader doc (a real
+    # doc id), parents match when >=2 of their children match the term
+    def nested_term(spark, sf_dir):
+        from iresearch_spark.search import Nested
+
+        key = os.path.abspath(sf_dir) + ":nested"
+        if key not in _INDEX_CACHE:
+            src = _docs(spark, sf_dir).withColumn(
+                "parent", (F.floor(F.col("doc_id") / 10) * 10).cast("long")
+            )
+            idx = build_index(
+                src, analyzer="simple", bucket_bits=16,
+                extra_doc_cols=["parent"],
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        eng = SearchEngine(_INDEX_CACHE[key])
+        return _rounded(
+            eng.matches(Nested(Term(HIGH1), parent_col="parent", min_children=2))
+        )
+
+    q["nested_term"] = nested_term
+
+    # OFFS posting feature: per-occurrence character spans
+    def highlight_term(spark, sf_dir):
+        key = os.path.abspath(sf_dir) + ":offs"
+        if key not in _INDEX_CACHE:
+            idx = build_index(
+                _docs(spark, sf_dir), analyzer="simple", bucket_bits=16,
+                with_offsets=True,
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        eng = SearchEngine(_INDEX_CACHE[key])
+        return eng.highlight([HIGH1]).select(
+            "doc_id",
+            "term",
+            F.col("start").cast("long").alias("start"),
+            F.col("length").cast("long").alias("length"),
+        )
+
+    q["highlight_term"] = highlight_term
+
     # --- top-k + WAND (SURVEY §2.5) ---
     q["topk_bm25"] = _topk_q(Or([Term(t) for t in TOPK_TERMS]), k=10)
     q["topk_bm25_wand"] = _topk_q(
@@ -539,6 +584,35 @@ FROM pmatch m JOIN dl d USING (doc_id) CROSS JOIN stats s
     o["exists_lang"] = """
 SELECT doc_id, ROUND(CAST(1.5 AS DOUBLE), 6) AS score
 FROM documents WHERE lang IS NOT NULL
+"""
+    o["nested_term"] = f"""{_CTE},
+child_scores AS (
+  SELECT t.doc_id, SUM({_score()}) AS score
+  FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s
+  JOIN tstats ts ON ts.term = t.term
+  WHERE t.term = '{HIGH1}'
+  GROUP BY t.doc_id
+)
+SELECT CAST((doc_id // 10) * 10 AS BIGINT) AS doc_id,
+       ROUND(SUM(score), 6) AS score
+FROM child_scores GROUP BY 1 HAVING count(*) >= 2
+"""
+    # single-space corpus: char start of token k = sum(len+1) of priors
+    o["highlight_term"] = rf"""
+WITH a AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+p AS (SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS k FROM a),
+c AS (
+  SELECT doc_id, tok,
+         CAST(COALESCE(SUM(len(tok) + 1) OVER (
+           PARTITION BY doc_id ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+         CAST(len(tok) AS BIGINT) AS length
+  FROM p
+)
+SELECT doc_id, tok AS term, start, length FROM c WHERE tok = '{HIGH1}'
 """
     o["boosted_and"] = f"""{_CTE}
 SELECT t.doc_id,
