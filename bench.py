@@ -114,6 +114,20 @@ def main():
         n_queries += 1
         t_search_total += t
 
+    # batched task set: ONE job for all queries (search_many) — the
+    # scheduling floor is paid once, stages run concurrently; this is
+    # the serving-mode throughput number
+    t_batched = min(
+        timed(
+            lambda: engine.search_many(
+                {n: node for n, (node, _) in search_tasks.items()}, k=10
+            ).collect()
+        )[0]
+        for _ in range(repeat)
+    )
+    queries["search_many_12"] = t_batched
+    extra["search_many_qps"] = round(n_queries / t_batched, 2)
+
     t = min(
         timed(
             lambda: dedup.minhash_lsh_pairs(

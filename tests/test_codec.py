@@ -116,3 +116,46 @@ def test_encode_blocks_batch_equivalence():
             flat_pos[pos_off[s] : pos_off[e]], freqs[s:e]
         )
         assert p_blobs[i] == want_pos, i
+
+
+def test_occurrence_stream_roundtrip():
+    """encode_occurrence_stream (positions/offsets) block round-trip:
+    delta and raw modes, random row/block tilings."""
+    import numpy as np
+
+    from iresearch_spark.index import codec
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        n_rows = int(rng.integers(1, 40))
+        freqs = rng.integers(1, 6, size=n_rows).astype(np.int64)
+        total = int(freqs.sum())
+        # ascending-within-row values for delta mode
+        vals = np.concatenate([
+            np.sort(rng.integers(0, 1000, size=f)) for f in freqs
+        ]).astype(np.uint64)
+        # random contiguous block tiling of the rows
+        cuts = np.unique(rng.integers(1, n_rows + 1, size=3))
+        bs = np.concatenate(([0], cuts[cuts < n_rows]))
+        be = np.concatenate((bs[1:], [n_rows]))
+        for delta in (True, False):
+            buf, off = codec.encode_occurrence_stream(
+                vals, freqs, bs, be, delta=delta
+            )
+            occ_off = np.concatenate(([0], np.cumsum(freqs)))
+            out = []
+            for b in range(bs.size):
+                blob = buf[off[b]:off[b + 1]]
+                decoded = codec.varint_decode(blob)
+                if delta:
+                    # per-row segmented cumsum within the block
+                    row_f = freqs[bs[b]:be[b]]
+                    starts = np.concatenate(([0], np.cumsum(row_f)[:-1]))
+                    cs = np.cumsum(decoded.astype(np.int64))
+                    base = cs[starts] - decoded.astype(np.int64)[starts]
+                    owner = np.repeat(np.arange(row_f.size), row_f)
+                    out.append(cs - base[owner])
+                else:
+                    out.append(decoded.astype(np.int64))
+            got = np.concatenate(out) if out else np.empty(0, np.int64)
+            assert np.array_equal(got, vals.astype(np.int64)), (delta, freqs)
