@@ -580,12 +580,45 @@ def _multi_delimiter(delimiters: Sequence[str] = (",", ";"), **_opts) -> Analyze
     return Analyzer("multi_delimiter", _make_chain(tok, lowercase=False))
 
 
+def _pipeline_compose(text: str, stages) -> TokensAndPositions:
+    """Recursive stage composition with the reference's position
+    increment algebra (pipeline_token_stream.cpp:331-347): all position
+    gaps accumulate — a parent step of gap g (tokens skipped upstream,
+    e.g. stopwords) plus a child stream leading gap q0 advance the
+    pipeline position by g + q0 + 1; within one parent token the child
+    stream's own increments apply unchanged; a parent token whose child
+    stream is empty vacates exactly one position (a gap, like a
+    stopword). Trailing child gaps cannot carry (the token-stream
+    representation ends at the last token — same as the reference's
+    increment attribute, which only fires on a following token)."""
+    terms, poss = stages[0].analyze(text)
+    if len(stages) == 1:
+        return terms, poss
+    out_t: list[str] = []
+    out_p: list[int] = []
+    pipe_pos = -1
+    p_last = -1
+    for t, p in zip(terms, poss):
+        cterms, cposs = _pipeline_compose(t, stages[1:])
+        if not cterms:
+            continue
+        pipe_pos = pipe_pos + (p - p_last - 1) + cposs[0] + 1
+        out_t.append(cterms[0])
+        out_p.append(pipe_pos)
+        for j in range(1, len(cterms)):
+            pipe_pos += cposs[j] - cposs[j - 1]
+            out_t.append(cterms[j])
+            out_p.append(pipe_pos)
+        p_last = p
+    return out_t, out_p
+
+
 @_register("pipeline")
 def _pipeline(analyzers: Sequence = (), **_opts) -> Analyzer:
     """Sequential composition (reference pipeline_token_stream.cpp):
-    each upstream token is re-analyzed by the next stage; positions are
-    re-assigned as the running index of the final stream (simplified
-    increment algebra — sufficient for delimiter->text style chains)."""
+    each upstream token is re-analyzed by the next stage; positions
+    follow the reference's accumulated-gap increment algebra (see
+    _pipeline_compose)."""
     stages = [
         get_analyzer(a) if isinstance(a, str) else a for a in analyzers
     ]
@@ -595,13 +628,10 @@ def _pipeline(analyzers: Sequence = (), **_opts) -> Analyzer:
     def run(texts: Sequence[str]) -> list[TokensAndPositions]:
         out = []
         for text in texts:
-            tokens = [text] if text else []
-            for stage in stages:
-                nxt: list[str] = []
-                for t in tokens:
-                    nxt.extend(stage.analyze(t)[0])
-                tokens = nxt
-            out.append((tokens, list(range(len(tokens)))))
+            if not text:
+                out.append(([], []))
+                continue
+            out.append(_pipeline_compose(text, stages))
         return out
 
     return Analyzer("pipeline", run)

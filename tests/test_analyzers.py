@@ -152,3 +152,27 @@ def test_flat_fallback_for_generic_analyzer():
     assert ft.n_tokens.tolist() == [2, 1]
     terms = [ft.uniques[c] for c in ft.codes]
     assert terms == ["run", "run", "cat"]
+
+
+def test_pipeline_position_increment_algebra():
+    """Reference pipeline_token_stream.cpp:331-347 — gaps accumulate
+    across stages."""
+    from iresearch_spark.analysis import get_analyzer
+
+    # delimiter -> simple: positions are the running flat index when
+    # nothing leaves gaps
+    p = get_analyzer("pipeline", analyzers=[
+        get_analyzer("delimiter", delimiter=","), "simple",
+    ])
+    assert p.analyze("a b,c") == (["a", "b", "c"], [0, 1, 2])
+    # child stream with a LEADING gap (stopword at child position 0):
+    # the gap carries into the pipeline positions
+    stop = get_analyzer("stopwords", stopwords=["x"])
+    p2 = get_analyzer("pipeline", analyzers=[
+        get_analyzer("delimiter", delimiter=","), stop,
+    ])
+    assert p2.analyze("x a,b") == (["a", "b"], [1, 2])
+    # parent token whose child stream is EMPTY vacates one position
+    assert p2.analyze("a,x,b") == (["a", "b"], [0, 2])
+    # parent-level gap + child-level gap accumulate
+    assert p2.analyze("a,x x,x b") == (["a", "b"], [0, 3])
