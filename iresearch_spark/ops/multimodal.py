@@ -93,6 +93,59 @@ def feature_extract(
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Image payloads -> resized payloads, Arrow-batched, no shuffle
+    (payloads processed where they live). The decode+resample is the
+    stubbed step: the fake emits a deterministic byte subsample sized
+    width*height (so downstream size accounting is exercised for real);
+    swap `_decode_image_impl` + a resampler in production."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            outs, oks = [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    outs.append(None)
+                    oks.append(False)
+                    continue
+                if use_real_decoder:
+                    _decode_image_impl(payload)  # pragma: no cover
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                idx = (np.arange(target) * max(len(arr), 1) // max(target, 1)) % max(len(arr), 1)
+                outs.append(arr[idx].tobytes())
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": outs,
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "ok": oks,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled timestamp
     (the decode itself is the stubbed step). Demonstrates the explode

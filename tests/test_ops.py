@@ -246,3 +246,20 @@ def test_ngram_jaccard_skew_guard(spark):
         ).collect()
     }
     assert exact[(0, 1)] == 1.0
+
+
+def test_resize_images(spark):
+    rows = [
+        (1, "image", b"0123456789abcdef", "image/x-raw", 4, 4, None),
+        (2, "image", None, None, None, None, None),
+        (3, "video", b"zz", "video/x-raw", None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.resize_images(media, 2, 3).collect()}
+    assert set(got) == {1, 2}  # video rows filtered out
+    assert got[1]["ok"] and len(got[1]["payload"]) == 6
+    assert got[1]["width"] == 2 and got[1]["height"] == 3
+    assert not got[2]["ok"] and got[2]["payload"] is None
+    # deterministic: same input -> same bytes
+    again = {r["media_id"]: r for r in multimodal.resize_images(media, 2, 3).collect()}
+    assert again[1]["payload"] == got[1]["payload"]
