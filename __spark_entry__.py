@@ -195,6 +195,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- top-k + WAND (SURVEY §2.5) ---
     q["topk_bm25"] = _topk_q(Or([Term(t) for t in TOPK_TERMS]), k=10)
+
+    # batched multi-query top-k: ONE DataFrame job for the whole set
+    def search_many_topk(spark, sf_dir):
+        eng = _engine(spark, sf_dir)
+        out = eng.search_many(
+            {
+                "single_high": Term(HIGH1),
+                "or4": Or([Term(t) for t in TOPK_TERMS]),
+                "and2": And([Term(HIGH1), Term(HIGH2)]),
+            },
+            k=5,
+        )
+        return out.select("query", "doc_id", F.round("score", 6).alias("score"))
+
+    q["search_many_topk"] = search_many_topk
     q["topk_bm25_wand"] = _topk_q(
         Or([Term(t) for t in TOPK_TERMS]), k=10, mode="wand"
     )
@@ -625,6 +640,33 @@ GROUP BY t.doc_id HAVING count(DISTINCT t.term) = 2
     topk_body = _match_sql(f"t.term IN {_in(TOPK_TERMS)}").rstrip()
     o["topk_bm25"] = (
         topk_body + f"\nORDER BY SUM({_score()}) DESC, t.doc_id ASC LIMIT 10\n"
+    )
+
+    def _tagged_topk(tag: str, pred: str, having: str = "", k: int = 5) -> str:
+        # body only — the shared _CTE is prepended once at the top level
+        return f"""SELECT '{tag}' AS query, doc_id, score FROM (
+SELECT t.doc_id, ROUND(SUM({_score()}), 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s
+JOIN tstats ts ON ts.term = t.term
+WHERE {pred}
+GROUP BY t.doc_id {having}
+ORDER BY SUM({_score()}) DESC, t.doc_id ASC LIMIT {k}
+)"""
+
+    o["search_many_topk"] = (
+        _CTE
+        + "\n"
+        + "\nUNION ALL\n".join(
+            [
+                _tagged_topk("single_high", f"t.term = '{HIGH1}'"),
+                _tagged_topk("or4", f"t.term IN {_in(TOPK_TERMS)}"),
+                _tagged_topk(
+                    "and2",
+                    f"t.term IN {_in([HIGH1, HIGH2])}",
+                    having="HAVING count(DISTINCT t.term) = 2",
+                ),
+            ]
+        )
     )
     o["topk_bm25_wand"] = o["topk_bm25"]
     o["topk_single_wand"] = (
