@@ -30,6 +30,7 @@ from iresearch_spark.search import (
     Exists,
     Fuzzy,
     Not,
+    NumericRange,
     Or,
     Phrase,
     Prefix,
@@ -132,21 +133,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # variadic phrase: prefix slot (phrase_filter.cpp:75-121)
     q["phrase_prefix"] = _match_q(Phrase([Prefix("s"), MED1]))
 
-    # by_column_existence as a query node over a stored column
-    def exists_lang(spark, sf_dir):
-        key = os.path.abspath(sf_dir) + ":exists"
+    # stored-column query nodes (by_column_existence / by_granular_range)
+    def _meta_engine(spark, sf_dir):
+        key = os.path.abspath(sf_dir) + ":meta"
         if key not in _INDEX_CACHE:
             idx = build_index(
                 _docs(spark, sf_dir), analyzer="simple", bucket_bits=16,
-                extra_doc_cols=["lang"],
+                extra_doc_cols=["lang", "n_chars"],
             )
             idx.cache()
             idx.postings.count()
             _INDEX_CACHE[key] = idx
-        eng = SearchEngine(_INDEX_CACHE[key])
-        return _rounded(eng.matches(Exists("lang", boost=1.5)))
+        return SearchEngine(_INDEX_CACHE[key])
 
-    q["exists_lang"] = exists_lang
+    q["exists_lang"] = lambda s, d: _rounded(
+        _meta_engine(s, d).matches(Exists("lang", boost=1.5))
+    )
+    # numeric range as a composable leaf: constant score, predicate on
+    # the stored column (the Spark path that replaces granular trie terms)
+    q["numeric_range"] = lambda s, d: _rounded(
+        _meta_engine(s, d).matches(
+            NumericRange("n_chars", 100, 200, include_max=False, boost=2.0)
+        )
+    )
 
     # ByNestedFilter analogue: parent = the decade-leader doc (a real
     # doc id), parents match when >=2 of their children match the term
@@ -599,6 +608,10 @@ FROM pmatch m JOIN dl d USING (doc_id) CROSS JOIN stats s
     o["exists_lang"] = """
 SELECT doc_id, ROUND(CAST(1.5 AS DOUBLE), 6) AS score
 FROM documents WHERE lang IS NOT NULL
+"""
+    o["numeric_range"] = """
+SELECT doc_id, ROUND(CAST(2.0 AS DOUBLE), 6) AS score
+FROM documents WHERE n_chars >= 100 AND n_chars < 200
 """
     o["nested_term"] = f"""{_CTE},
 child_scores AS (

@@ -206,6 +206,35 @@ class Exists(Node):
 
 
 @dataclass(frozen=True)
+class NumericRange(Node):
+    """Docs whose stored numeric column lies in [min_val, max_val],
+    constant score = boost (reference `by_granular_range`,
+    granular_range_filter.cpp — its multi-granularity trie terms exist
+    only to make numeric ranges cheap over a term dictionary; on Spark
+    a numeric predicate over a stored column IS the cheap path, pushed
+    to the parquet scan). Composable inside booleans like any leaf.
+    Requires the index to carry the column via extra_doc_cols."""
+
+    column: str
+    min_val: float | int | None = None
+    max_val: float | int | None = None
+    include_min: bool = True
+    include_max: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Cached(Node):
+    """Caches the wrapped query's materialized (doc_id, score) result
+    across repeated executions within one engine (reference
+    `proxy_filter`, proxy_filter.cpp — a bitset cache for expensive
+    filters re-run per commit)."""
+
+    child: Node
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Nested(Node):
     """Parent/child block join (reference `ByNestedFilter`,
     nested_filter.hpp:33-94): a parent doc matches when the number of

@@ -94,6 +94,7 @@ class SearchEngine:
         self.wand_min_postings = wand_min_postings
         self._spark: SparkSession = index.postings.sparkSession
         self._df_cache: dict[str, int] = {}
+        self._proxy_cache: dict = {}  # Cached-node materialized results
         self._stats_preloaded = False
         if preload_stats:
             self.preload_stats()
@@ -488,6 +489,41 @@ class SearchEngine:
             return self.index.docs.filter(
                 F.col(node.column).isNotNull()
             ).select("doc_id", F.lit(float(node.boost * boost)).alias("score"))
+        if isinstance(node, ast.NumericRange):
+            if node.column not in self.index.docs.columns:
+                raise ValueError(
+                    f"docs table has no column {node.column!r}; build the "
+                    "index with extra_doc_cols=[...] to store it"
+                )
+            col = F.col(node.column)
+            pred = col.isNotNull()
+            if node.min_val is not None:
+                pred = pred & (
+                    col >= node.min_val if node.include_min else col > node.min_val
+                )
+            if node.max_val is not None:
+                pred = pred & (
+                    col <= node.max_val if node.include_max else col < node.max_val
+                )
+            return self.index.docs.filter(pred).select(
+                "doc_id", F.lit(float(node.boost * boost)).alias("score")
+            )
+        if isinstance(node, ast.Cached):
+            key = node.child
+            if key not in self._proxy_cache:
+                # materialize + cache the child's result once; later
+                # executions reuse the in-memory (doc_id, score) table
+                # (the reference's proxy_filter bitset cache)
+                df = self._eval(node.child, 1.0).cache()
+                df.count()
+                self._proxy_cache[key] = df
+            cached = self._proxy_cache[key]
+            b = float(node.boost * boost)
+            if b == 1.0:
+                return cached
+            return cached.select(
+                "doc_id", (F.col("score") * F.lit(b)).alias("score")
+            )
         if isinstance(node, ast.Nested):
             return self._eval_nested(node, boost)
         if isinstance(node, ast.NgramSimilarity):

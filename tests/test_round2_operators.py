@@ -262,3 +262,37 @@ def test_bm1_scorer(idx):
 
     with _pytest.raises(ValueError):
         get_scorer("bm1", k=2.0)
+
+
+def test_numeric_range(spark):
+    from iresearch_spark.search import NumericRange
+
+    rows = [(0, "a", 10), (1, "b", 20), (2, "c", 30), (3, "d", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, nc long")
+    ix = build_index(df, analyzer="simple", bucket_bits=7,
+                     extra_doc_cols=["nc"])
+    eng = SearchEngine(ix)
+    got = _scores(eng.matches(NumericRange("nc", 10, 30, include_max=False,
+                                           boost=2.0)))
+    assert got == {0: 2.0, 1: 2.0}
+    # composable inside booleans: constant score sums with term score
+    both = _scores(eng.matches(And([Term("b"), NumericRange("nc", 15, 25)])))
+    assert set(both) == {1}
+
+
+def test_cached_proxy(spark):
+    from iresearch_spark.search import Cached
+
+    rows = [(i, "x" if i % 2 else "x y") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ix = build_index(df, analyzer="simple", bucket_bits=7)
+    eng = SearchEngine(ix)
+    node = Cached(Term("y"))
+    a = _scores(eng.matches(node))
+    assert len(eng._proxy_cache) == 1
+    b = _scores(eng.matches(node))          # second run hits the cache
+    assert a == b and set(a) == {0, 2, 4}
+    boosted = _scores(eng.matches(Cached(Term("y"), boost=3.0)))
+    for d in a:
+        assert math.isclose(boosted[d], 3.0 * a[d], rel_tol=1e-12)
+    assert len(eng._proxy_cache) == 1       # same child -> same entry
