@@ -131,28 +131,126 @@ class SearchEngine:
         mode: str = "exhaustive",
     ) -> DataFrame:
         """Batched top-k for MANY queries as ONE DataFrame job:
-        (query, doc_id, score), each query's rows already top-k ordered.
+        (query, doc_id, score), rows ordered (query, score desc,
+        doc_id asc). Results per query are identical to `search()`.
 
         Query THROUGHPUT (the reference benchmark's q/s metric,
         scripts/search-benchmark.sh) on Spark is bounded by the
-        ~0.3s/job scheduling floor when queries run one at a time; a
-        union of per-query top-k subplans pays that floor ONCE and runs
-        every query's stages concurrently across the cluster — wall
-        time ~= the slowest single query, not the sum. Per-query plans
-        (and results) are identical to `search()`.
-        """
-        parts = []
-        for name, node in queries.items():
-            topk = self.search(node, k=k, mode=mode)
-            parts.append(topk.select(F.lit(name).alias("query"), "doc_id", "score"))
-        if not parts:
+        ~0.3s/job scheduling floor when queries run one at a time.
+        Plain-term queries (Term / And / Or-of-Terms, sum merge, no
+        exclusions) additionally share ONE fused postings scan over the
+        union of all their terms: the scan emits raw per-(term, doc)
+        factors once, a broadcast (term, query, c0) fan-out assigns
+        them to queries, and one groupBy + one window produce every
+        query's top-k — one pass over the candidate postings no matter
+        how many queries. Other shapes fall back to unioned per-query
+        subplans (still one job)."""
+        if not queries:
             return self._spark.createDataFrame(
                 [], "query string, doc_id long, score double"
             )
+        batched: dict[str, ast.Node] = {}
+        rest: dict[str, ast.Node] = {}
+        if mode == "exhaustive":
+            for name, node in queries.items():
+                norm = planner.normalize(node)
+                if self._batchable(norm) is not None:
+                    batched[name] = norm
+                else:
+                    rest[name] = node
+        else:
+            rest = dict(queries)
+        parts = []
+        if batched:
+            parts.append(self._search_many_shared(batched, k))
+        for name, node in rest.items():
+            topk = self.search(node, k=k, mode=mode)
+            parts.append(topk.select(F.lit(name).alias("query"), "doc_id", "score"))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return out.orderBy("query", F.desc("score"), F.asc("doc_id"))
+
+    def _batchable(self, norm: ast.Node):
+        """(children, required, boost) when the normalized node fits the
+        shared-scan batch shape, else None: Term, or And/Or of distinct
+        Terms with sum merge and no exclusions."""
+        if isinstance(norm, ast.Term):
+            return ([norm], 1, 1.0)
+        if (
+            isinstance(norm, (ast.And, ast.Or))
+            and norm.merge_type == "sum"
+            and all(isinstance(c, ast.Term) for c in norm.children)
+            and len({c.term for c in norm.children}) == len(norm.children)
+        ):
+            req = (
+                len(norm.children)
+                if isinstance(norm, ast.And)
+                else norm.min_match
+            )
+            return (list(norm.children), req, norm.boost)
+        return None
+
+    def _search_many_shared(self, batched: dict[str, ast.Node], k: int) -> DataFrame:
+        all_terms: list[str] = []
+        for node in batched.values():
+            for c, _, _ in [self._batchable(node)]:
+                all_terms.extend(t.term for t in c)
+        uniq = list(dict.fromkeys(all_terms))
+        dfs = self._term_dfs(uniq)
+        leaf_of = {t: i for i, t in enumerate(uniq)}
+        # ONE fused scan over the union of terms, emitting the RAW
+        # per-(term, doc) factor g(tf, dl) tagged with the term index
+        weights = {t: 1.0 for t in uniq}
+        blocks = self.index.postings_for_terms(uniq)
+        slim = blocks.select("term", "n_docs", "docs", "dls").repartition(
+            self._spark.sparkContext.defaultParallelism
+        )
+        fused = _make_fused_scorer(
+            weights, self._scorer_params(), None, leaf_of=leaf_of
+        )
+        factors = slim.mapInArrow(fused, LEAF_RESULT_SCHEMA)
+        # broadcast fan-out: (term index, query, c0) — c0 folds the
+        # query/child boosts and idf per (query, term)
+        rows = []
+        for name, node in batched.items():
+            children, req, boost = self._batchable(node)
+            for c in children:
+                rows.append(
+                    (
+                        leaf_of[c.term],
+                        name,
+                        float(self._c0(dfs[c.term], boost * c.boost)),
+                        int(req),
+                    )
+                )
+        memb = self._spark.createDataFrame(
+            rows, "_leaf int, query string, _c0 double, _req int"
+        )
+        merged = (
+            factors.join(F.broadcast(memb), "_leaf")
+            .groupBy("query", "doc_id")
+            .agg(
+                F.sum(F.col("_c0") * F.col("score")).alias("score"),
+                F.count(F.lit(1)).alias("_cnt"),
+                F.first("_req").alias("_req"),
+            )
+            .filter(F.col("_cnt") >= F.col("_req"))
+        )
+        if self.index.deleted is not None:
+            merged = merged.join(
+                self.index.deleted.select("doc_id"), "doc_id", "left_anti"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            merged.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("query", "doc_id", "score")
+        )
 
     def explain(self, query: ast.Node, k: int = 10, mode: str = "exhaustive"):
         self.search(query, k, mode).explain("formatted")

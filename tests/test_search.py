@@ -218,3 +218,49 @@ def test_search_many_matches_individual(spark):
             for r in eng.search(node, k=5).collect()
         ]
         assert sorted(batched.get(name, [])) == sorted(want), name
+
+
+def test_search_many_shared_scan_matches_per_query(spark):
+    """The shared-scan batch path must produce exactly search()'s
+    results for every query shape it accepts — and fall back cleanly
+    for the rest (phrase, exclusions, non-sum merges)."""
+    from iresearch_spark.index.builder import build_index
+    from iresearch_spark.search import And, Not, Or, Phrase, SearchEngine, Term
+
+    rows = [
+        (i, " ".join(
+            ["alpha"] * (1 + i % 3)
+            + (["beta"] if i % 2 else [])
+            + (["gamma", "delta"] if i % 5 == 0 else ["epsilon"])
+        ))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ix = build_index(df, analyzer="simple", bucket_bits=7)
+    eng = SearchEngine(ix)
+    queries = {
+        "t": Term("alpha", boost=2.0),
+        "and": And([Term("alpha"), Term("beta")]),
+        "or_mm": Or([Term("beta"), Term("gamma"), Term("delta")], min_match=2),
+        "boosted": Or([Term("alpha", boost=0.5), Term("epsilon")], boost=3.0),
+        "phrase": Phrase(["gamma", "delta"]),          # fallback path
+        "not": And([Term("alpha"), Not(Term("beta"))]),  # fallback path
+        "maxm": Or([Term("alpha"), Term("beta")], merge_type="max"),  # fallback
+    }
+    got = {}
+    for r in eng.search_many(queries, k=7).collect():
+        got.setdefault(r["query"], []).append((r["doc_id"], round(r["score"], 9)))
+    for name, node in queries.items():
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search(node, k=7).collect()
+        ]
+        assert got.get(name, []) == want, name
+    # deleted docs excluded on the shared path too
+    masked = SearchEngine(ix.delete_docs(
+        spark.createDataFrame([(0,), (5,)], "doc_id long")
+    ))
+    got2 = {}
+    for r in masked.search_many({"t": Term("alpha")}, k=7).collect():
+        got2.setdefault(r["query"], []).append(r["doc_id"])
+    assert 0 not in got2["t"] and 5 not in got2["t"]
