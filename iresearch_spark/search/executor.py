@@ -99,6 +99,15 @@ class SearchEngine:
         if preload_stats:
             self.preload_stats()
 
+    def close(self) -> None:
+        """Release engine-held caches (Cached-node materializations)."""
+        for df in self._proxy_cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._proxy_cache.clear()
+
     def preload_stats(self) -> None:
         """Materialize the whole term_stats table into the driver-side
         df cache — the analogue of the reference holding its FST term
