@@ -230,6 +230,16 @@ corpus size is dominated by the Spark job-scheduling floor (~0.3s per
 job), not compute; the docs/sec build number is the throughput-bound
 measurement.
 
+**Stage-level CPU-inflation attribution**
+(`tools/profile_inflation.py` — rerunnable): decomposing the build at
+8 vs 32 cores shows the Arrow tokenizer (~70% of total CPU) does NOT
+inflate with parallelism (0.86x, flat within noise); the CPU-inflation
+above concentrates in the shuffle/IPC machinery (JVM exchange + Python
+worker fan-out, ~2.1x on a small absolute base) — kernel/contention
+overhead of one shared box, spread across machines and NICs on a real
+N->4N executor cluster. No algorithmic work inflation in the build
+itself.
+
 **Host-ceiling control experiment**
 (`tools/host_ceiling_control.py` — rerunnable): a trivially parallel
 pure-Python tokenization benchmark (multiprocessing.Pool — no Spark,
@@ -248,6 +258,11 @@ north rule describes — the build is embarrassingly parallel by
 construction (hash-partitioned segments, one shuffle, no driver
 round-trips), so the efficiency bound is the shuffle fan-in, not a
 shared bus.
+
+**Canonical throughput number**: {r32["docs_per_sec"]} docs/s (this
+file's protocol: {n_pages} pages, local[32], best-of-3). This file is
+the ONE authoritative throughput record; any other figure in the repo
+cites it.
 
 ```json
 {json.dumps(raw, indent=1)}
