@@ -201,10 +201,10 @@ class SearchEngine:
         return None
 
     def _search_many_shared(self, batched: dict[str, ast.Node], k: int) -> DataFrame:
-        all_terms: list[str] = []
-        for node in batched.values():
-            for c, _, _ in [self._batchable(node)]:
-                all_terms.extend(t.term for t in c)
+        shapes = {name: self._batchable(node) for name, node in batched.items()}
+        all_terms = [
+            t.term for children, _, _ in shapes.values() for t in children
+        ]
         uniq = list(dict.fromkeys(all_terms))
         dfs = self._term_dfs(uniq)
         leaf_of = {t: i for i, t in enumerate(uniq)}
@@ -222,8 +222,7 @@ class SearchEngine:
         # broadcast fan-out: (term index, query, c0) — c0 folds the
         # query/child boosts and idf per (query, term)
         rows = []
-        for name, node in batched.items():
-            children, req, boost = self._batchable(node)
+        for name, (children, req, boost) in shapes.items():
             for c in children:
                 rows.append(
                     (
