@@ -279,7 +279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
-    # approximate variants: no SQL oracle (driver records rows-only check)
     q["ann_lsh_topk"] = lambda s, d: similarity.lsh_topk(
         _emb(s, d), k=3, n_bits=6
     ).select(
@@ -288,6 +287,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+    q["ann_lsh_multiprobe"] = lambda s, d: similarity.lsh_topk(
+        _emb(s, d), k=3, n_bits=6, multi_probe=True
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    # banded multi-table LSH near-dup pairs (the 100 TB path of
+    # embedding_dup_pairs) — deterministic, oracle-replayed
+    q["embedding_dup_pairs"] = lambda s, d: dedup.embedding_dup_pairs(
+        _emb(s, d), threshold=0.3, method="lsh", n_bits=4, n_tables=4
+    ).select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
     # --- ngram-sequence similarity query node (SURVEY §2.2
     # by_ngram_similarity; LCS ratio — no SQL oracle, rows-only) ---
     def ngram_similarity_query(spark, sf_dir):
@@ -835,6 +847,79 @@ r2 AS (
 )
 SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS BIGINT) AS rank
 FROM r2 WHERE rk <= 3
+"""
+    # multi-probe = all buckets within Hamming distance 1 of the query's
+    # signature; the oracle uses the equivalent (small-scale) cross
+    # formulation bit_count(xor) <= 1 over the same replayed signatures
+    o["ann_lsh_multiprobe"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (
+  SELECT vec_id, generate_subscripts(e, 1) AS dim,
+         CAST(round(unnest(e) * 1000000) AS BIGINT) AS r
+  FROM v
+),
+signs(bit, dim, sgn) AS (VALUES {sign_rows}),
+dots AS (
+  SELECT q.vec_id, s.bit, SUM(q.r * s.sgn) AS dot
+  FROM q JOIN signs s ON s.dim = q.dim GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS sig
+  FROM dots GROUP BY 1
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(va.e, vb.e) AS c
+  FROM sig a JOIN sig b
+    ON bit_count(xor(a.sig, b.sig)) <= 1 AND a.vec_id <> b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+),
+r2 AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+FROM r2 WHERE rk <= 3
+"""
+    # banded multi-table LSH dup pairs: table t = bits [t*4, t*4+4) of
+    # ONE 16-row sign matrix; candidates share any (table, signature)
+    dp_bits, dp_tables = 4, 4
+    dp_signs = hyperplane_sign_matrix(dp_bits * dp_tables, dims)
+    dp_rows = ", ".join(
+        f"({i}, {d + 1}, {dp_signs[i][d]})"
+        for i in range(dp_bits * dp_tables)
+        for d in range(dims)
+    )
+    o["embedding_dup_pairs"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (
+  SELECT vec_id, generate_subscripts(e, 1) AS dim,
+         CAST(round(unnest(e) * 1000000) AS BIGINT) AS r
+  FROM v
+),
+signs(bit, dim, sgn) AS (VALUES {dp_rows}),
+dots AS (
+  SELECT q.vec_id, s.bit, SUM(q.r * s.sgn) AS dot
+  FROM q JOIN signs s ON s.dim = q.dim GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id, bit // {dp_bits} AS tbl,
+         SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << (bit % {dp_bits}) ELSE 0 END) AS sig
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, ROUND(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+FROM cand
+JOIN v va ON va.vec_id = cand.doc_a
+JOIN v vb ON vb.vec_id = cand.doc_b
+WHERE list_cosine_similarity(va.e, vb.e) >= 0.3
 """
     # IVF is deterministic too: centroids = the n_centroids ids with the
     # lowest seeded md5 hash, assignment/probing by cosine with

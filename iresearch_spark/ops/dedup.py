@@ -20,9 +20,35 @@ distributed formulation of the same capability.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from iresearch_spark.ops.hashing import hash60, seeded_hash60
+
+_log = logging.getLogger(__name__)
+
+# DataFrames .cache()d by ops in this module, so repeated calls in a
+# long-lived session don't accumulate storage: each new op call first
+# releases the previous call's caches (they only ever speed up a
+# result the caller has typically already materialized), and
+# `release_caches()` gives callers an explicit hook (the same concern
+# SearchEngine.close() covers for query caches).
+_active_caches: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by prior dedup-op calls."""
+    while _active_caches:
+        try:
+            _active_caches.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _active_caches.append(df)
+    return df
 
 
 def exact_duplicates(
@@ -131,12 +157,11 @@ def minhash_lsh_pairs(
     collapsed by exact_duplicates first.
     """
     rows = num_hashes // bands
+    release_caches()  # previous calls' caches are stale by now
     # cache: the distinct-shingle set feeds the signature aggregation
-    # AND both sides of the exact-verify join — computed once. The
-    # cache entry lives until the returned DataFrame is GC'd (Spark's
-    # ContextCleaner); long-lived sessions looping over this op should
-    # drop references promptly or call spark.catalog.clearCache()
-    sh = _shingles(df, text_col, id_col, n).cache()
+    # AND both sides of the exact-verify join — computed once. Released
+    # by the next dedup-op call or an explicit release_caches().
+    sh = _register_cache(_shingles(df, text_col, id_col, n).cache())
     sigs = _signatures_from_shingles(sh, num_hashes, hash_family)
     band_cols = [
         F.concat_ws(
@@ -153,8 +178,9 @@ def minhash_lsh_pairs(
     )
     # cache: both sides of the band self-join read `stacked`; without
     # it the 16-hash signature aggregation over the shingle set runs
-    # twice. (doc_id, band) is 4 rows/doc — cheap to hold at any scale.
-    stacked = stacked.cache()
+    # twice. (doc_id, band) is 4 rows/doc — cheap to hold at any scale;
+    # released by the next dedup-op call or release_caches().
+    stacked = _register_cache(stacked.cache())
     a = stacked.alias("a")
     b = stacked.alias("b")
     cand = (
@@ -200,6 +226,18 @@ def ngram_jaccard_pairs(
     # sharing a dropped shingle and never over-counts (no false pairs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     if max_shingle_df is not None:
+        # no-silent-caps: this default guard can under-count Jaccard
+        # for pairs sharing a >df shingle — surface it once per call
+        # (counting the dropped shingles would cost an extra action;
+        # the audit query below is exact when needed)
+        _log.warning(
+            "ngram_jaccard_pairs: skew guard active — shingles with "
+            "df > %d are excluded from intersections (Jaccard can only "
+            "under-count; pass max_shingle_df=None for exact semantics; "
+            "audit dropped shingles via "
+            "minhash-style sh.groupBy('shingle').count())",
+            max_shingle_df,
+        )
         rare = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
@@ -310,24 +348,60 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    method: str = "auto",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    exact_max_rows: int = 20_000,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold, a < b.
+    """Embedding near-dup pairs: cosine >= threshold, doc_a < doc_b.
 
-    Brute-force formulation (exact): self-join + JVM-side dot product
-    via zip_with/aggregate. At 100 TB scale swap the join for
-    `similarity.lsh_bucket_candidates` (same verify step).
+    method:
+      'lsh'   (the 100 TB path) candidates from
+              `similarity.lsh_bucket_candidates` — banded multi-table
+              hyperplane LSH, so the only pair-touching join is a
+              bucket equi-join on (table, signature); each candidate
+              is then exact-cosine verified. Recall ~1-(1-p^n_bits)^
+              n_tables (p = 1 - arccos(threshold)/pi) — raise
+              n_tables toward 1.0. Deterministic, oracle-replayable.
+      'exact' brute-force self-join + JVM-side dot product — the
+              correctness oracle tier, quadratic; refuse it beyond
+              small corpora.
+      'auto'  'exact' up to `exact_max_rows` input rows (one cheap
+              column-pruned count), else 'lsh'.
     """
-    from iresearch_spark.ops.similarity import cosine_expr, with_norm
+    from iresearch_spark.ops.similarity import (
+        cosine_expr,
+        lsh_bucket_candidates,
+        with_norm,
+    )
 
+    if method == "auto":
+        method = "exact" if emb.count() <= exact_max_rows else "lsh"
     v = with_norm(emb, vec_col, id_col)
-    a = v.alias("a")
-    b = v.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
+    if method == "lsh":
+        cand = lsh_bucket_candidates(
+            emb, n_bits=n_bits, n_tables=n_tables,
+            vec_col=vec_col, id_col=id_col,
+        )
+        a = v.alias("a")
+        b = v.alias("b")
+        pairs = (
+            cand.join(a, cand["id_a"] == F.col("a.id"))
+            .join(b, cand["id_b"] == F.col("b.id"))
+            .select(
+                F.col("a.id").alias("doc_a"),
+                F.col("b.id").alias("doc_b"),
+                cosine_expr("a", "b").alias("cosine"),
+            )
+        )
+    elif method == "exact":
+        a = v.alias("a")
+        b = v.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
             cosine_expr("a", "b").alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
-    )
+    else:
+        raise ValueError("method must be 'auto', 'lsh', or 'exact'")
+    return pairs.filter(F.col("cosine") >= threshold)

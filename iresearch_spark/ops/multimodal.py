@@ -121,7 +121,9 @@ def resize_images(
         for pdf in batches:
             outs, oks = [], []
             for payload in pdf["payload"]:
-                if payload is None:
+                # zero-length payloads are undecodable like nulls — an
+                # empty arr would make arr[idx] fail the whole batch
+                if payload is None or len(payload) == 0:
                     outs.append(None)
                     oks.append(False)
                     continue

@@ -21,6 +21,24 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from iresearch_spark.ops.hashing import seeded_hash60
 
+# Same cache-lifecycle contract as ops.dedup: each op call releases the
+# previous call's caches; release_caches() is the explicit hook.
+_active_caches: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by prior similarity-op calls."""
+    while _active_caches:
+        try:
+            _active_caches.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _active_caches.append(df)
+    return df
+
 
 def with_norm(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """(id, vec double[], norm) — cast once, precompute L2 norm."""
@@ -145,22 +163,154 @@ def hyperplane_signature(
     return quant.select("id", "vec", "norm", sig.alias("sig"))
 
 
+def _resolve_dims(emb: DataFrame, vec_col: str) -> int:
+    row = emb.select(F.size(F.col(vec_col)).alias("n")).first()
+    return int(row["n"]) if row is not None else 0
+
+
+def multi_signatures(
+    emb: DataFrame,
+    n_bits: int,
+    n_tables: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = None,
+) -> DataFrame:
+    """`n_tables` independent random-hyperplane signatures per vector
+    (the banded / multi-table LSH construction): table t's bits come
+    from rows [t*n_bits, (t+1)*n_bits) of ONE
+    `hyperplane_sign_matrix(n_tables*n_bits, dims)` — table 0 is
+    bit-identical to `hyperplane_signature(n_bits=...)`. Same integer
+    quantization, so every signature is engine-exact and
+    oracle-replayable.
+
+    Returns (id, vec, norm, sig_0..sig_{n_tables-1}) — whole-stage
+    codegen, zero per-row hashing."""
+    base = with_norm(emb, vec_col, id_col)
+    if dims is None:
+        dims = _resolve_dims(emb, vec_col)
+    signs = hyperplane_sign_matrix(n_tables * n_bits, dims)
+    quant = base.withColumn(
+        "_rq",
+        F.transform(F.col("vec"), lambda x: F.round(x * F.lit(1e6)).cast("long")),
+    )
+    sig_cols = []
+    for t in range(n_tables):
+        bit_exprs = []
+        for i in range(n_bits):
+            sign_arr = F.array(*[F.lit(s) for s in signs[t * n_bits + i]])
+            dot = F.aggregate(
+                F.zip_with(F.col("_rq"), sign_arr, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bit_exprs.append(
+                F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+                * (2 ** i)
+            )
+        sig = bit_exprs[0]
+        for e in bit_exprs[1:]:
+            sig = sig + e
+        sig_cols.append(sig.alias(f"sig_{t}"))
+    return quant.select("id", "vec", "norm", *sig_cols)
+
+
+def lsh_bucket_candidates(
+    emb: DataFrame,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, distinct) from
+    banded multi-table hyperplane LSH: two vectors are candidates iff
+    they share a bucket in ANY of the `n_tables` signature tables.
+
+    This is the 100 TB path that replaces the cartesian self-join in
+    `dedup.embedding_dup_pairs`: the only pair-touching shuffle is the
+    equi-join on (table, signature) — expected bucket size
+    n / 2^n_bits per table, so candidate volume is
+    n_tables * sum(bucket^2), not n^2. Recall for cosine >= s pairs is
+    1 - (1 - p^n_bits)^n_tables with p = 1 - arccos(s)/pi — raise
+    n_tables for recall, n_bits for precision (the standard banded-LSH
+    trade; e.g. s=0.95 -> p~=0.90: n_bits=8,n_tables=4 gives ~89%
+    recall, n_tables=8 ~99%).
+
+    Fully deterministic (literal sign matrix + integer-quantized dots),
+    so a SQL oracle replays it exactly."""
+    sigs = multi_signatures(emb, n_bits, n_tables, vec_col, id_col, dims)
+    # cache: the signature aggregation feeds both sides of the
+    # self-join; released by the next op call or release_caches()
+    release_caches()
+    stacked = _register_cache(sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig")
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("b"),
+    ).select(
+        "id", F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig")
+    ).cache())
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,
     n_bits: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket, exact cosine
     within bucket. The join touches only bucket-colliding pairs — the
     100 TB path (expected bucket size n / 2^n_bits; raise n_bits with
-    corpus size, or use multi-probe for recall)."""
+    corpus size).
+
+    `multi_probe=True` additionally probes every Hamming-distance-1
+    neighbor bucket (n_bits+1 probe signatures per query, exploded on
+    the query side so the join stays a bucket equi-join): recall no
+    longer falls off a cliff as n_bits grows — a near neighbor is
+    missed only if >=2 sign bits disagree. Candidate volume rises
+    ~(n_bits+1)x, still nowhere near quadratic. Deterministic either
+    way (XOR of the literal-signed signature)."""
     # cache: the signature subplan (n_bits aggregate expressions per
     # row) feeds BOTH sides of the self-join — without it Spark
-    # computes it twice (measured 33% of op wall time)
-    signed = hyperplane_signature(emb, n_bits, vec_col, id_col).cache()
-    a = signed.alias("a")
+    # computes it twice (measured 33% of op wall time); released by the
+    # next similarity-op call or release_caches()
+    release_caches()
+    signed = _register_cache(
+        hyperplane_signature(emb, n_bits, vec_col, id_col).cache()
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("sig"),
+            *[
+                F.col("sig").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_bits)
+            ],
+        )
+        a = signed.select(
+            "id", "vec", "norm", F.explode(probes).alias("sig")
+        ).alias("a")
+    else:
+        a = signed.alias("a")
     b = signed.alias("b")
     scored = a.join(
         b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") != F.col("b.id"))
@@ -169,6 +319,9 @@ def lsh_topk(
         F.col("b.id").alias("neighbor_id"),
         cosine_expr("a", "b").alias("cosine"),
     )
+    if multi_probe:
+        # a query can meet the same neighbor via several probe buckets
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -280,8 +433,12 @@ def ivf_topk(
         ).alias("csim"),
     )
     w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
-    # cache: ranked feeds both the members and the probes sides
-    ranked = dots.withColumn("crank", F.row_number().over(w)).cache()
+    # cache: ranked feeds both the members and the probes sides;
+    # released by the next similarity-op call or release_caches()
+    release_caches()
+    ranked = _register_cache(
+        dots.withColumn("crank", F.row_number().over(w)).cache()
+    )
     members = ranked.filter(F.col("crank") == 1).select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("nvec"),

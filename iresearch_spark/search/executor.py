@@ -865,7 +865,10 @@ class SearchEngine:
             )
         if node.min_children < 1:
             raise ValueError("min_children must be >= 1")
-        child = self._eval(node.child, 1.0)
+        # the reference applies the deleted-docs bitset in every
+        # doc_iterator — deleted children must not count toward
+        # min/max_children nor contribute to the merged score
+        child = self._apply_delete_mask(self._eval(node.child, 1.0))
         pmap = self.index.docs.filter(
             F.col(node.parent_col).isNotNull()
         ).select("doc_id", F.col(node.parent_col).alias("_parent"))

@@ -142,6 +142,17 @@ class IncrementalIndexer:
         for p in paths:
             with open(os.path.join(p, "manifest.json")) as f:
                 sub_manifests.append(_json.load(f))
+        # the merged view assumes homogeneous feature/analyzer config
+        # across segments (same contract merge_indexes enforces) —
+        # a silent mismatch would drop positions/offsets or mix
+        # incompatible token streams in one postings union
+        for key in ("with_positions", "with_offsets", "analyzer"):
+            vals = {m.get(key, False) for m in sub_manifests}
+            if len(vals) > 1:
+                raise ValueError(
+                    f"segments disagree on {key!r}: {sorted(map(str, vals))}; "
+                    "consolidate or rebuild before reading a merged view"
+                )
         if any(m.get("has_deleted") for m in sub_manifests):
             # deletes are per-segment parquet dirs; only some exist, so
             # they can't ride one multi-path read
@@ -181,6 +192,7 @@ class IncrementalIndexer:
                 total_term_freq=sum(m["total_term_freq"] for m in sub_manifests),
             ),
             with_positions=sub_manifests[0]["with_positions"],
+            with_offsets=sub_manifests[0].get("with_offsets", False),
             analyzer_name=sub_manifests[0]["analyzer"],
             deleted=deleted,
             term_buckets=None,  # no _tb column on the flat multi-root read
