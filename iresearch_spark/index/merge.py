@@ -29,8 +29,11 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
     if a.with_offsets != b.with_offsets:
         raise ValueError("cannot merge indexes with different offset settings")
 
-    def _strip(df):  # loaded indexes carry the _tb partition column
-        return df.drop("_tb") if "_tb" in df.columns else df
+    def _strip(df):  # loaded indexes carry the _tb/_tbd bucket columns
+        for c in ("_tb", "_tbd"):
+            if c in df.columns:
+                df = df.drop(c)
+        return df
 
     postings = _strip(a.postings).unionByName(_strip(b.postings))
     docs = a.docs.unionByName(b.docs)

@@ -113,12 +113,16 @@ class InvertedIndex:
     # the cached raw block DataFrame the tables above derive from (set
     # by build_index) — kept so unpersist() can actually free it
     blocks: DataFrame | None = None
-    # number of term hash-bucket partitions of a SAVED index (None for
+    # term hash-bucket partition count(s) of a SAVED index (None for
     # an in-memory one): postings live under _tb=crc32(term)%B dirs, so
     # a query that knows its exact terms prunes whole directories at
     # plan time — the Spark-native analogue of the reference's FST
-    # term-dictionary seek (formats_burst_trie.cpp:953-966)
-    term_buckets: int | None = None
+    # term-dictionary seek (formats_burst_trie.cpp:953-966). A merged
+    # multi-segment view may carry a LIST of bucket counts (one per
+    # distinct segment layout): the pruning filter then includes each
+    # term's bucket under EVERY count, which over-includes but never
+    # drops a matching file.
+    term_buckets: int | list[int] | None = None
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         """Postings scan narrowed to the given exact terms: directory
@@ -128,10 +132,16 @@ class InvertedIndex:
         if self.term_buckets and terms:
             import zlib
 
+            counts = (
+                [self.term_buckets]
+                if isinstance(self.term_buckets, int)
+                else list(self.term_buckets)
+            )
             buckets = sorted(
                 {
-                    zlib.crc32(t.encode("utf-8")) % self.term_buckets
+                    zlib.crc32(t.encode("utf-8")) % b
                     for t in terms
+                    for b in counts
                 }
             )
             df = df.filter(F.col("_tb").isin(buckets))
@@ -221,8 +231,9 @@ class InvertedIndex:
         (`formats_burst_trie.cpp:953-966`).
         """
         postings = self.postings
-        if "_tb" in postings.columns:  # re-saving a loaded index
-            postings = postings.drop("_tb")
+        for c in ("_tb", "_tbd"):  # re-saving a loaded index
+            if c in postings.columns:
+                postings = postings.drop(c)
         term_buckets = None
         if optimize_layout:
             # ~2M block rows per bucket keeps files O(100MB); min 16
@@ -241,6 +252,13 @@ class InvertedIndex:
                         F.lit(term_buckets),
                     ).cast("int"),
                 )
+                # _tbd duplicates the bucket INSIDE the data files:
+                # partitionBy strips _tb from the data, and a flat
+                # multi-segment read (recursiveFileLookup, no partition
+                # discovery) would otherwise lose bucket pruning —
+                # streaming/incremental.read renames _tbd back to _tb.
+                # Cost: one constant int per file, RLE'd to ~nothing.
+                .withColumn("_tbd", F.col("_tb"))
                 .repartition(term_buckets, "_tb")
                 .sortWithinPartitions("term", "block_id")
             )
@@ -267,6 +285,9 @@ class InvertedIndex:
             "analyzer": self.analyzer_name,
             "has_deleted": self.deleted is not None,
             "term_buckets": term_buckets,
+            # bucket id also present as the _tbd data column (flat
+            # multi-segment reads rely on it; absent in old segments)
+            "tb_data_col": term_buckets is not None,
         }
         tmp = os.path.join(path, "_manifest.json.tmp")
         with open(tmp, "w") as f:

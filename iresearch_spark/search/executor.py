@@ -484,13 +484,24 @@ class SearchEngine:
 
             def osa(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
-                    d = [_osa_distance(q, t, dmax) for t in pdf["term"]]
-                    out = pdf.assign(_d=pd.array(d, dtype="int32"))
+                    d = _osa_distances_batch(q, pdf["term"].to_numpy(), dmax)
+                    out = pdf.assign(_d=d)
                     yield out[out["_d"] <= dmax][["term", "df", "_d"]]
 
-            scored = banded.select(
-                "term", F.col("df").cast("long").alias("df")
-            ).mapInPandas(osa, "term string, df long, _d int")
+            # JVM prefilter before the Python DP: every transposition
+            # costs <= 2 plain edits, so OSA <= d implies
+            # levenshtein <= 2d — the short-circuited JVM DP throws
+            # away almost the whole vocabulary slice before anything
+            # crosses the Arrow boundary (at 10^8 terms the Python
+            # stage sees only the 2d-neighborhood)
+            lev_band = F.levenshtein(F.col("term"), F.lit(q), 2 * dmax)
+            scored = (
+                banded.filter(
+                    (lev_band >= 0) & (lev_band <= 2 * dmax)
+                )
+                .select("term", F.col("df").cast("long").alias("df"))
+                .mapInPandas(osa, "term string, df long, _d int")
+            )
         else:
             dist = F.levenshtein(
                 F.col("term"), F.lit(node.term), node.distance
@@ -800,48 +811,62 @@ class SearchEngine:
         decoded = self.index.decoded_postings(
             terms=all_terms, with_positions=True
         )
-        # fully declarative position leapfrog: per-slot postings joined
-        # on doc_id (the conjunction), then phrase freq = |∩_i (P_i −
-        # offset_i)| via JVM array_intersect — whole-stage codegen, no
-        # Python in the path. A (term, doc) pair occupies exactly one
-        # decoded row; a multi-candidate slot unions its terms' position
-        # arrays per doc first (one groupBy bounded by the slot's
-        # candidate postings).
-        def _shift(off):
+        # fully declarative position leapfrog in ONE decode pass + ONE
+        # shuffle: each decoded (term, doc) row fans out to the slot(s)
+        # the term serves (a literal map — a term can appear in several
+        # phrase positions), positions are pre-shifted by the slot's
+        # offset, then one groupBy(doc_id) builds every slot's distinct
+        # position set as a conditional aggregate and phrase freq =
+        # |∩_i (P_i − offset_i)| via JVM array_intersect. The previous
+        # shape ran the Python decode once PER SLOT and chained (m−1)
+        # doc_id joins — m× the dominant JVM↔Python transfer cost and
+        # m−1 extra shuffles (the round-2 Phrase bench regression).
+        m = len(clean)
+        slot_of: dict[str, list[int]] = {}
+        for i, s in enumerate(clean):
+            for t, _ in s:
+                slot_of.setdefault(t, []).append(i)
+        slot_map = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in slot_of]),
+            F.array(
+                *[
+                    F.array(*[F.lit(i) for i in idxs])
+                    for idxs in slot_of.values()
+                ]
+            ),
+        )
+        off_arr = F.array(*[F.lit(int(o)) for o in offsets])
+        shift = F.element_at(off_arr, F.col("_slot") + 1)
+        rows = decoded.select(
+            "doc_id",
+            "dl",
+            F.explode(F.element_at(slot_map, F.col("term"))).alias("_slot"),
+            "positions",
+        ).select(
+            "doc_id",
+            "dl",
+            "_slot",
             # NB: a 2-arg lambda would make F.transform pass the element
-            # INDEX as the second arg — capture the offset via closure
-            return lambda x: x - F.lit(int(off))
-
-        parts = []
-        for i, (s, off) in enumerate(zip(clean, offsets)):
-            terms_i = [t for t, _ in s]
-            if len(terms_i) == 1:
-                slot_df = decoded.filter(F.col("term") == terms_i[0])
-            else:
-                slot_df = (
-                    decoded.filter(F.col("term").isin(terms_i))
-                    .groupBy("doc_id")
-                    .agg(
-                        F.array_distinct(
-                            F.flatten(F.collect_list("positions"))
-                        ).alias("positions"),
-                        F.min("dl").alias("dl"),
+            # INDEX as the second arg — reference the outer shift column
+            F.transform(F.col("positions"), lambda x: x - shift).alias("_sp"),
+        )
+        grouped = rows.groupBy("doc_id").agg(
+            *[
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(F.col("_slot") == i, F.col("_sp"))
+                        )
                     )
-                )
-            cols = [
-                F.col("doc_id"),
-                F.transform(F.col("positions"), _shift(off)).alias(f"_p{i}"),
-            ]
-            if i == 0:
-                cols.append(F.col("dl"))
-            parts.append(slot_df.select(*cols))
-        joined = parts[0]
-        for p in parts[1:]:
-            joined = joined.join(p, "doc_id")
+                ).alias(f"_p{i}")
+                for i in range(m)
+            ],
+            F.min("dl").alias("dl"),
+        )
         inter = F.col("_p0")
-        for i in range(1, len(clean)):
+        for i in range(1, m):
             inter = F.array_intersect(inter, F.col(f"_p{i}"))
-        freq_df = joined.select(
+        freq_df = grouped.select(
             "doc_id", F.size(inter).alias("freq"), "dl"
         ).filter(F.col("freq") > 0)
         return freq_df.select(
@@ -1210,6 +1235,51 @@ def _decode_blocks(blocks: DataFrame) -> DataFrame:
         blocks.sparkSession.sparkContext.defaultParallelism
     )
     return spread.mapInArrow(_make_block_decoder(False), DECODED_SCHEMA)
+
+
+def _osa_distances_batch(q: str, terms, cap: int):
+    """OSA (Damerau without overlapping edits) distance of `q` against a
+    whole numpy/pandas batch of terms at once: the DP runs as O(m*L)
+    numpy ops over N-wide vectors instead of a per-term Python char loop
+    (the round-2 weak spot at large vocabularies). Terms longer than
+    len(q)+cap are assumed pre-filtered by the length band; returns an
+    int32 array (values may exceed cap — caller filters).
+
+    Matches `_osa_distance` exactly (differential-tested)."""
+    import numpy as np
+
+    N = len(terms)
+    if N == 0:
+        return np.zeros(0, dtype=np.int32)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=N)
+    L = int(lens.max())
+    m = len(q)
+    T = np.zeros((N, max(L, 1)), dtype=np.uint32)
+    for r, t in enumerate(terms):  # one encode per term, no DP here
+        if t:
+            T[r, : len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            )
+    qc = (
+        np.frombuffer(q.encode("utf-32-le"), dtype=np.uint32)
+        if m
+        else np.zeros(0, dtype=np.uint32)
+    )
+    prev = np.broadcast_to(np.arange(L + 1, dtype=np.int32), (N, L + 1)).copy()
+    prev2 = None
+    for i in range(1, m + 1):
+        cur = np.empty((N, L + 1), dtype=np.int32)
+        cur[:, 0] = i
+        for j in range(1, L + 1):
+            cost = (T[:, j - 1] != qc[i - 1]).astype(np.int32)
+            v = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost)
+            np.minimum(v, cur[:, j - 1] + 1, out=v)
+            if prev2 is not None and j > 1 and i > 1:
+                trans = (T[:, j - 1] == qc[i - 2]) & (T[:, j - 2] == qc[i - 1])
+                v = np.where(trans, np.minimum(v, prev2[:, j - 2] + 1), v)
+            cur[:, j] = v
+        prev2, prev = prev, cur
+    return prev[np.arange(N), lens].astype(np.int32)
 
 
 def _osa_distance(a: str, b: str, cap: int) -> int:

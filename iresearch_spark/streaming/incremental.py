@@ -170,14 +170,24 @@ class IncrementalIndexer:
         # recursiveFileLookup: each segment's postings dir is its own
         # _tb=<bucket> partition tree; multiple partitioned roots in one
         # read trip partition discovery (CONFLICTING_DIRECTORY_STRUCTURES),
-        # so read the files flat. The _tb column (directory-level bucket
-        # pruning) is lost for the multi-segment view — term predicates
-        # still prune via per-file parquet min/max (postings are term-
-        # sorted within buckets); consolidate_job compacts back to a
-        # single bucket-pruned index.
+        # so read the files flat. Bucket pruning survives via the _tbd
+        # DATA column each bucket file carries (written by
+        # InvertedIndex.save since round 3): rename it to _tb and the
+        # engine's postings_for_terms keeps its seek analogue — the
+        # term-bucket predicate skips non-matching files on their
+        # (constant per file) parquet min/max stats. Segments may have
+        # different bucket counts, so term_buckets becomes the LIST of
+        # distinct counts (pruning includes a term's bucket under every
+        # count — over-includes, never drops).
         postings = spark.read.option("recursiveFileLookup", "true").parquet(
             *[os.path.join(p, "postings") for p in paths]
         )
+        if all(m.get("tb_data_col") for m in sub_manifests):
+            postings = postings.withColumnRenamed("_tbd", "_tb")
+            counts = sorted({int(m["term_buckets"]) for m in sub_manifests})
+            term_buckets = counts[0] if len(counts) == 1 else counts
+        else:  # pre-_tbd segments in the mix: no bucket column to prune on
+            term_buckets = None
         term_stats = (
             spark.read.parquet(*[os.path.join(p, "term_stats") for p in paths])
             .groupBy("term")
@@ -195,5 +205,5 @@ class IncrementalIndexer:
             with_offsets=sub_manifests[0].get("with_offsets", False),
             analyzer_name=sub_manifests[0]["analyzer"],
             deleted=deleted,
-            term_buckets=None,  # no _tb column on the flat multi-root read
+            term_buckets=term_buckets,
         )

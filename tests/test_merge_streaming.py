@@ -175,3 +175,37 @@ def test_multi_segment_read_constant_plan_size(spark, tmp_path):
 
     for t in ("alpha", "tok3", "doc1"):
         assert score_bag(idx, t) == score_bag(mono, t)
+
+
+def test_multi_segment_read_keeps_bucket_pruning(spark, tmp_path):
+    """Round-3: the flat multi-root read must NOT lose the term-bucket
+    seek analogue — _tbd rides inside the data files, is renamed to
+    _tb, and exact-term queries push an In(_tbd, ...) predicate into
+    the parquet scan (each file is a single bucket, so its min/max
+    stats skip the whole file)."""
+    import zlib
+
+    ix = IncrementalIndexer(index_dir=str(tmp_path / "ixtb"), bucket_bits=7)
+    for e in range(3):
+        docs = spark.createDataFrame(
+            [(f"u{e:02d}{i:03d}", f"alpha tok{e} doc{i % 3}") for i in range(30)],
+            "url string, text string",
+        )
+        ix.process_batch(docs, epoch_id=e)
+    idx = ix.read(spark)
+    assert idx.term_buckets, "multi-segment view lost term_buckets"
+    counts = (
+        [idx.term_buckets]
+        if isinstance(idx.term_buckets, int)
+        else idx.term_buckets
+    )
+    pruned = idx.postings_for_terms(["tok1"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "_tbd" in plan or "_tb" in plan, plan
+    assert "PushedFilters" in plan
+    # the pushed bucket set must contain tok1's bucket for every count
+    for b in counts:
+        assert str(zlib.crc32(b"tok1") % b) in plan, (b, plan)
+    # and the pruned scan still returns exactly tok1's postings
+    eng = SearchEngine(idx)
+    assert eng.matches(Term("tok1")).count() == 30
