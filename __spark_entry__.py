@@ -202,6 +202,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["highlight_term"] = highlight_term
 
+    # PAY posting feature: per-occurrence payload bytes via the
+    # delimited-payload build (each token suffixed with |<1-based
+    # token position> so the payload values are oracle-replayable)
+    def payload_term(spark, sf_dir):
+        key = os.path.abspath(sf_dir) + ":pay"
+        if key not in _INDEX_CACHE:
+            toks = F.split(F.trim(F.col("text")), r"\s+")
+            ptext = F.array_join(
+                F.transform(
+                    toks,
+                    # 2-arg lambda: Spark passes the element INDEX as
+                    # the second argument — exactly what we want here
+                    lambda t, i: F.concat(
+                        t, F.lit("|"), (i + F.lit(1)).cast("string")
+                    ),
+                ),
+                " ",
+            )
+            pdocs = _docs(spark, sf_dir).select("doc_id", ptext.alias("ptext"))
+            idx = build_index(
+                pdocs, text_col="ptext", analyzer="simple", bucket_bits=16,
+                payload_delimiter="|",
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        eng = SearchEngine(_INDEX_CACHE[key])
+        return eng.payloads([HIGH1]).select(
+            "doc_id",
+            "term",
+            F.col("occurrence").cast("long").alias("occurrence"),
+            F.col("payload").cast("string").alias("payload"),
+        )
+
+    q["payload_term"] = payload_term
+
     # --- top-k + WAND (SURVEY §2.5) ---
     q["topk_bm25"] = _topk_q(Or([Term(t) for t in TOPK_TERMS]), k=10)
 
@@ -653,6 +689,19 @@ c AS (
   FROM p
 )
 SELECT doc_id, tok AS term, start, length FROM c WHERE tok = '{HIGH1}'
+"""
+    # PAY: payload of occurrence k of a term = that token's 1-based
+    # position in the doc (by construction in the queries() entry)
+    o["payload_term"] = rf"""
+WITH a AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+p AS (SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS k FROM a)
+SELECT doc_id, tok AS term,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) AS BIGINT) AS occurrence,
+       CAST(k AS VARCHAR) AS payload
+FROM p WHERE tok = '{HIGH1}'
 """
     o["boosted_and"] = f"""{_CTE}
 SELECT t.doc_id,

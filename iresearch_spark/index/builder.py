@@ -102,6 +102,7 @@ def build_postings(
     with_positions: bool,
     bucket_bits: int = 16,
     with_offsets: bool = False,
+    with_payloads: bool = False,
 ) -> DataFrame:
     """(doc,term) rows -> posting-block rows, skew-bounded by doc bucket.
 
@@ -119,13 +120,16 @@ def build_postings(
         "term", "_bucket", "doc_id"
     )
     return arranged.mapInPandas(
-        _make_partition_block_builder(with_positions, bucket_bits, with_offsets),
+        _make_partition_block_builder(
+            with_positions, bucket_bits, with_offsets, with_payloads
+        ),
         POSTINGS_SCHEMA,
     )
 
 
 def _make_partition_block_builder(
-    with_positions: bool, bucket_bits: int, with_offsets: bool = False
+    with_positions: bool, bucket_bits: int, with_offsets: bool = False,
+    with_payloads: bool = False,
 ):
     blocks_per_bucket_bits = max(bucket_bits - 7, 1)
 
@@ -155,7 +159,7 @@ def _make_partition_block_builder(
                 continue
             yield _encode_groups(
                 pdf, starts, with_positions, blocks_per_bucket_bits,
-                with_offsets,
+                with_offsets, with_payloads,
             )
         if pending is not None and len(pending):
             terms = pending["term"].to_numpy()
@@ -169,13 +173,14 @@ def _make_partition_block_builder(
                 with_positions,
                 blocks_per_bucket_bits,
                 with_offsets,
+                with_payloads,
             )
 
     return build
 
 
 def _encode_groups(pdf, starts, with_positions, blocks_per_bucket_bits,
-                   with_offsets=False):
+                   with_offsets=False, with_payloads=False):
     """Encode every (term,bucket) run of a sorted batch into posting
     blocks with ONE whole-batch codec pass (codec.encode_blocks_batch);
     per-block Python cost is two byte-slices."""
@@ -204,6 +209,30 @@ def _encode_groups(pdf, starts, with_positions, blocks_per_bucket_bits,
     docs_blobs, dls_blobs, pos_blobs = codec.encode_blocks_batch(
         doc_ids, freqs, dls, block_starts, block_ends, flat_pos
     )
+    plen_blobs = pbyte_blobs = None
+    if with_payloads:
+        # token rows carry `payloads`: list<bytes> per (term,doc) row in
+        # occurrence order (the re-blocking/merge path — decode side of
+        # the PAY stream)
+        pay_col = pdf["payloads"].to_numpy()
+        flat_list = [b for row in pay_col for b in row]
+        occ_lens = np.fromiter(
+            (len(b) for b in flat_list), dtype=np.int64, count=len(flat_list)
+        )
+        blob = b"".join(flat_list)
+        flat_pay = (
+            np.frombuffer(blob, dtype=np.uint8)
+            if blob
+            else np.empty(0, dtype=np.uint8)
+        )
+        plb, plo = codec.encode_occurrence_stream(
+            occ_lens, freqs, block_starts, block_ends, delta=False
+        )
+        pbb, pbo = codec.encode_bytes_stream(
+            flat_pay, occ_lens, freqs, block_starts, block_ends
+        )
+        plen_blobs = [plb[x:y] for x, y in zip(plo[:-1], plo[1:])]
+        pbyte_blobs = [pbb[x:y] for x, y in zip(pbo[:-1], pbo[1:])]
     ostart_blobs = olen_blobs = None
     if with_offsets:
         def _flat(colname):
@@ -242,6 +271,8 @@ def _encode_groups(pdf, starts, with_positions, blocks_per_bucket_bits,
             "block_cf": np.add.reduceat(freqs, block_starts).astype(np.int64),
             "off_starts": ostart_blobs,
             "off_lens": olen_blobs,
+            "pay_lens": plen_blobs,
+            "pay_bytes": pbyte_blobs,
         }
     )
 
@@ -257,6 +288,7 @@ def build_segments(
     with_positions: bool = True,
     seg_bits: int = 14,
     with_offsets: bool = False,
+    payload_delim: str | None = None,
 ) -> DataFrame:
     """Local segment build — the reference's per-writer-thread segment
     (`segment_writer.cpp` + `field_data::invert`) as ONE mapInPandas
@@ -282,14 +314,14 @@ def build_segments(
     return arranged.mapInArrow(
         _make_arrow_segment_gen(
             analyzer, text_col, with_positions, fused=False,
-            with_offsets=with_offsets,
+            with_offsets=with_offsets, payload_delim=payload_delim,
         ),
         POSTINGS_SCHEMA,
     )
 
 
 def _make_arrow_segment_gen(analyzer, text_col, with_positions, fused,
-                            with_offsets=False):
+                            with_offsets=False, payload_delim=None):
     """Arrow-native partition consumer: walks sorted `_seg` runs with a
     trailing-run carry across batches (zero-copy Table slices), builds
     each segment with _segment_record_batches. Entirely Arrow/numpy —
@@ -322,12 +354,12 @@ def _make_arrow_segment_gen(analyzer, text_col, with_positions, fused,
             for s, e in zip(starts, ends):
                 yield from _segment_record_batches(
                     tbl.slice(int(s), int(e - s)), analyzer, text_col,
-                    with_positions, fused, with_offsets,
+                    with_positions, fused, with_offsets, payload_delim,
                 )
         if pending is not None and pending.num_rows:
             yield from _segment_record_batches(
                 pending.combine_chunks(), analyzer, text_col,
-                with_positions, fused, with_offsets,
+                with_positions, fused, with_offsets, payload_delim,
             )
 
     return gen
@@ -356,7 +388,7 @@ def _empty_strings(n: int) -> pa.StringArray:
 
 def _segment_record_batches(
     seg_tbl: pa.Table, analyzer, text_col, with_positions, fused,
-    with_offsets=False,
+    with_offsets=False, payload_delim=None,
 ) -> Iterator[pa.RecordBatch]:
     """One segment -> posting-block + norm-block RecordBatches.
 
@@ -386,6 +418,18 @@ def _segment_record_batches(
         else analyzer.analyze_flat(texts)
     )
     n_tokens = ft.n_tokens
+    # payload split (reference IndexFeatures PAY / payload attribute,
+    # token_attributes.hpp:99): the token DICTIONARY is split at the
+    # last delimiter into (term, payload bytes) — one pass over the
+    # vocabulary, never over tokens; token codes are remapped onto the
+    # deduplicated term dictionary and each occurrence keeps its old
+    # code to look up its payload
+    codes, uniques_arrow = ft.codes, ft.uniques_arrow
+    pay_buf_u = pay_start_u = pay_lens_u = None
+    if payload_delim is not None:
+        (
+            codes, uniques_arrow, pay_buf_u, pay_start_u, pay_lens_u
+        ) = _split_payload_dictionary(ft.codes, ft.uniques_arrow, payload_delim)
     # norm blocks: (doc id, dl) runs under the sentinel term, one row
     # per doc INCLUDING dl=0 for zero-token docs — the reference's
     # `all()` matches every doc in the segment (filter.hpp:160), so the
@@ -415,10 +459,12 @@ def _segment_record_batches(
                 pa.array(np.add.reduceat(nd_dls, n_bs).astype(np.int64)),
                 pa.nulls(NB, pa.binary()),
                 pa.nulls(NB, pa.binary()),
+                pa.nulls(NB, pa.binary()),
+                pa.nulls(NB, pa.binary()),
             ],
             names=_POSTINGS_COLS,
         )
-    if ft.codes.size == 0:
+    if codes.size == 0:
         return
     flat_doc = np.repeat(doc_ids, n_tokens)
     flat_dl = np.repeat(n_tokens, n_tokens)
@@ -427,8 +473,8 @@ def _segment_record_batches(
     # code instead of byte order — block content is a pure function of
     # (term, doc set) either way, and no per-token Python string ever
     # materializes.
-    order = np.lexsort((flat_doc, ft.codes))
-    s_codes = ft.codes[order]
+    order = np.lexsort((flat_doc, codes))
+    s_codes = codes[order]
     s_doc = flat_doc[order]
     s_dl = flat_dl[order]
     s_pos = ft.positions[order]
@@ -470,8 +516,23 @@ def _segment_record_batches(
         olen_buf, olen_off = codec.encode_occurrence_stream(
             s_lens, freqs, bs, be, delta=False
         )
+    if payload_delim is not None:
+        # payload bytes ride the same occurrence order (stable lexsort
+        # keeps within-(term,doc) occurrences position-ascending);
+        # lengths as raw varints + bytes as one contiguous slab
+        s_old = ft.codes[order]
+        occ_lens = pay_lens_u[s_old]
+        flat_pay = codec.gather_bytes(
+            pay_buf_u, pay_start_u[s_old], occ_lens
+        )
+        plen_buf, plen_off = codec.encode_occurrence_stream(
+            occ_lens, freqs, bs, be, delta=False
+        )
+        pbuf, pboff = codec.encode_bytes_stream(
+            flat_pay, occ_lens, freqs, bs, be
+        )
     B = bs.size
-    term_arr = pc.take(ft.uniques_arrow, pa.array(row_code[bs]))
+    term_arr = pc.take(uniques_arrow, pa.array(row_code[bs]))
     if isinstance(term_arr, pa.ChunkedArray):
         term_arr = term_arr.combine_chunks()
     if pa.types.is_dictionary(term_arr.type):
@@ -504,8 +565,61 @@ def _segment_record_batches(
                 if with_offsets
                 else pa.nulls(B, pa.binary())
             ),
+            (
+                _binary_from_offsets(plen_buf, plen_off)
+                if payload_delim is not None
+                else pa.nulls(B, pa.binary())
+            ),
+            (
+                _binary_from_offsets(pbuf, pboff)
+                if payload_delim is not None
+                else pa.nulls(B, pa.binary())
+            ),
         ],
         names=_POSTINGS_COLS,
+    )
+
+
+def _split_payload_dictionary(codes, uniques_arrow, delim):
+    """(token codes, token dictionary) -> (remapped codes, term
+    dictionary, payload byte slab, per-unique byte starts, per-unique
+    byte lengths). Each dictionary entry is split at its LAST `delim`
+    into term + utf-8 payload (no delimiter, or an empty term part,
+    means no payload) — the delimited-payload convention for the
+    reference's per-occurrence payload attribute."""
+    u = uniques_arrow
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    if pa.types.is_dictionary(u.type):
+        u = u.cast(pa.string())
+    terms, pays = [], []
+    for t in u.to_pylist():
+        head, sep, tail = t.rpartition(delim)
+        if sep and head:
+            terms.append(head)
+            pays.append(tail.encode("utf-8"))
+        else:
+            terms.append(t)
+            pays.append(b"")
+    inv = np.unique(np.array(terms, dtype=object), return_inverse=True)
+    new_uniques, inverse = inv
+    new_codes = inverse.astype(codes.dtype)[codes]
+    pay_lens_u = np.fromiter(
+        (len(b) for b in pays), dtype=np.int64, count=len(pays)
+    )
+    pay_start_u = np.concatenate(([0], np.cumsum(pay_lens_u)))[:-1]
+    blob = b"".join(pays)
+    pay_buf_u = (
+        np.frombuffer(blob, dtype=np.uint8)
+        if blob
+        else np.empty(0, dtype=np.uint8)
+    )
+    return (
+        new_codes,
+        pa.array(list(new_uniques), type=pa.string()),
+        pay_buf_u,
+        pay_start_u,
+        pay_lens_u,
     )
 
 
@@ -598,6 +712,7 @@ def _fused_blocks(
     seg_of: dict[int, int],
     n_buckets: int,
     with_offsets: bool = False,
+    payload_delim: str | None = None,
 ) -> DataFrame:
     spark = df.sparkSession
     map_df = spark.createDataFrame(
@@ -617,7 +732,7 @@ def _fused_blocks(
     return arranged.mapInArrow(
         _make_arrow_segment_gen(
             analyzer, text_col, with_positions, fused=True,
-            with_offsets=with_offsets,
+            with_offsets=with_offsets, payload_delim=payload_delim,
         ),
         POSTINGS_SCHEMA,
     )
@@ -664,8 +779,16 @@ def build_index(
     n_buckets: int = 1024,
     id_base: int = 0,
     with_offsets: bool = False,
+    payload_delimiter: str | None = None,
 ) -> InvertedIndex:
     """End-to-end index build via local segments (see build_segments).
+
+    `payload_delimiter` turns on the PAY posting stream (reference
+    IndexFeatures PAY, index_features.hpp:40-58): every analyzed token
+    is split at its last delimiter into term + per-occurrence payload
+    bytes (the delimited-payload convention standing in for the
+    reference's analyzer-attached payload attribute,
+    token_attributes.hpp:99).
 
     One pages-row shuffle, zero token-row shuffles: docs, term_stats and
     field_stats are all derived from the (compact) block rows. If
@@ -683,6 +806,9 @@ def build_index(
         )
     if with_offsets and not with_positions:
         raise ValueError("with_offsets requires with_positions")
+    if payload_delimiter is not None and not with_positions:
+        # PAY is an attribute of a position in the reference format
+        raise ValueError("payload_delimiter requires with_positions")
     if seg_bits is None:
         # segment = unit of build parallelism AND the skew bound: pick
         # 2^10 docs/segment so even small corpora fan out across
@@ -704,11 +830,12 @@ def build_index(
         blocks = _fused_blocks(
             df, sort_key, analyzer, text_col, with_positions, offsets, seg_of,
             n_buckets, with_offsets=with_offsets,
+            payload_delim=payload_delimiter,
         )
     else:
         blocks = build_segments(
             df, analyzer, text_col, id_col, with_positions, seg_bits,
-            with_offsets=with_offsets,
+            with_offsets=with_offsets, payload_delim=payload_delimiter,
         )
     blocks.cache()
 
@@ -754,6 +881,7 @@ def build_index(
         field_stats=field_stats,
         with_positions=with_positions,
         with_offsets=with_offsets,
+        with_payloads=payload_delimiter is not None,
         analyzer_name=analyzer.name,
         blocks=blocks,
     )

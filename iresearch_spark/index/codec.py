@@ -291,6 +291,45 @@ def encode_blocks_batch_offsets(
     return buf, docs_off, dbuf, dls_off, pos_buf, pos_blob_off
 
 
+def encode_bytes_stream(
+    flat_bytes: np.ndarray,
+    occ_lens: np.ndarray,
+    freqs: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+):
+    """Slice one per-occurrence BYTE stream (payloads — reference
+    IndexFeatures PAY, index_features.hpp:40-58; payload stream
+    formats_10.cpp:714-765) into per-block blobs.
+
+    `flat_bytes` (uint8) holds every occurrence's payload bytes
+    concatenated in occurrence order; `occ_lens` the per-occurrence
+    byte lengths; `freqs` the per-(term,doc)-row occurrence counts.
+    Returns (buf, blob_off[B+1]) like encode_occurrence_stream — the
+    lengths themselves ride a separate varint stream
+    (encode_occurrence_stream(occ_lens, ..., delta=False))."""
+    occ_off = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+    byte_off = np.concatenate(([0], np.cumsum(occ_lens.astype(np.int64))))
+    blob_off = byte_off[
+        occ_off[np.concatenate((block_starts, [block_ends[-1]]))]
+    ]
+    return flat_bytes.tobytes(), blob_off
+
+
+def gather_bytes(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Gather variable-length byte runs buf[starts[i]:starts[i]+lens[i]]
+    into one contiguous uint8 array — the vectorized indexing trick
+    (repeat + intra-run arange), no per-run Python slicing."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    run_base = np.cumsum(lens) - lens
+    idx = np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(run_base, lens)
+    )
+    return buf[idx]
+
+
 def encode_occurrence_stream(
     flat_vals: np.ndarray,
     freqs: np.ndarray,

@@ -28,6 +28,8 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         raise ValueError("cannot merge indexes with different position settings")
     if a.with_offsets != b.with_offsets:
         raise ValueError("cannot merge indexes with different offset settings")
+    if a.with_payloads != b.with_payloads:
+        raise ValueError("cannot merge indexes with different payload settings")
 
     def _strip(df):  # loaded indexes carry the _tb/_tbd bucket columns
         for c in ("_tb", "_tbd"):
@@ -59,6 +61,7 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         field_stats=fs,
         with_positions=a.with_positions,
         with_offsets=a.with_offsets,
+        with_payloads=a.with_payloads,
         analyzer_name=a.analyzer_name,
         deleted=deleted,
     )
@@ -80,6 +83,8 @@ def _reblock_columns(decoded, index: InvertedIndex):
     ]
     if index.with_offsets:
         cols.extend([F.col("off_starts"), F.col("off_lens")])
+    if index.with_payloads:
+        cols.append(F.col("payloads"))
     return decoded.select(*cols)
 
 
@@ -88,11 +93,14 @@ def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
     coarser) doc-bucket grid: decode -> re-block. One shuffle keyed by
     (term, bucket) — bounded group sizes, skew-proof (SURVEY §3.3)."""
     decoded = index.decoded_postings(
-        with_positions=index.with_positions, with_offsets=index.with_offsets
+        with_positions=index.with_positions,
+        with_offsets=index.with_offsets,
+        with_payloads=index.with_payloads,
     )
     decoded = _reblock_columns(decoded, index)
     postings = build_postings(
-        decoded, index.with_positions, bucket_bits, index.with_offsets
+        decoded, index.with_positions, bucket_bits, index.with_offsets,
+        index.with_payloads,
     )
     # the re-encoded blocks still contain deleted docs' postings (decode
     # above is mask-free), so pending deletes must survive as a mask —
@@ -106,6 +114,7 @@ def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         field_stats=index.field_stats,
         with_positions=index.with_positions,
         with_offsets=index.with_offsets,
+        with_payloads=index.with_payloads,
         analyzer_name=index.analyzer_name,
         deleted=index.deleted,
     )
@@ -121,11 +130,14 @@ def purge_deleted(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         return index
     mask = index.deleted.select("doc_id")
     decoded = index.decoded_postings(
-        with_positions=index.with_positions, with_offsets=index.with_offsets
+        with_positions=index.with_positions,
+        with_offsets=index.with_offsets,
+        with_payloads=index.with_payloads,
     )
     live = _reblock_columns(decoded.join(mask, "doc_id", "left_anti"), index)
     postings = build_postings(
-        live, index.with_positions, bucket_bits, index.with_offsets
+        live, index.with_positions, bucket_bits, index.with_offsets,
+        index.with_payloads,
     )
     docs = index.docs.join(mask, "doc_id", "left_anti")
     term_stats = live.groupBy("term").agg(
@@ -147,6 +159,7 @@ def purge_deleted(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         ),
         with_positions=index.with_positions,
         with_offsets=index.with_offsets,
+        with_payloads=index.with_payloads,
         analyzer_name=index.analyzer_name,
         deleted=None,
     )

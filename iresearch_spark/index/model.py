@@ -61,6 +61,12 @@ POSTINGS_SCHEMA = T.StructType(
         # null unless the index was built with_offsets
         T.StructField("off_starts", T.BinaryType(), True),
         T.StructField("off_lens", T.BinaryType(), True),
+        # per-occurrence payload bytes (reference IndexFeatures PAY,
+        # index_features.hpp:40-58; payload stream formats_10.cpp:
+        # 714-765): varint lengths + concatenated bytes — null unless
+        # the index was built with a payload source
+        T.StructField("pay_lens", T.BinaryType(), True),
+        T.StructField("pay_bytes", T.BinaryType(), True),
     ]
 )
 
@@ -81,6 +87,10 @@ DECODED_POS_SCHEMA = T.StructType(
 _OFFSET_FIELDS = [
     T.StructField("off_starts", T.ArrayType(T.IntegerType()), True),
     T.StructField("off_lens", T.ArrayType(T.IntegerType()), True),
+]
+
+_PAYLOAD_FIELD = [
+    T.StructField("payloads", T.ArrayType(T.BinaryType()), True),
 ]
 
 
@@ -106,6 +116,8 @@ class InvertedIndex:
     analyzer_name: str = "simple"
     # per-occurrence character offsets stored (IndexFeatures OFFS)
     with_offsets: bool = False
+    # per-occurrence payload bytes stored (IndexFeatures PAY)
+    with_payloads: bool = False
     # delete mask (reference: per-segment deleted-docs bitset applied at
     # read time, index_writer.hpp:376-411; stats stay stale until a
     # consolidation purges the postings — same semantics here)
@@ -175,6 +187,7 @@ class InvertedIndex:
         terms: list[str] | None = None,
         with_positions: bool = False,
         with_offsets: bool = False,
+        with_payloads: bool = False,
     ) -> DataFrame:
         """Posting blocks -> (term, doc_id, freq, dl[, positions]
         [, off_starts, off_lens]) rows.
@@ -196,6 +209,7 @@ class InvertedIndex:
             df = self.postings
         want_pos = with_positions and self.with_positions
         want_offs = with_offsets and self.with_offsets
+        want_pay = with_payloads and self.with_payloads
         # ship ONLY what the decoder reads — the JVM->Python transfer is
         # the dominant query-path cost (measured 2x on full rows)
         cols = ["term", "n_docs", "docs", "dls"]
@@ -203,12 +217,16 @@ class InvertedIndex:
             cols.append("positions")
         if want_offs:
             cols.extend(["off_starts", "off_lens"])
+        if want_pay:
+            cols.extend(["pay_lens", "pay_bytes"])
         df = df.select(*cols)
         schema = DECODED_POS_SCHEMA if want_pos else DECODED_SCHEMA
         if want_offs:
             schema = T.StructType(schema.fields + _OFFSET_FIELDS)
+        if want_pay:
+            schema = T.StructType(schema.fields + _PAYLOAD_FIELD)
         return df.mapInArrow(
-            _make_block_decoder(want_pos, want_offs), schema
+            _make_block_decoder(want_pos, want_offs, want_pay), schema
         )
 
     # ---- persistence -----------------------------------------------------
@@ -282,6 +300,7 @@ class InvertedIndex:
             "total_term_freq": self.field_stats.total_term_freq,
             "with_positions": self.with_positions,
             "with_offsets": self.with_offsets,
+            "with_payloads": self.with_payloads,
             "analyzer": self.analyzer_name,
             "has_deleted": self.deleted is not None,
             "term_buckets": term_buckets,
@@ -308,6 +327,7 @@ class InvertedIndex:
             ),
             with_positions=manifest["with_positions"],
             with_offsets=manifest.get("with_offsets", False),
+            with_payloads=manifest.get("with_payloads", False),
             analyzer_name=manifest["analyzer"],
             deleted=(
                 spark.read.parquet(os.path.join(path, "deleted"))
@@ -338,7 +358,12 @@ def _binary_slab(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets
 
 
-def decode_batch_arrays(batch: pa.RecordBatch, want_pos: bool, want_offs: bool = False):
+def decode_batch_arrays(
+    batch: pa.RecordBatch,
+    want_pos: bool,
+    want_offs: bool = False,
+    want_pay: bool = False,
+):
     """Vectorized batch decode -> numpy arrays, no per-row Python.
 
     Each binary column's blobs form one contiguous Arrow buffer,
@@ -358,7 +383,8 @@ def decode_batch_arrays(batch: pa.RecordBatch, want_pos: bool, want_offs: bool =
         return None
     names = batch.schema.names
     col = {n: batch.column(names.index(n)) for n in (
-        "term", "n_docs", "docs", "dls", "positions", "off_starts", "off_lens"
+        "term", "n_docs", "docs", "dls", "positions", "off_starts",
+        "off_lens", "pay_lens", "pay_bytes"
     ) if n in names}
     n_docs = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
     total = int(n_docs.sum())
@@ -407,7 +433,7 @@ def decode_batch_arrays(batch: pa.RecordBatch, want_pos: bool, want_offs: bool =
         "freqs": freqs,
         "dls": dls,
     }
-    if want_pos or want_offs:
+    if want_pos or want_offs or want_pay:
         doc_pos_start = np.concatenate(([0], np.cumsum(freqs)))
         starts_p = doc_pos_start[:-1]
         powner = np.repeat(np.arange(total), freqs)
@@ -428,18 +454,29 @@ def decode_batch_arrays(batch: pa.RecordBatch, want_pos: bool, want_offs: bool =
             out["off_len_values"] = codec.varint_decode(
                 ldata[loff[0]:loff[-1]]
             ).astype(np.int32)
+        if want_pay:
+            pldata, ploff = _binary_slab(col["pay_lens"])
+            out["pay_len_values"] = codec.varint_decode(
+                pldata[ploff[0]:ploff[-1]]
+            ).astype(np.int64)
+            pbdata, pboff = _binary_slab(col["pay_bytes"])
+            # one contiguous uint8 slab; per-occurrence byte offsets
+            # follow from the decoded lengths
+            out["pay_byte_slab"] = pbdata[pboff[0]:pboff[-1]]
     return out
 
 
-def _make_block_decoder(want_pos: bool, want_offs: bool = False):
+def _make_block_decoder(
+    want_pos: bool, want_offs: bool = False, want_pay: bool = False
+):
     """Posting blocks -> (term, doc_id, freq, dl[, positions]
-    [, off_starts, off_lens]) rows — decode_batch_arrays wrapped into
-    RecordBatches (term column via Arrow dictionary take; occurrence
-    streams zero-copy ListArrays)."""
+    [, off_starts, off_lens][, payloads]) rows — decode_batch_arrays
+    wrapped into RecordBatches (term column via Arrow dictionary take;
+    occurrence streams zero-copy ListArrays)."""
 
     def decode(batches):
         for batch in batches:
-            d = decode_batch_arrays(batch, want_pos, want_offs)
+            d = decode_batch_arrays(batch, want_pos, want_offs, want_pay)
             if d is None:
                 continue
             arrays = [
@@ -466,6 +503,24 @@ def _make_block_decoder(want_pos: bool, want_offs: bool = False):
                     pa.ListArray.from_arrays(occ_off, pa.array(d["off_len_values"]))
                 )
                 out_names.extend(["off_starts", "off_lens"])
+            if want_pay:
+                occ_off = pa.array(d["pos_offsets"].astype(np.int32))
+                lens = d["pay_len_values"]
+                byte_off = np.concatenate(
+                    ([0], np.cumsum(lens))
+                ).astype(np.int32)
+                slab = np.ascontiguousarray(d["pay_byte_slab"])
+                pay_bin = pa.Array.from_buffers(
+                    pa.binary(),
+                    lens.size,
+                    [
+                        None,
+                        pa.py_buffer(byte_off.tobytes()),
+                        pa.py_buffer(slab.tobytes()),
+                    ],
+                )
+                arrays.append(pa.ListArray.from_arrays(occ_off, pay_bin))
+                out_names.append("payloads")
             yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return decode

@@ -298,6 +298,38 @@ class SearchEngine:
             F.col("_o.length").alias("length"),
         )
 
+    def payloads(
+        self, terms: list[str], doc_ids: DataFrame | None = None
+    ) -> DataFrame:
+        """Per-occurrence payload bytes of the given (already-analyzed)
+        terms: (doc_id, term, occurrence, payload) — the reference's
+        PAY posting feature (index_features.hpp:40-58; payload stream
+        formats_10.cpp:714-765) surfaced as a DataFrame. `occurrence`
+        is the 1-based index among the term's occurrences within the
+        doc (position order). Requires an index built with
+        payload_delimiter=...; `doc_ids` restricts the decode like
+        highlight()."""
+        if not self.index.with_payloads:
+            raise ValueError("index was built without payloads")
+        dec = self.index.decoded_postings(
+            terms=list(terms), with_payloads=True
+        )
+        if doc_ids is not None:
+            dec = dec.join(
+                F.broadcast(doc_ids.select("doc_id")), "doc_id", "left_semi"
+            )
+        dec = self._apply_delete_mask(dec)
+        return dec.select(
+            "doc_id",
+            "term",
+            F.posexplode(F.col("payloads")).alias("_i", "payload"),
+        ).select(
+            "doc_id",
+            "term",
+            (F.col("_i") + 1).cast("int").alias("occurrence"),
+            "payload",
+        )
+
     # ------------------------------------------------------ prepare helpers
 
     def _term_dfs(self, terms: list[str]) -> dict[str, int]:

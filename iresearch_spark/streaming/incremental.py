@@ -146,7 +146,7 @@ class IncrementalIndexer:
         # across segments (same contract merge_indexes enforces) —
         # a silent mismatch would drop positions/offsets or mix
         # incompatible token streams in one postings union
-        for key in ("with_positions", "with_offsets", "analyzer"):
+        for key in ("with_positions", "with_offsets", "with_payloads", "analyzer"):
             vals = {m.get(key, False) for m in sub_manifests}
             if len(vals) > 1:
                 raise ValueError(
@@ -203,6 +203,7 @@ class IncrementalIndexer:
             ),
             with_positions=sub_manifests[0]["with_positions"],
             with_offsets=sub_manifests[0].get("with_offsets", False),
+            with_payloads=sub_manifests[0].get("with_payloads", False),
             analyzer_name=sub_manifests[0]["analyzer"],
             deleted=deleted,
             term_buckets=term_buckets,
