@@ -238,6 +238,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["payload_term"] = payload_term
 
+    # edgeNgram analyzer option (text_token_stream.cpp:423-433): the
+    # index holds 2..4-char prefixes of every token, so autocomplete
+    # queries are plain Term lookups (no wildcard scan) — BM25-scored
+    # over the ngram postings
+    def edge_ngram_search(spark, sf_dir):
+        from iresearch_spark.analysis.analyzers import get_analyzer
+
+        key = os.path.abspath(sf_dir) + ":edge"
+        if key not in _INDEX_CACHE:
+            idx = build_index(
+                _docs(spark, sf_dir),
+                analyzer=get_analyzer(
+                    "simple", edge_ngram={"min": 2, "max": 4}
+                ),
+                bucket_bits=16,
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        eng = SearchEngine(_INDEX_CACHE[key])
+        return _rounded(eng.matches(Term("sca")))
+
+    q["edge_ngram_search"] = edge_ngram_search
+
     # --- top-k + WAND (SURVEY §2.5) ---
     q["topk_bm25"] = _topk_q(Or([Term(t) for t in TOPK_TERMS]), k=10)
 
@@ -702,6 +726,28 @@ SELECT doc_id, tok AS term,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) AS BIGINT) AS occurrence,
        CAST(k AS VARCHAR) AS payload
 FROM p WHERE tok = '{HIGH1}'
+"""
+    # edgeNgram: the token stream is every 2..4-char prefix of every
+    # whitespace token; BM25 stats (tf/dl/df/avgdl) over THAT stream
+    o["edge_ngram_search"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, substring(w, 1, CAST(k AS INT)) AS term
+  FROM (SELECT doc_id, w, unnest(generate_series(2, least(4, length(w)))) AS k
+        FROM words)
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS ttf FROM dl),
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT t.doc_id, ROUND(SUM({_score(1.0)}), 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s
+JOIN tstats ts ON ts.term = t.term
+WHERE t.term = 'sca'
+GROUP BY t.doc_id
 """
     o["boosted_and"] = f"""{_CTE}
 SELECT t.doc_id,

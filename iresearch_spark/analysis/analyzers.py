@@ -327,6 +327,41 @@ def _strip_accents(token: str) -> str:
     )
 
 
+def _edge_expand(t: str, mn: int, mx: int | None, po: bool) -> list[str]:
+    """Edge (prefix) ngrams of one processed term, reference semantics
+    (text_token_stream.cpp:1082-1149): prefixes of codepoint length
+    max(min,1)..min(max, len); a term shorter than min emits only the
+    original when preserveOriginal; a term longer than max additionally
+    emits the original when preserveOriginal. All share the term's
+    position (first increment 1, rest 0)."""
+    L = len(t)
+    mn_eff = max(mn, 1)
+    if L < mn_eff:
+        return [t] if po else []
+    hi = L if mx is None else min(mx, L)
+    out = [t[:k] for k in range(mn_eff, hi + 1)]
+    if mx is not None and L > mx and po:
+        out.append(t)
+    return out
+
+
+def _parse_edge(edge_ngram: dict | None) -> tuple[int, int | None, bool] | None:
+    """Normalize an edgeNgram options dict (accepts the reference's
+    camelCase preserveOriginal too) to the (min, max, preserve) tuple
+    _make_chain consumes."""
+    if edge_ngram is None:
+        return None
+    return (
+        int(edge_ngram.get("min", 0)),
+        (int(edge_ngram["max"]) if "max" in edge_ngram else None),
+        bool(
+            edge_ngram.get(
+                "preserve_original", edge_ngram.get("preserveOriginal", False)
+            )
+        ),
+    )
+
+
 def _make_chain(
     tokenize: Callable[[str], list[str]],
     lowercase: bool = True,
@@ -334,6 +369,7 @@ def _make_chain(
     accent: bool = False,
     stopwords: frozenset[str] | None = None,
     stemming: bool = False,
+    edge_ngram: tuple[int, int | None, bool] | None = None,
 ) -> Callable[[Sequence[str]], list[TokensAndPositions]]:
     def run(texts: Sequence[str]) -> list[TokensAndPositions]:
         stemmer = MemoStemmer() if stemming else None
@@ -349,7 +385,7 @@ def _make_chain(
             raw = tokenize(text)
             if accent:
                 raw = [_strip_accents(t) for t in raw]
-            if stopwords is None and stemmer is None:
+            if stopwords is None and stemmer is None and edge_ngram is None:
                 terms = [t for t in raw if t]
                 out.append((terms, list(range(len(terms)))))
                 continue
@@ -362,8 +398,15 @@ def _make_chain(
                 if stopwords is not None and t in stopwords:
                     pos += 1  # stopword leaves a position gap
                     continue
-                terms.append(stemmer(t) if stemmer is not None else t)
-                positions.append(pos)
+                term = stemmer(t) if stemmer is not None else t
+                if edge_ngram is None:
+                    terms.append(term)
+                    positions.append(pos)
+                else:
+                    # post-stem edge ngrams, all at the word's position
+                    for g in _edge_expand(term, *edge_ngram):
+                        terms.append(g)
+                        positions.append(pos)
                 pos += 1
             out.append((terms, positions))
         return out
@@ -457,12 +500,18 @@ def _whitespace(**_opts) -> Analyzer:
 
 
 @_register("simple")
-def _simple(**_opts) -> Analyzer:
+def _simple(edge_ngram: dict | None = None, **_opts) -> Analyzer:
+    # edgeNgram composes with any tokenizer in the reference options
+    # block (text_token_stream.cpp:423-433); exposing it here keeps the
+    # whitespace chain oracle-replayable (SQL substring expansion)
+    edge = _parse_edge(edge_ngram)
     return Analyzer(
         "simple",
-        _make_chain(_ws_tokenize, lowercase=True),
-        _flat_fn=_make_arrow_flat("simple"),
-        _span_fn=_make_span_chain(_NONWS_RE, lowercase=True),
+        _make_chain(_ws_tokenize, lowercase=True, edge_ngram=edge),
+        _flat_fn=_make_arrow_flat("simple") if edge is None else None,
+        _span_fn=_make_span_chain(_NONWS_RE, lowercase=True)
+        if edge is None
+        else None,
     )
 
 
@@ -483,6 +532,7 @@ def _text_en(
     stopwords: Sequence[str] | None = None,
     stemming: bool = True,
     accent: bool = False,
+    edge_ngram: dict | None = None,
     **_opts,
 ) -> Analyzer:
     # the fast path covers the north-rule chain (tokenize + NFC +
@@ -493,9 +543,13 @@ def _text_en(
     # (\\pM in the word class) but splits the token in the regex chain
     # — composable sequences (é, ï, ...) agree byte-for-byte, which
     # the differential test locks with decomposed fixtures
+    # edgeNgram option (reference text_token_stream.cpp:423-433,
+    # 1082-1149): {"min": int, "max": int, "preserve_original": bool},
+    # applied AFTER the stem step, every ngram at the word's position
+    edge = _parse_edge(edge_ngram)
     flat = (
         _make_arrow_flat("text", stem=stemming)
-        if not stopwords and not accent
+        if not stopwords and not accent and edge is None
         else None
     )
     return Analyzer(
@@ -507,6 +561,7 @@ def _text_en(
             accent=accent,
             stopwords=frozenset(stopwords) if stopwords else None,
             stemming=stemming,
+            edge_ngram=edge,
         ),
         _flat_fn=flat,
     )

@@ -146,32 +146,43 @@ class SearchEngine:
         Query THROUGHPUT (the reference benchmark's q/s metric,
         scripts/search-benchmark.sh) on Spark is bounded by the
         ~0.3s/job scheduling floor when queries run one at a time.
-        Plain-term queries (Term / And / Or-of-Terms, sum merge, no
-        exclusions) additionally share ONE fused postings scan over the
-        union of all their terms: the scan emits raw per-(term, doc)
-        factors once, a broadcast (term, query, c0) fan-out assigns
-        them to queries, and one groupBy + one window produce every
-        query's top-k — one pass over the candidate postings no matter
-        how many queries. Other shapes fall back to unioned per-query
-        subplans (still one job)."""
+        Shapes whose leaves expand to known term sets (Term / Terms /
+        Prefix / Wildcard / Range / Fuzzy, alone or under a sum-merge
+        And/Or without exclusions) share ONE fused postings scan over
+        the union of all their terms: the scan emits raw per-(term,
+        doc) factors once, a broadcast (term, query, child, c0) fan-out
+        assigns them, and one groupBy + one window produce every
+        query's top-k. Plain-string Phrase / SamePosition queries share
+        ONE positions decode the same way. Other shapes fall back to
+        unioned per-query subplans (still one job). In WAND mode the
+        shared scans are used unchanged — WAND's top-k is
+        result-identical to exhaustive, and the batch amortizes the
+        scan instead of pruning it."""
         if not queries:
             return self._spark.createDataFrame(
                 [], "query string, doc_id long, score double"
             )
-        batched: dict[str, ast.Node] = {}
+        batched: dict[str, tuple] = {}
+        phrased: dict[str, tuple] = {}
         rest: dict[str, ast.Node] = {}
-        if mode == "exhaustive":
-            for name, node in queries.items():
-                norm = planner.normalize(node)
-                if self._batchable(norm) is not None:
-                    batched[name] = norm
-                else:
-                    rest[name] = node
-        else:
-            rest = dict(queries)
+        for name, node in queries.items():
+            norm = planner.normalize(node)
+            shape = self._batchable(norm)
+            if shape is not None:
+                prep = self._prepare_batch_leaves(shape)
+                if prep is not None:
+                    batched[name] = prep
+                    continue
+            pshape = self._batchable_phrase(norm)
+            if pshape is not None:
+                phrased[name] = pshape
+                continue
+            rest[name] = node
         parts = []
         if batched:
             parts.append(self._search_many_shared(batched, k))
+        if phrased:
+            parts.append(self._search_many_phrases(phrased, k))
         for name, node in rest.items():
             topk = self.search(node, k=k, mode=mode)
             parts.append(topk.select(F.lit(name).alias("query"), "doc_id", "score"))
@@ -180,17 +191,20 @@ class SearchEngine:
             out = out.unionByName(p)
         return out.orderBy("query", F.desc("score"), F.asc("doc_id"))
 
+    _BATCH_LEAVES = (
+        ast.Term, ast.Terms, ast.Prefix, ast.Wildcard, ast.Range, ast.Fuzzy
+    )
+
     def _batchable(self, norm: ast.Node):
         """(children, required, boost) when the normalized node fits the
-        shared-scan batch shape, else None: Term, or And/Or of distinct
-        Terms with sum merge and no exclusions."""
-        if isinstance(norm, ast.Term):
+        shared-scan batch shape, else None: an expandable leaf, or an
+        And/Or of expandable leaves with sum merge and no exclusions."""
+        if isinstance(norm, self._BATCH_LEAVES):
             return ([norm], 1, 1.0)
         if (
             isinstance(norm, (ast.And, ast.Or))
             and norm.merge_type == "sum"
-            and all(isinstance(c, ast.Term) for c in norm.children)
-            and len({c.term for c in norm.children}) == len(norm.children)
+            and all(isinstance(c, self._BATCH_LEAVES) for c in norm.children)
         ):
             req = (
                 len(norm.children)
@@ -200,13 +214,64 @@ class SearchEngine:
             return (list(norm.children), req, norm.boost)
         return None
 
-    def _search_many_shared(self, batched: dict[str, ast.Node], k: int) -> DataFrame:
-        shapes = {name: self._batchable(node) for name, node in batched.items()}
-        all_terms = [
-            t.term for children, _, _ in shapes.values() for t in children
-        ]
-        uniq = list(dict.fromkeys(all_terms))
-        dfs = self._term_dfs(uniq)
+    def _prepare_batch_leaves(self, shape):
+        """Expand every child leaf to its (term -> c0) weights. Returns
+        (req, [(child_idx, weights)]) or None when some child's
+        expansion hit the scored_terms_limit cap INCOMPLETE (a Prefix/
+        Wildcard/Range matching more terms than expanded must fall back
+        to its predicate-scan subplan to stay identical to search())."""
+        children, req, boost = shape
+        out = []
+        for ci, c in enumerate(children):
+            leaf = self._prepare_leaf(c, boost)
+            if leaf.weights and leaf.exact_terms is None:
+                return None
+            out.append((ci, leaf.weights))
+        return (int(req), out)
+
+    def _batchable_phrase(self, norm: ast.Node):
+        """(terms, offsets, boost) for plain-string Phrase/SamePosition
+        (variadic slots keep their per-query subplan)."""
+        if isinstance(norm, ast.Phrase) and all(
+            isinstance(p, str) for p in norm.terms
+        ):
+            return (list(norm.terms), list(range(len(norm.terms))), norm.boost)
+        if isinstance(norm, ast.SamePosition) and all(
+            isinstance(p, str) for p in norm.terms
+        ):
+            return (list(norm.terms), [0] * len(norm.terms), norm.boost)
+        return None
+
+    def _topk_per_query(self, scored: DataFrame, k: int) -> DataFrame:
+        if self.index.deleted is not None:
+            scored = scored.join(
+                self.index.deleted.select("doc_id"), "doc_id", "left_anti"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("query", "doc_id", "score")
+        )
+
+    def _search_many_shared(self, batched: dict[str, tuple], k: int) -> DataFrame:
+        # membership rows: (term, query, child idx, c0, required count).
+        # A child with an empty expansion contributes no rows — an And
+        # then fails the countDistinct(_child) >= req filter naturally.
+        rows = []
+        for name, (req, kids) in batched.items():
+            for ci, weights in kids:
+                for t, w in weights.items():
+                    rows.append((t, name, int(ci), float(w), int(req)))
+        if not rows:
+            return self._spark.createDataFrame(
+                [], "query string, doc_id long, score double"
+            )
+        uniq = list(dict.fromkeys(r[0] for r in rows))
         leaf_of = {t: i for i, t in enumerate(uniq)}
         # ONE fused scan over the union of terms, emitting the RAW
         # per-(term, doc) factor g(tf, dl) tagged with the term index
@@ -219,46 +284,89 @@ class SearchEngine:
             weights, self._scorer_params(), None, leaf_of=leaf_of
         )
         factors = slim.mapInArrow(fused, LEAF_RESULT_SCHEMA)
-        # broadcast fan-out: (term index, query, c0) — c0 folds the
-        # query/child boosts and idf per (query, term)
-        rows = []
-        for name, (children, req, boost) in shapes.items():
-            for c in children:
-                rows.append(
-                    (
-                        leaf_of[c.term],
-                        name,
-                        float(self._c0(dfs[c.term], boost * c.boost)),
-                        int(req),
-                    )
-                )
         memb = self._spark.createDataFrame(
-            rows, "_leaf int, query string, _c0 double, _req int"
+            [(leaf_of[t], q, ci, c0, rq) for t, q, ci, c0, rq in rows],
+            "_leaf int, query string, _child int, _c0 double, _req int",
         )
         merged = (
             factors.join(F.broadcast(memb), "_leaf")
             .groupBy("query", "doc_id")
             .agg(
                 F.sum(F.col("_c0") * F.col("score")).alias("score"),
-                F.count(F.lit(1)).alias("_cnt"),
+                F.countDistinct("_child").alias("_cnt"),
                 F.first("_req").alias("_req"),
             )
             .filter(F.col("_cnt") >= F.col("_req"))
         )
-        if self.index.deleted is not None:
-            merged = merged.join(
-                self.index.deleted.select("doc_id"), "doc_id", "left_anti"
-            )
-        from pyspark.sql import Window
+        return self._topk_per_query(merged, k)
 
-        w = Window.partitionBy("query").orderBy(
-            F.desc("score"), F.asc("doc_id")
+    def _search_many_phrases(self, phrased: dict[str, tuple], k: int) -> DataFrame:
+        """All plain phrases in ONE positions decode over the union of
+        their terms + two bounded groupBys: decoded rows fan out to
+        (query, slot) via a broadcast membership join, per-slot distinct
+        shifted-position sets aggregate per (query, doc), and phrase
+        freq = |∩ slots| exactly as _eval_positional computes it."""
+        memb_rows = []
+        c0_rows = []
+        for name, (terms, offsets, boost) in phrased.items():
+            dfs = self._term_dfs(list(dict.fromkeys(terms)))
+            if any(dfs[t] <= 0 for t in terms):
+                continue  # a dead slot -> the phrase matches nothing
+            c0_sum = sum(self._c0(dfs[t], 1.0) for t in terms) * boost
+            c0_rows.append((name, float(c0_sum)))
+            for i, (t, off) in enumerate(zip(terms, offsets)):
+                memb_rows.append((t, name, int(i), int(off), len(terms)))
+        if not memb_rows:
+            return self._spark.createDataFrame(
+                [], "query string, doc_id long, score double"
+            )
+        uniq = list(dict.fromkeys(r[0] for r in memb_rows))
+        decoded = self.index.decoded_postings(terms=uniq, with_positions=True)
+        memb = self._spark.createDataFrame(
+            memb_rows, "term string, query string, _slot int, _off int, _m int"
         )
-        return (
-            merged.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= k)
-            .select("query", "doc_id", "score")
+        joined = decoded.join(F.broadcast(memb), "term").select(
+            "query",
+            "doc_id",
+            "dl",
+            "_slot",
+            "_m",
+            F.transform(
+                F.col("positions"), lambda x: x - F.col("_off")
+            ).alias("_sp"),
         )
+        per_slot = joined.groupBy("query", "doc_id", "_slot").agg(
+            F.array_distinct(F.flatten(F.collect_list("_sp"))).alias("_p"),
+            F.min("dl").alias("dl"),
+            F.first("_m").alias("_m"),
+        )
+        agged = (
+            per_slot.groupBy("query", "doc_id")
+            .agg(
+                F.collect_list("_p").alias("_ps"),
+                F.min("dl").alias("dl"),
+                F.first("_m").alias("_m"),
+                F.count(F.lit(1)).alias("_ns"),
+            )
+            .filter(F.col("_ns") == F.col("_m"))  # every slot present
+        )
+        inter = F.aggregate(
+            F.slice(F.col("_ps"), 2, F.size("_ps")),
+            F.element_at(F.col("_ps"), 1),
+            lambda acc, a: F.array_intersect(acc, a),
+        )
+        freq_df = agged.select(
+            "query", "doc_id", F.size(inter).alias("freq"), "dl"
+        ).filter(F.col("freq") > 0)
+        c0df = self._spark.createDataFrame(c0_rows, "query string, _c0 double")
+        scored = freq_df.join(F.broadcast(c0df), "query").select(
+            "query",
+            "doc_id",
+            (F.col("_c0") * self._score_g(F.col("freq"), F.col("dl"))).alias(
+                "score"
+            ),
+        )
+        return self._topk_per_query(scored, k)
 
     def explain(self, query: ast.Node, k: int = 10, mode: str = "exhaustive"):
         self.search(query, k, mode).explain("formatted")
@@ -1043,7 +1151,13 @@ class SearchEngine:
             and node.merge_type == "sum"  # block-max bounds assume sum
             and all(isinstance(c, ast.Term) for c in node.children)
         ):
-            return [c.term for c in node.children]
+            terms = [c.term for c in node.children]
+            # duplicated terms would collapse in the per-term weight map
+            # (an And of twins would then demand 2 distinct matches of 1
+            # term -> empty); exhaustive eval handles them correctly
+            if len(set(terms)) != len(terms):
+                return None
+            return terms
         return None
 
     def _plain_terms(self, node: ast.Node, acc: list[str]) -> None:
