@@ -196,37 +196,52 @@ class SearchEngine:
     )
 
     def _batchable(self, norm: ast.Node):
-        """(children, required, boost) when the normalized node fits the
-        shared-scan batch shape, else None: an expandable leaf, or an
-        And/Or of expandable leaves with sum merge and no exclusions."""
+        """(positives, negatives, required, boost) when the normalized
+        node fits the shared-scan batch shape, else None: an expandable
+        leaf, or a sum-merge And/Or whose children are expandable leaves
+        or Not-wrapped expandable leaves (exclusions ride the same scan:
+        their terms' factor rows flag the doc instead of scoring it)."""
         if isinstance(norm, self._BATCH_LEAVES):
-            return ([norm], 1, 1.0)
-        if (
-            isinstance(norm, (ast.And, ast.Or))
-            and norm.merge_type == "sum"
-            and all(isinstance(c, self._BATCH_LEAVES) for c in norm.children)
-        ):
-            req = (
-                len(norm.children)
-                if isinstance(norm, ast.And)
-                else norm.min_match
-            )
-            return (list(norm.children), req, norm.boost)
+            return ([norm], [], 1, 1.0)
+        if isinstance(norm, (ast.And, ast.Or)) and norm.merge_type == "sum":
+            pos, neg = [], []
+            for c in norm.children:
+                if isinstance(c, self._BATCH_LEAVES):
+                    pos.append(c)
+                elif isinstance(c, ast.Not) and isinstance(
+                    c.child, self._BATCH_LEAVES
+                ):
+                    neg.append(c.child)
+                else:
+                    return None
+            if not pos:
+                return None
+            # exclusions never count toward min_match (_eval_bool,
+            # boolean_filter.cpp:221-312)
+            req = len(pos) if isinstance(norm, ast.And) else norm.min_match
+            return (pos, neg, req, norm.boost)
         return None
 
     def _prepare_batch_leaves(self, shape):
         """Expand every child leaf to its (term -> c0) weights. Returns
-        (req, [(child_idx, weights)]) or None when some child's
-        expansion hit the scored_terms_limit cap INCOMPLETE (a Prefix/
-        Wildcard/Range matching more terms than expanded must fall back
-        to its predicate-scan subplan to stay identical to search())."""
-        children, req, boost = shape
+        (req, [(child_idx, weights, is_exclusion)]) or None when some
+        child's expansion hit the scored_terms_limit cap INCOMPLETE (a
+        Prefix/Wildcard/Range matching more terms than expanded must
+        fall back to its predicate-scan subplan to stay identical to
+        search() — for an exclusion an incomplete expansion would fail
+        to exclude, so it falls back too)."""
+        positives, negatives, req, boost = shape
         out = []
-        for ci, c in enumerate(children):
+        for ci, c in enumerate(positives):
             leaf = self._prepare_leaf(c, boost)
             if leaf.weights and leaf.exact_terms is None:
                 return None
-            out.append((ci, leaf.weights))
+            out.append((ci, leaf.weights, False))
+        for c in negatives:
+            leaf = self._prepare_leaf(c, 1.0)
+            if leaf.weights and leaf.exact_terms is None:
+                return None
+            out.append((-1, leaf.weights, True))
         return (int(req), out)
 
     def _batchable_phrase(self, norm: ast.Node):
@@ -259,14 +274,19 @@ class SearchEngine:
         )
 
     def _search_many_shared(self, batched: dict[str, tuple], k: int) -> DataFrame:
-        # membership rows: (term, query, child idx, c0, required count).
-        # A child with an empty expansion contributes no rows — an And
-        # then fails the countDistinct(_child) >= req filter naturally.
+        # membership rows: (term, query, child idx, c0, required count,
+        # exclusion flag). A positive child with an empty expansion
+        # contributes no rows — an And then fails the
+        # countDistinct(_child) >= req filter naturally. Exclusion terms
+        # ride the SAME scan: their rows score nothing and any hit
+        # drops the (query, doc) via the max(_neg) == 0 filter.
         rows = []
         for name, (req, kids) in batched.items():
-            for ci, weights in kids:
+            for ci, weights, is_neg in kids:
                 for t, w in weights.items():
-                    rows.append((t, name, int(ci), float(w), int(req)))
+                    rows.append(
+                        (t, name, int(ci), float(w), int(req), int(is_neg))
+                    )
         if not rows:
             return self._spark.createDataFrame(
                 [], "query string, doc_id long, score double"
@@ -285,18 +305,26 @@ class SearchEngine:
         )
         factors = slim.mapInArrow(fused, LEAF_RESULT_SCHEMA)
         memb = self._spark.createDataFrame(
-            [(leaf_of[t], q, ci, c0, rq) for t, q, ci, c0, rq in rows],
-            "_leaf int, query string, _child int, _c0 double, _req int",
+            [
+                (leaf_of[t], q, ci, c0, rq, ng)
+                for t, q, ci, c0, rq, ng in rows
+            ],
+            "_leaf int, query string, _child int, _c0 double, _req int, "
+            "_neg int",
         )
+        pos = F.col("_neg") == 0
         merged = (
             factors.join(F.broadcast(memb), "_leaf")
             .groupBy("query", "doc_id")
             .agg(
-                F.sum(F.col("_c0") * F.col("score")).alias("score"),
-                F.countDistinct("_child").alias("_cnt"),
+                F.sum(
+                    F.when(pos, F.col("_c0") * F.col("score")).otherwise(0.0)
+                ).alias("score"),
+                F.countDistinct(F.when(pos, F.col("_child"))).alias("_cnt"),
+                F.max("_neg").alias("_ex"),
                 F.first("_req").alias("_req"),
             )
-            .filter(F.col("_cnt") >= F.col("_req"))
+            .filter((F.col("_cnt") >= F.col("_req")) & (F.col("_ex") == 0))
         )
         return self._topk_per_query(merged, k)
 
@@ -1097,43 +1125,81 @@ class SearchEngine:
         threshold = node.threshold
 
         def lcs_ratio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # LCS row recurrence vectorized over the stream axis:
-            #   cur[j] = max(prev[j], prev[j-1] + eq[j], cur[j-1])
-            # cur[j-1] only propagates earlier maxima, so
-            #   cur = running_max(max(prev[1:], prev[:-1] + eq))
-            # — no per-token Python loop; only the m query slots loop.
+            # LCS row recurrence vectorized over the stream axis AND the
+            # doc axis: docs are packed into a (rows x max_len) padded
+            # code matrix (pad code -1 never equals a query code, and
+            # the running max is flat over padding, so column -1 holds
+            # every row's answer regardless of its true length):
+            #   cur[:, j] = max(prev[:, j], prev[:, j-1] + eq[:, j],
+            #               cur[:, j-1])
+            # => cur = running_max(max(prev[:,1:], prev[:,:-1] + eq),
+            #          axis=1)
+            # Only the m query slots loop in Python. Rows are processed
+            # in length-sorted chunks with a bounded cell budget so one
+            # long doc neither inflates padding for short docs nor blows
+            # batch memory.
             uniq_q = list(dict.fromkeys(q_seq))
             tcode = {t: k for k, t in enumerate(uniq_q)}
             q_codes = [tcode[t] for t in q_seq]
+            max_cells = 1 << 23
             for pdf in batches:
-                out_doc, out_sim = [], []
-                for doc_id, plists in zip(pdf["doc_id"], pdf["_plists"]):
-                    # doc ngram stream restricted to query terms:
-                    # (position, term code) sorted by position
-                    pos_parts, code_parts = [], []
+                n = len(pdf)
+                if n == 0:
+                    yield pd.DataFrame({"doc_id": [], "_sim": []})
+                    continue
+                # flatten every doc's (term, positions) lists into one
+                # occurrence-level array triple (light list ops only)
+                ridx_p, pos_p, code_p = [], [], []
+                for ri, plists in enumerate(pdf["_plists"]):
                     for item in plists:
                         ps = np.asarray(item["positions"], dtype=np.int64)
-                        pos_parts.append(ps)
-                        code_parts.append(
+                        ridx_p.append(np.full(ps.size, ri, np.int64))
+                        pos_p.append(ps)
+                        code_p.append(
                             np.full(ps.size, tcode[item["term"]], np.int32)
                         )
-                    pos_all = np.concatenate(pos_parts)
-                    codes = np.concatenate(code_parts)
-                    stream = codes[np.argsort(pos_all, kind="stable")]
-                    prev = np.zeros(stream.size + 1, dtype=np.int32)
+                ridx = np.concatenate(ridx_p)
+                order = np.lexsort((np.concatenate(pos_p), ridx))
+                ridx = ridx[order]
+                codes = np.concatenate(code_p)[order]
+                lens = np.bincount(ridx, minlength=n)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                doc_ids = pdf["doc_id"].to_numpy()
+                sims = np.empty(n, dtype=np.float64)
+                by_len = np.argsort(lens, kind="stable")
+                i = 0
+                while i < n:
+                    # greedy chunk: rows i..j-1 (ascending length) while
+                    # rows * max_len stays under the cell budget
+                    j = i + 1
+                    while (
+                        j < n
+                        and (j + 1 - i) * int(lens[by_len[j]]) <= max_cells
+                    ):
+                        j += 1
+                    rows = by_len[i:j]
+                    L = int(lens[rows].max())
+                    mat = np.full((rows.size, L), -1, np.int32)
+                    for k, r in enumerate(rows):
+                        s = starts[r]
+                        mat[k, : lens[r]] = codes[s : s + lens[r]]
+                    prev = np.zeros((rows.size, L + 1), dtype=np.int32)
                     cur = np.empty_like(prev)
                     for qc in q_codes:
-                        eq = (stream == qc).astype(np.int32)
-                        cur[0] = 0
+                        eq = (mat == qc).astype(np.int32)
+                        cur[:, 0] = 0
                         np.maximum.accumulate(
-                            np.maximum(prev[1:], prev[:-1] + eq), out=cur[1:]
+                            np.maximum(prev[:, 1:], prev[:, :-1] + eq),
+                            axis=1,
+                            out=cur[:, 1:],
                         )
                         prev, cur = cur, prev
-                    sim = float(prev[-1]) / m
-                    if sim >= threshold:
-                        out_doc.append(doc_id)
-                        out_sim.append(sim)
-                yield pd.DataFrame({"doc_id": out_doc, "_sim": out_sim})
+                    sims[rows] = prev[:, -1].astype(np.float64) / m
+                    i = j
+                keep = sims >= threshold
+                yield pd.DataFrame(
+                    {"doc_id": doc_ids[keep], "_sim": sims[keep]}
+                )
 
         sim_df = cand.mapInPandas(lcs_ratio, "doc_id long, _sim double")
         return sim_df.select(

@@ -10,6 +10,7 @@ from iresearch_spark.index.builder import build_index
 from iresearch_spark.search import (
     And,
     Fuzzy,
+    Not,
     Or,
     Phrase,
     Prefix,
@@ -51,7 +52,22 @@ QUERIES = {
     "phrase_boost": Phrase(["alpha", "beta"], boost=2.5),
     "same_pos": SamePosition(["alpha", "alpha"]),
     "term": Term("alpha"),
+    # exclusions ride the shared scan: any hit on a Not-leaf's terms
+    # drops the (query, doc) without scoring it
+    "and_not": And([Term("alpha"), Not(Term("gamma"))]),
+    "and_not_prefix": And([Prefix("alp"), Not(Term("delta"))]),
+    "or_not_mm": Or(
+        [Term("beta"), Term("bravo"), Not(Prefix("alp"))], min_match=1
+    ),
 }
+
+
+def test_not_shapes_are_batched(eng):
+    from iresearch_spark.search import planner
+
+    for name in ("and_not", "and_not_prefix", "or_not_mm"):
+        norm = planner.normalize(QUERIES[name])
+        assert eng._batchable(norm) is not None, name
 
 
 def _run(eng, queries, k, mode="exhaustive"):
