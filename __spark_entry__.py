@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality"] = lambda s, d: textstats.quality_score(_docs(s, d))
     q["lang_id"] = lambda s, d: textstats.lang_id(_docs(s, d))
     q["fingerprint"] = lambda s, d: textstats.doc_fingerprint(_docs(s, d))
+    q["repetition"] = lambda s, d: textstats.repetition_signals(_docs(s, d))
 
     # --- similarity search ---
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk(
@@ -842,6 +843,38 @@ SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(ceil(length(text)/4.0) AS BIGINT) AS n_subwords_est
 FROM documents
+"""
+    o["repetition"] = r"""
+WITH b AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS arr,
+    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt,
+    len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS nu
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n, array_to_string(arr[i : i + n - 1], ' ') AS g
+  FROM (
+    SELECT b.doc_id, ns.n, b.arr,
+           unnest(range(1, b.nt - ns.n + 2)) AS i
+    FROM b, (VALUES (2), (3), (5)) AS ns(n)
+    WHERE b.nt >= ns.n
+  )
+),
+c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+d AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN c END) AS max2,
+    max(CASE WHEN n = 3 THEN c END) AS max3,
+    sum(CASE WHEN n = 5 AND c >= 2 THEN c ELSE 0 END) AS dup5c
+  FROM c GROUP BY doc_id
+)
+SELECT b.doc_id,
+  ROUND(1.0 - b.nu * 1.0 / b.nt, 6) AS rep_token_frac,
+  ROUND(COALESCE(d.max2 * 2.0 / b.nt, 0.0), 6) AS top2_frac,
+  ROUND(COALESCE(d.max3 * 3.0 / b.nt, 0.0), 6) AS top3_frac,
+  ROUND(LEAST(1.0, COALESCE(d.dup5c, 0) * 5.0 / b.nt), 6) AS dup5_frac
+FROM b LEFT JOIN d USING (doc_id)
 """
     en = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS["en"])
     o["quality"] = rf"""

@@ -86,6 +86,86 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(*cols)
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (token-based analogues of
+    Rae et al. 2021 "Scaling Language Models" §A1.1 repetition filters),
+    deterministic and oracle-portable:
+
+      rep_token_frac - fraction of tokens that repeat an earlier token:
+                       1 - n_unique / n_tokens
+      top2_frac      - tokens covered by the single most frequent 2-gram:
+                       max_count(2-gram) * 2 / n_tokens
+      top3_frac      - same for 3-grams
+      dup5_frac      - tokens covered by 5-grams occurring >= 2 times:
+                       sum(count * 5) / n_tokens, overlap not deduplicated,
+                       clamped to 1.0
+
+    Docs shorter than n tokens contribute 0.0 for that n's signal. One
+    explode + two map-side-combinable groupBys keyed by doc_id — no
+    cross-document state, so the plan scales linearly with corpus size.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("double").alias("n_unique"),
+    )
+
+    def _shingles(n: int):
+        # factory so the lambda captures n (F.transform's 2nd lambda arg
+        # is the element index, not a closure slot)
+        def join_at(i):
+            return F.concat_ws(" ", F.slice(F.col("toks"), i, n))
+
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)), join_at),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _tagged(n: int):
+        return F.transform(
+            _shingles(n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    grams = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        F.explode_outer(F.concat(_tagged(2), _tagged(3), _tagged(5))).alias("x"),
+    )
+    counts = grams.groupBy(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        F.col("x.n").alias("n"),
+        F.col("x.g").alias("g"),
+    ).agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id", "n_tokens", "n_unique").agg(
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("max2"),
+        F.max(F.when(F.col("n") == 3, F.col("c"))).alias("max3"),
+        F.sum(
+            F.when((F.col("n") == 5) & (F.col("c") >= 2), F.col("c")).otherwise(F.lit(0))
+        ).alias("dup5c"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.round(F.lit(1.0) - F.col("n_unique") / F.col("n_tokens"), 6).alias(
+            "rep_token_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("max2") * 2.0 / F.col("n_tokens"), F.lit(0.0)), 6
+        ).alias("top2_frac"),
+        F.round(
+            F.coalesce(F.col("max3") * 3.0 / F.col("n_tokens"), F.lit(0.0)), 6
+        ).alias("top3_frac"),
+        F.round(
+            F.least(F.lit(1.0), F.col("dup5c") * 5.0 / F.col("n_tokens")), 6
+        ).alias("dup5_frac"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 4
 ) -> DataFrame:
