@@ -143,6 +143,15 @@ def main():
         for _ in range(repeat)
     )
     queries["ann_lsh_topk"] = t
+    t = min(
+        timed(
+            lambda: similarity.lsh_topk(
+                emb, k=5, n_bits=6, multi_probe=True
+            ).count()
+        )[0]
+        for _ in range(repeat)
+    )
+    queries["ann_lsh_multiprobe"] = t
 
     # default ON: the sf0.1 documents table is only ~5k docs, so the
     # index_build number above is fixed-cost-bound; this run measures

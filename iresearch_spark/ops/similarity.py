@@ -319,9 +319,10 @@ def lsh_topk(
         F.col("b.id").alias("neighbor_id"),
         cosine_expr("a", "b").alias("cosine"),
     )
-    if multi_probe:
-        # a query can meet the same neighbor via several probe buckets
-        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    # no dedup needed even with multi_probe: the probe signatures
+    # [sig, sig^(1<<i)...] are pairwise-distinct values and each
+    # neighbor row carries ONE sig, so a (query, neighbor) pair can
+    # match through at most one probe row
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
