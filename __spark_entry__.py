@@ -396,6 +396,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+    q["ann_topk_join"] = lambda s, d: similarity.topk_join(
+        _emb(s, d).filter(F.col("vec_id") % 25 == 0), _emb(s, d), k=5
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
     return q
 
 
@@ -932,6 +940,37 @@ FROM r WHERE rk <= 3
     o["ngram_similarity_query"] = _ngram_similarity_sql(
         ["ba", "at", "tc", "ch"], threshold=0.5, head_len=40
     )
+    # topk_join replays exactly: integer-quantized dots (round-half-away
+    # in both engines), denominators multiplied from identical integers
+    o["ann_topk_join"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (
+  SELECT vec_id, generate_subscripts(e, 1) AS dim,
+         CAST(round(unnest(e) * 1000000) AS BIGINT) AS r
+  FROM v
+),
+n AS (SELECT vec_id, SUM(r * r) AS n2 FROM q GROUP BY 1),
+d AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.r * b.r) AS dot
+  FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % 25 = 0
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         dot / (sqrt(nb.n2) * sqrt(na.n2)) AS c
+  FROM d
+  JOIN n na ON na.vec_id = query_id
+  JOIN n nb ON nb.vec_id = neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= 5
+"""
     # LSH top-k is fully deterministic: the oracle replays the literal
     # hyperplane sign matrix and the 1e-6 integer quantization, so the
     # bucket assignment is bit-identical to the Spark plan

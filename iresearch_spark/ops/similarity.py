@@ -97,6 +97,111 @@ def brute_force_topk(
     )
 
 
+def topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize: int = 1_000_000,
+    exclude_same_id: bool = True,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Exact cosine top-k of a (small) external query set against a
+    (huge) corpus — the standard retrieval shape the self-join ops
+    don't cover: (query_id, neighbor_id, cosine, rank).
+
+    100 TB design: the corpus NEVER shuffles. The query matrix is
+    collected driver-side (bounded by `max_queries`) and shipped in the
+    mapInPandas closure — the per-executor analogue of a broadcast
+    join. Each Arrow batch computes an integer matmul against all
+    queries and keeps only its local top-k per query, so the only
+    exchange is the final window over n_batches * n_queries * k partial
+    rows. Cosines use `quantize`-scaled integer dot products
+    (round-half-away like Spark/DuckDB ROUND), making every float
+    deterministic and SQL-replayable — same recipe as the LSH/IVF
+    oracle entries. Rank ties break by neighbor_id ascending.
+    """
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"{len(q_rows)} query vectors > max_queries={max_queries}; "
+            "collect/broadcast is the wrong shape — raise the cap or "
+            "pre-reduce the query set"
+        )
+
+    def _quant(m: "np.ndarray") -> "np.ndarray":
+        v = m * float(quantize)
+        return np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
+
+    q_ids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    Q = _quant(np.array([r["vec"] for r in q_rows], dtype=np.float64))
+    q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    nq = len(q_ids)
+
+    def partial_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            C = _quant(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            )
+            c_norm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            # (n x nq) exact integer dots; denominator multiplied in the
+            # same order as the SQL replay (commutative => bit-stable)
+            cos = (C @ Q.T).astype(np.float64) / (
+                c_norm[:, None] * q_norm[None, :]
+            )
+            out_q, out_n, out_c = [], [], []
+            for j in range(nq):
+                col = cos[:, j]
+                mask = np.isfinite(col)
+                if exclude_same_id:
+                    mask &= ids != q_ids[j]
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                take = min(k, idx.size)
+                # top-k by (cosine desc, id asc): lexsort is stable,
+                # last key is primary
+                order = idx[np.lexsort((ids[idx], -col[idx]))[:take]]
+                out_q.append(np.full(take, q_ids[j], np.int64))
+                out_n.append(ids[order])
+                out_c.append(col[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    partial = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def hyperplane_sign_matrix(n_bits: int, dims: int) -> list[list[int]]:
     """The (n_bits x dims) hyperplane sign matrix, a pure function of
     (bit, dim): sign = +1 iff the 60-bit md5 hash of f"{bit}:{dim}" is
