@@ -492,6 +492,7 @@ def ivf_topk(
     centroids: str = "hash",
     sample_size: int = 4096,
     kmeans_iters: int = 8,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k. Coarse centroids come from
     `centroids`: "hash" = the `n_centroids` vectors with the lowest
@@ -500,6 +501,11 @@ def ivf_topk(
     (better-balanced cells on clustered embeddings). Each vector is
     assigned to its nearest centroid; queries probe the `n_probe`
     nearest cells.
+
+    `queries` (same schema as `emb`) searches an external query set
+    against the corpus instead of the all-vs-all self-join — the
+    retrieval shape. Centroids always come from the corpus; query ids
+    equal to a corpus id are excluded as self-matches either way.
 
     The candidate join is (vector x probed-cell) co-partitioned by
     centroid id — shuffle volume n * n_probe * cell_size instead of
@@ -521,37 +527,49 @@ def ivf_topk(
     else:
         raise ValueError("centroids must be 'hash' or 'kmeans'")
     cents = F.broadcast(cents)
-    # assign every vector to nearest centroid; queries keep top n_probe
-    a = base.alias("a")
-    cc = cents.alias("c")
-    dots = a.join(cc).select(
-        "a.id",
-        "a.vec",
-        "a.norm",
-        F.col("c.cid").alias("cid"),
-        (
-            F.aggregate(
-                F.zip_with(F.col("a.vec"), F.col("c.cvec"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (F.col("a.norm") * F.col("c.cnorm"))
-        ).alias("csim"),
-    )
+
+    # nearest-centroid ranking per vector (corpus keeps rank 1 as its
+    # cell; queries keep the top n_probe cells)
     w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
-    # cache: ranked feeds both the members and the probes sides;
-    # released by the next similarity-op call or release_caches()
+
+    def _cell_rank(df: DataFrame) -> DataFrame:
+        a = df.alias("a")
+        cc = cents.alias("c")
+        dots = a.join(cc).select(
+            "a.id",
+            "a.vec",
+            "a.norm",
+            F.col("c.cid").alias("cid"),
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("a.vec"), F.col("c.cvec"), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("a.norm") * F.col("c.cnorm"))
+            ).alias("csim"),
+        )
+        return dots.withColumn("crank", F.row_number().over(w))
+
     release_caches()
-    ranked = _register_cache(
-        dots.withColumn("crank", F.row_number().over(w)).cache()
-    )
+    if queries is None:
+        # cache: ranked feeds both the members and the probes sides;
+        # released by the next similarity-op call or release_caches()
+        ranked = _register_cache(_cell_rank(base).cache())
+        ranked_q = ranked
+    else:
+        # each side is consumed once — no shared subplan to cache
+        ranked = _cell_rank(base)
+        ranked_q = _cell_rank(with_norm(queries, vec_col, id_col))
     members = ranked.filter(F.col("crank") == 1).select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("nvec"),
         F.col("norm").alias("nnorm"),
         "cid",
     )
-    probes = ranked.filter(F.col("crank") <= n_probe).select(
+    probes = ranked_q.filter(F.col("crank") <= n_probe).select(
         F.col("id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
@@ -560,6 +578,9 @@ def ivf_topk(
     cand = probes.join(members, "cid").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    # no dedup shuffle needed: members carry exactly ONE cell per
+    # neighbor (crank == 1), so a (query, neighbor) pair joins at most
+    # once regardless of how many cells the query probes
     scored = cand.select(
         "query_id",
         "neighbor_id",
@@ -571,7 +592,7 @@ def ivf_topk(
             )
             / (F.col("qnorm") * F.col("nnorm"))
         ).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w2))

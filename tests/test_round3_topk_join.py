@@ -90,3 +90,28 @@ def test_k_exceeds_corpus(spark):
 def test_max_queries_guard(spark, emb):
     with pytest.raises(ValueError):
         similarity.topk_join(emb, emb, k=1, max_queries=10)
+
+
+def test_ivf_external_queries_match_self_join(spark, emb):
+    """ivf_topk(queries=subset of corpus) must reproduce exactly the
+    self-join results for those query ids (same centroids, same probe
+    cells, same candidates)."""
+    full = similarity.ivf_topk(emb, k=3, n_centroids=4, n_probe=2)
+    qids = [2, 40, 71]
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in full.collect()
+        if r["query_id"] in qids
+    )
+    sub = similarity.ivf_topk(
+        emb,
+        k=3,
+        n_centroids=4,
+        n_probe=2,
+        queries=emb.filter(F.col("vec_id").isin(qids)),
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in sub.collect()
+    )
+    assert got == want
