@@ -382,6 +382,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     multi_probe: bool = False,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket, exact cosine
     within bucket. The join touches only bucket-colliding pairs — the
@@ -394,15 +395,25 @@ def lsh_topk(
     longer falls off a cliff as n_bits grows — a near neighbor is
     missed only if >=2 sign bits disagree. Candidate volume rises
     ~(n_bits+1)x, still nowhere near quadratic. Deterministic either
-    way (XOR of the literal-signed signature)."""
-    # cache: the signature subplan (n_bits aggregate expressions per
-    # row) feeds BOTH sides of the self-join — without it Spark
-    # computes it twice (measured 33% of op wall time); released by the
-    # next similarity-op call or release_caches()
+    way (XOR of the literal-signed signature).
+
+    `queries` (same schema as `emb`) searches an external query set
+    against the corpus instead of the all-vs-all self-join — the sign
+    matrix is a pure function of (bit, dim), so both sides hash into
+    the same bucket space."""
     release_caches()
-    signed = _register_cache(
-        hyperplane_signature(emb, n_bits, vec_col, id_col).cache()
-    )
+    if queries is None:
+        # cache: the signature subplan (n_bits aggregate expressions
+        # per row) feeds BOTH sides of the self-join — without it Spark
+        # computes it twice (measured 33% of op wall time); released by
+        # the next similarity-op call or release_caches()
+        signed = _register_cache(
+            hyperplane_signature(emb, n_bits, vec_col, id_col).cache()
+        )
+        signed_q = signed
+    else:
+        signed = hyperplane_signature(emb, n_bits, vec_col, id_col)
+        signed_q = hyperplane_signature(queries, n_bits, vec_col, id_col)
     if multi_probe:
         probes = F.array(
             F.col("sig"),
@@ -411,11 +422,11 @@ def lsh_topk(
                 for i in range(n_bits)
             ],
         )
-        a = signed.select(
+        a = signed_q.select(
             "id", "vec", "norm", F.explode(probes).alias("sig")
         ).alias("a")
     else:
-        a = signed.alias("a")
+        a = signed_q.alias("a")
     b = signed.alias("b")
     scored = a.join(
         b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") != F.col("b.id"))

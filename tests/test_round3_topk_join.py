@@ -115,3 +115,28 @@ def test_ivf_external_queries_match_self_join(spark, emb):
         for r in sub.collect()
     )
     assert got == want
+
+
+def test_lsh_external_queries_match_self_join(spark, emb):
+    """lsh_topk(queries=subset of corpus) must reproduce the self-join
+    results for those ids exactly (same sign matrix -> same buckets)."""
+    for mp in (False, True):
+        full = similarity.lsh_topk(emb, k=3, n_bits=4, multi_probe=mp)
+        qids = [5, 33, 64]
+        want = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in full.collect()
+            if r["query_id"] in qids
+        )
+        sub = similarity.lsh_topk(
+            emb,
+            k=3,
+            n_bits=4,
+            multi_probe=mp,
+            queries=emb.filter(F.col("vec_id").isin(qids)),
+        )
+        got = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in sub.collect()
+        )
+        assert got == want, f"multi_probe={mp}"
