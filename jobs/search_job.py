@@ -60,6 +60,13 @@ def main():
     ap.add_argument("--mode", default="exhaustive", choices=["exhaustive", "wand"])
     ap.add_argument("--scorer", default="bm25")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--batched",
+        action="store_true",
+        help="answer the whole task set with one search_many job "
+        "(shared fused scans; the serving-throughput mode) instead of "
+        "one job per task",
+    )
     ap.add_argument("--no-preload-stats", action="store_true",
                     help="skip driver-side term-dictionary preload "
                     "(use for one-shot queries on huge vocabularies)")
@@ -85,12 +92,32 @@ def main():
         preload_stats=not args.no_preload_stats,
     )
 
-    timings = {}
+    tasks = {}
     with open(args.tasks) as f:
         for line in f:
             category, node = parse_task(line)
-            if node is None:
-                continue
+            if node is not None:
+                tasks[category] = node
+
+    timings = {}
+    if args.batched:
+        best, rows = None, None
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rows = engine.search_many(tasks, k=args.k, mode=args.mode).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        top1 = {}
+        for r in rows:
+            top1.setdefault(r["query"], (r["doc_id"], round(r["score"], 4)))
+        for category in tasks:
+            print(f"{category}: top1={top1.get(category)}")
+        timings["batch_total"] = round(best, 4)
+        timings["batch_qps"] = round(len(tasks) / best, 2)
+        print(f"batch: {best:.4f}s for {len(tasks)} tasks "
+              f"({timings['batch_qps']} q/s)")
+    else:
+        for category, node in tasks.items():
             best, rows = None, None
             for _ in range(args.repeat):
                 t0 = time.perf_counter()
