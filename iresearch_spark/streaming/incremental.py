@@ -115,6 +115,135 @@ class IncrementalIndexer:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    # ---------------- policy-driven consolidation ----------------
+
+    def segment_stats(self, spark: SparkSession | None = None):
+        """Per-segment `policies.SegmentStats` for policy selection:
+        on-disk bytes (walked driver-side — the manifest lives on the
+        same FS), doc counts from the manifest, deleted counts from the
+        per-segment tombstone dirs (counted only when `spark` is given;
+        otherwise deletes are assumed zero, which only makes docs_fill/
+        tier slightly pessimistic about cleanup wins)."""
+        from iresearch_spark.index.policies import SegmentStats
+
+        manifest = self._read_manifest()
+        out = []
+        for s in manifest["segments"]:
+            path = os.path.join(self.index_dir, "segments", s["id"])
+            size = 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    try:
+                        size += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+            removed = 0
+            if spark is not None and os.path.isdir(
+                os.path.join(path, "deleted")
+            ):
+                removed = (
+                    spark.read.parquet(os.path.join(path, "deleted"))
+                    .select("doc_id")
+                    .distinct()
+                    .count()
+                )
+            out.append(
+                SegmentStats(
+                    id=s["id"],
+                    size=size,
+                    docs=s["n_docs"],
+                    live_docs=s["n_docs"] - removed,
+                )
+            )
+        return out
+
+    def plan_consolidation(
+        self,
+        policy: str = "tier",
+        spark: SparkSession | None = None,
+        **opts,
+    ) -> list[str]:
+        """Segment ids the named policy would merge (ConsolidateTier /
+        Bytes / BytesAccum / Count / DocsLive / DocsFill —
+        `index_utils.hpp:30-84`). Pure planning; no data moves."""
+        from iresearch_spark.index import policies
+
+        return policies.select(self.segment_stats(spark), policy, **opts)
+
+    def consolidate_segments(
+        self,
+        spark: SparkSession,
+        seg_ids: list[str],
+        reblock: bool = False,
+        bucket_bits: int | None = None,
+    ) -> str | None:
+        """Merge the named segments into ONE new segment and atomically
+        swap them in the manifest (the reference's
+        `IndexWriter::Consolidate` on a policy's candidate set,
+        `index_writer.cpp:1340`). Pending deletes inside the selected
+        segments are purged during the rewrite (merge-time doc_id_map
+        skip, `merge_writer.cpp:1448-1472`); unselected segments are
+        untouched, readers see either the old or the new committed set.
+        Returns the new segment id (None when <2 segments selected)."""
+        from iresearch_spark.index.merge import (
+            consolidate as _reblock,
+            merge_indexes,
+            purge_deleted,
+        )
+
+        chosen = set(seg_ids)
+        manifest = self._read_manifest()
+        sel = [s for s in manifest["segments"] if s["id"] in chosen]
+        missing = chosen - {s["id"] for s in sel}
+        if missing:
+            raise ValueError(f"unknown segment ids: {sorted(missing)}")
+        if len(sel) < 2:
+            return None
+        bits = bucket_bits if bucket_bits is not None else self.bucket_bits
+        paths = [
+            os.path.join(self.index_dir, "segments", s["id"]) for s in sel
+        ]
+        idx = InvertedIndex.load(spark, paths[0])
+        for p in paths[1:]:
+            idx = merge_indexes(idx, InvertedIndex.load(spark, p))
+        if idx.deleted is not None:
+            idx = purge_deleted(idx, bits)
+        elif reblock:
+            idx = _reblock(idx, bits)
+        new_id = f"seg_cons_{manifest['version'] + 1}"
+        new_path = os.path.join(self.index_dir, "segments", new_id)
+        idx.save(new_path)
+        build_metrics(idx, bits).write.mode("overwrite").parquet(
+            os.path.join(new_path, "metrics")
+        )
+        entry = {
+            "id": new_id,
+            "n_docs": idx.field_stats.n_docs,
+            "total_term_freq": idx.field_stats.total_term_freq,
+            "doc_id_base": min(s["doc_id_base"] for s in sel),
+            "doc_id_end": max(s["doc_id_end"] for s in sel),
+            "consolidated_from": [s["id"] for s in sel],
+            "committed_at": time.time(),
+        }
+        # swap in place of the first selected entry to keep manifest order
+        segs, placed = [], False
+        for s in manifest["segments"]:
+            if s["id"] in chosen:
+                if not placed:
+                    segs.append(entry)
+                    placed = True
+            else:
+                segs.append(s)
+        manifest["segments"] = segs
+        self._commit_manifest(manifest)
+        # old dirs are unreachable once the manifest committed; a crash
+        # here leaves harmless orphans, never a broken index
+        import shutil
+
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+        return new_id
+
     # ---------------- reading ----------------
 
     def read(self, spark: SparkSession) -> InvertedIndex | None:

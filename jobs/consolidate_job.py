@@ -26,7 +26,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True,
                     help="incremental index dir (with segments/ + manifest)")
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output",
+                    help="full compaction target dir (omit with --policy "
+                         "for partial in-place consolidation)")
+    ap.add_argument("--policy",
+                    choices=["tier", "count", "bytes", "bytes_accum",
+                             "docs_live", "docs_fill"],
+                    help="merge only the segments this policy selects "
+                         "(index_utils.hpp ConsolidateTier/Bytes/...), "
+                         "atomically swapping them in the manifest")
+    ap.add_argument("--threshold", type=float, default=1.0,
+                    help="policy threshold (count: first N segments; "
+                         "bytes/docs_*: the formula threshold)")
+    ap.add_argument("--tier-min", type=int, default=2)
+    ap.add_argument("--tier-max", type=int, default=10)
     ap.add_argument("--reblock", action="store_true",
                     help="rewrite posting lists into full 128-doc blocks "
                          "(decode + re-encode; use after many small "
@@ -39,6 +52,23 @@ def main():
 
     spark = SparkSession.builder.appName("iresearch-consolidate").getOrCreate()
     ix = IncrementalIndexer(index_dir=args.index)
+    if args.policy:
+        if args.policy == "count":
+            opts = {"threshold": int(args.threshold)}
+        elif args.policy == "tier":
+            opts = {"min_segments": args.tier_min,
+                    "max_segments": args.tier_max}
+        else:
+            opts = {"threshold": args.threshold}
+        plan = ix.plan_consolidation(policy=args.policy, spark=spark, **opts)
+        new_id = ix.consolidate_segments(
+            spark, plan, reblock=args.reblock, bucket_bits=args.bucket_bits
+        )
+        print(f"policy={args.policy} selected {plan} -> "
+              f"{new_id or 'nothing to merge'}")
+        return
+    if not args.output:
+        raise SystemExit("--output is required without --policy")
     idx = ix.read(spark)
     if idx is None:
         raise SystemExit(f"no committed segments under {args.index}")

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 from pyspark.sql import SparkSession
@@ -82,7 +83,16 @@ def main():
     from iresearch_spark.search import SearchEngine
 
     spark = SparkSession.builder.appName("iresearch-search").getOrCreate()
-    idx = InvertedIndex.load(spark, args.index).cache()
+    if os.path.isdir(os.path.join(args.index, "segments")):
+        # incremental index dir: serve the multi-segment merged view
+        from iresearch_spark.streaming.incremental import IncrementalIndexer
+
+        idx = IncrementalIndexer(index_dir=args.index).read(spark)
+        if idx is None:
+            raise SystemExit(f"no committed segments under {args.index}")
+        idx = idx.cache()
+    else:
+        idx = InvertedIndex.load(spark, args.index).cache()
     engine = SearchEngine(
         idx,
         scorer=args.scorer,
