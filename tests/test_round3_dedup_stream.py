@@ -103,3 +103,48 @@ def test_restart_resumes_state(spark, tmp_path):
     urls = [r["url"] for r in spark.read.parquet(sink).collect()]
     assert "a1" not in urls
     assert "a2" in urls
+
+
+def test_dedup_then_index_pipeline(spark, tmp_path):
+    """The composed firehose shape: files -> stateful dedup ->
+    incremental indexer; the index must contain exactly the deduped
+    docs and search them."""
+    from iresearch_spark.search import SearchEngine, Term
+    from iresearch_spark.streaming.incremental import IncrementalIndexer
+
+    src = tmp_path / "src3"
+    os.makedirs(src)
+    schema = "url string, text string"
+    spark.createDataFrame(
+        [("p0", "zeta common words"), ("p1", "eta common words")], schema
+    ).coalesce(1).write.parquet(str(src / "h0.parquet"))
+    spark.createDataFrame(
+        [("p2", "zeta common words"), ("p3", "theta fresh words")], schema
+    ).coalesce(1).write.parquet(str(src / "h1.parquet"))
+    now = time.time()
+    os.utime(src / "h0.parquet", (now - 100, now - 100))
+    os.utime(src / "h1.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    deduped = streaming_exact_dedup(stream, text_col="text", id_col="url")
+    ix = IncrementalIndexer(index_dir=str(tmp_path / "ixd"), bucket_bits=7)
+    q = (
+        deduped.select("url", "text")
+        .writeStream.foreachBatch(ix.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    idx = ix.read(spark)
+    assert idx.field_stats.n_docs == 3  # p2 (dup of p0) never indexed
+    eng = SearchEngine(idx)
+    assert eng.matches(Term("zeta")).count() == 1
+    assert eng.matches(Term("common")).count() == 2
+    assert eng.matches(Term("theta")).count() == 1
