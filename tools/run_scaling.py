@@ -233,9 +233,9 @@ measurement.
 **Stage-level CPU-inflation attribution**
 (`tools/profile_inflation.py` — rerunnable): decomposing the build at
 8 vs 32 cores shows the Arrow tokenizer (~70% of total CPU) does NOT
-inflate with parallelism (0.86x, flat within noise); the CPU-inflation
+inflate with parallelism (1.17x at the round-3 rerun, flat within noise); the CPU-inflation
 above concentrates in the shuffle/IPC machinery (JVM exchange + Python
-worker fan-out, ~2.1x on a small absolute base) — kernel/contention
+worker fan-out, ~1.8x on a small absolute base) — kernel/contention
 overhead of one shared box, spread across machines and NICs on a real
 N->4N executor cluster. No algorithmic work inflation in the build
 itself.
