@@ -152,6 +152,22 @@ def main():
         for _ in range(repeat)
     )
     queries["ann_lsh_multiprobe"] = t
+    t = min(
+        timed(
+            lambda: similarity.topk_join(
+                emb.filter(F.col("vec_id") % 25 == 0), emb, k=5
+            ).count()
+        )[0]
+        for _ in range(repeat)
+    )
+    queries["ann_topk_join"] = t
+    from iresearch_spark.ops import textstats
+
+    t = min(
+        timed(lambda: textstats.repetition_signals(docs).count())[0]
+        for _ in range(repeat)
+    )
+    queries["repetition_signals"] = t
 
     # default ON: the sf0.1 documents table is only ~5k docs, so the
     # index_build number above is fixed-cost-bound; this run measures
