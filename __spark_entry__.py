@@ -404,6 +404,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+    def ann_ivf_index(s, d):
+        # persisted IVF layout: save -> load -> search probing ALL
+        # cells, which is exact — the oracle is the same quantized
+        # top-k SQL, so this verifies the whole save/load/prune path
+        import tempfile
+
+        from iresearch_spark.ops.ann_index import IvfIndex, ivf_save
+
+        path = os.path.join(tempfile.mkdtemp(prefix="ivfix"), "ix")
+        emb = _emb(s, d)
+        ivf_save(emb, path, n_centroids=8)
+        return (
+            IvfIndex.load(s, path)
+            .search(emb.filter(F.col("vec_id") % 25 == 0), k=5, n_probe=8)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("cosine", 6).alias("cosine"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+
+    q["ann_ivf_index"] = ann_ivf_index
     return q
 
 
@@ -971,6 +995,8 @@ r AS (
 SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS BIGINT) AS rank
 FROM r WHERE rk <= 5
 """
+    # the persisted-IVF entry probes ALL cells -> exact -> same oracle
+    o["ann_ivf_index"] = o["ann_topk_join"]
     # LSH top-k is fully deterministic: the oracle replays the literal
     # hyperplane sign matrix and the 1e-6 integer quantization, so the
     # bucket assignment is bit-identical to the Spark plan
