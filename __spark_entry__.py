@@ -105,6 +105,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_high"] = _match_q(Term(HIGH1))
     q["term_rare"] = _match_q(Term(LOW1))
     q["terms_set"] = _match_q(Terms([LOW1, MED1, "fast"]))
+    q["terms_boosted"] = _match_q(
+        Terms(
+            [LOW1, MED1, "fast"],
+            term_boosts={LOW1: 2.0, "fast": 0.5},
+        )
+    )
     q["prefix"] = _match_q(Prefix("s"))
     q["wildcard"] = _match_q(Wildcard("s%k"))
     q["term_range"] = _match_q(Range(min_term="m", max_term="q"))
@@ -621,6 +627,13 @@ def oracle_sql() -> dict[str, str]:
     o["term_high"] = _match_sql(f"t.term = '{HIGH1}'")
     o["term_rare"] = _match_sql(f"t.term = '{LOW1}'")
     o["terms_set"] = _match_sql(f"t.term IN {_in([LOW1, MED1, 'fast'])}")
+    o["terms_boosted"] = _match_sql(
+        f"t.term IN {_in([LOW1, MED1, 'fast'])}",
+        boost=(
+            f"(CASE t.term WHEN '{LOW1}' THEN 2.0 "
+            "WHEN 'fast' THEN 0.5 ELSE 1.0 END)"
+        ),
+    )
     o["prefix"] = _match_sql("t.term LIKE 's%'")
     o["wildcard"] = _match_sql("t.term LIKE 's%k'")
     o["term_range"] = _match_sql("t.term >= 'm' AND t.term <= 'q'")

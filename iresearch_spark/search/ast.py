@@ -22,14 +22,35 @@ class Term(Node):
 
 @dataclass(frozen=True)
 class Terms(Node):
-    """Match any of a set of terms (reference `by_terms`)."""
+    """Match any of a set of terms (reference `by_terms`). Each search
+    term may carry its own boost (`by_terms_options::search_terms` is a
+    set of {term, boost} pairs, terms_filter.hpp): pass `term_boosts`
+    as a {term: boost} mapping; missing terms default to 1.0. The node
+    `boost` multiplies on top."""
 
     terms: tuple[str, ...]
     boost: float = 1.0
+    term_boosts: tuple[tuple[str, float], ...] = ()
 
-    def __init__(self, terms, boost: float = 1.0):
+    def __init__(self, terms, boost: float = 1.0, term_boosts=None):
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "boost", boost)
+        if term_boosts is None:
+            pairs = ()
+        else:
+            items = (
+                term_boosts.items()
+                if hasattr(term_boosts, "items")
+                else term_boosts
+            )
+            pairs = tuple(sorted((str(t), float(b)) for t, b in items))
+        object.__setattr__(self, "term_boosts", pairs)
+
+    def term_boost(self, term: str) -> float:
+        for t, b in self.term_boosts:
+            if t == term:
+                return b
+        return 1.0
 
 
 @dataclass(frozen=True)

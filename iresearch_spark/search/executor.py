@@ -560,7 +560,8 @@ class SearchEngine:
             ]
             w = {t: 0.0 for t in terms}
             for t in scored:
-                w[t] = self._c0(dfs[t], boost)
+                # per-term boost (terms_filter.hpp search-term pairs)
+                w[t] = self._c0(dfs[t], boost * node.term_boost(t))
             return PreparedLeaf(
                 predicate=col.isin(terms), weights=w, exact_terms=terms
             )

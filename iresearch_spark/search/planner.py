@@ -83,7 +83,8 @@ def _rewrite(node: ast.Node) -> ast.Node:
         return node
 
     if isinstance(node, ast.Terms) and len(node.terms) == 1:
-        return ast.Term(node.terms[0], node.boost)
+        t = node.terms[0]
+        return ast.Term(t, node.boost * node.term_boost(t))
 
     if (
         isinstance(node, (ast.Phrase, ast.SamePosition))
