@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wildcard"] = _match_q(Wildcard("s%k"))
     q["term_range"] = _match_q(Range(min_term="m", max_term="q"))
     q["fuzzy_d1"] = _match_q(Fuzzy("spork", distance=1))
+    q["fuzzy_prefix"] = _match_q(Fuzzy("an", distance=1, prefix="sc"))
     q["phrase_bigram"] = _match_q(Phrase(PHRASE))
     # same term at its own positions: tf = occurrence count, c0 doubled
     q["same_position"] = _match_q(SamePosition([HIGH1, HIGH1]))
@@ -639,6 +640,11 @@ def oracle_sql() -> dict[str, str]:
     o["term_range"] = _match_sql("t.term >= 'm' AND t.term <= 'q'")
     o["fuzzy_d1"] = _match_sql(
         "t.term IN (SELECT term FROM tstats WHERE levenshtein(term, 'spork') <= 1)"
+    )
+    # exact-prefix fuzzy: prefix matches verbatim, distance on the rest
+    o["fuzzy_prefix"] = _match_sql(
+        "t.term IN (SELECT term FROM tstats WHERE starts_with(term, 'sc') "
+        "AND levenshtein(substr(term, 3), 'an') <= 1)"
     )
     o["phrase_bigram"] = _phrase_sql(PHRASE)
     # SamePosition([t, t]): matches every posting of t with tf = freq and

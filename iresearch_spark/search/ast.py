@@ -77,13 +77,18 @@ class Fuzzy(Node):
     """Levenshtein distance <= d (reference `by_edit_distance`,
     levenshtein_filter.cpp:171-263; bench uses max_terms=50).
     `transpositions=True` uses Damerau (optimal string alignment)
-    distance — the reference's with_transpositions option."""
+    distance — the reference's with_transpositions option. `prefix`
+    is the reference's exact-prefix option (levenshtein_filter.hpp:49):
+    candidates must start with it verbatim and the edit distance
+    applies only to the remainder vs `term` — the fuzzy-autocomplete
+    shape, and a vocabulary-scan narrowing lever."""
 
     term: str
     distance: int = 1
     max_terms: int = 50
     boost: float = 1.0
     transpositions: bool = False
+    prefix: str = ""
 
 
 @dataclass(frozen=True)

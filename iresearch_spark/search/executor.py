@@ -643,17 +643,32 @@ class SearchEngine:
         with with_transpositions) run as an Arrow-batched pandas pass
         over the banded vocabulary slice."""
         tlen = len(node.term)
+        plen = len(node.prefix)
+        # exact-prefix option (levenshtein_filter.hpp:49): candidates
+        # start with the prefix verbatim, distance applies to the rest
+        fuzzed = (
+            F.expr(f"substring(term, {plen + 1})")
+            if plen
+            else F.col("term")
+        )
         banded = self.index.term_stats.filter(
             F.length("term").between(
-                tlen - node.distance, tlen + node.distance
+                plen + tlen - node.distance, plen + tlen + node.distance
             )
         )
+        if plen:
+            banded = banded.filter(F.col("term").startswith(node.prefix))
         if node.transpositions:
             q, dmax = node.term, node.distance
 
             def osa(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
-                    d = _osa_distances_batch(q, pdf["term"].to_numpy(), dmax)
+                    suffixes = (
+                        pdf["term"].str[plen:].to_numpy()
+                        if plen
+                        else pdf["term"].to_numpy()
+                    )
+                    d = _osa_distances_batch(q, suffixes, dmax)
                     out = pdf.assign(_d=d)
                     yield out[out["_d"] <= dmax][["term", "df", "_d"]]
 
@@ -663,7 +678,7 @@ class SearchEngine:
             # away almost the whole vocabulary slice before anything
             # crosses the Arrow boundary (at 10^8 terms the Python
             # stage sees only the 2d-neighborhood)
-            lev_band = F.levenshtein(F.col("term"), F.lit(q), 2 * dmax)
+            lev_band = F.levenshtein(fuzzed, F.lit(q), 2 * dmax)
             scored = (
                 banded.filter(
                     (lev_band >= 0) & (lev_band <= 2 * dmax)
@@ -673,7 +688,7 @@ class SearchEngine:
             )
         else:
             dist = F.levenshtein(
-                F.col("term"), F.lit(node.term), node.distance
+                fuzzed, F.lit(node.term), node.distance
             )  # threshold arg short-circuits the DP (returns -1 above it)
             scored = banded.withColumn("_d", dist).filter(
                 (F.col("_d") >= 0) & (F.col("_d") <= node.distance)
