@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             term_boosts={LOW1: 2.0, "fast": 0.5},
         )
     )
+    q["terms_min_match"] = _match_q(Terms([HIGH1, MED1, LOW1], min_match=2))
     q["prefix"] = _match_q(Prefix("s"))
     q["wildcard"] = _match_q(Wildcard("s%k"))
     q["term_range"] = _match_q(Range(min_term="m", max_term="q"))
@@ -668,6 +669,8 @@ GROUP BY t.doc_id
         f"t.term IN {_in([HIGH1, MED1, LOW1])}",
         having="HAVING count(DISTINCT t.term) >= 2",
     )
+    # Terms(min_match=2) rewrites onto the Or machinery -> same oracle
+    o["terms_min_match"] = o["or_min_match2"]
     # Or(Term(rare), Phrase): scores sum when both match
     o["or_nested_phrase"] = f"""{_CTE},
 arrs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr

@@ -26,15 +26,28 @@ class Terms(Node):
     term may carry its own boost (`by_terms_options::search_terms` is a
     set of {term, boost} pairs, terms_filter.hpp): pass `term_boosts`
     as a {term: boost} mapping; missing terms default to 1.0. The node
-    `boost` multiplies on top."""
+    `boost` multiplies on top.
+
+    `min_match` (terms_filter.hpp:63) requires a doc to contain at
+    least that many DISTINCT terms of the set; `merge_type` picks how
+    per-term scores merge (sum/max/min/noop). Both are planner-rewritten
+    onto the boolean Or machinery; the min_match=1 sum default keeps the
+    single-leaf fused-scan path."""
 
     terms: tuple[str, ...]
     boost: float = 1.0
     term_boosts: tuple[tuple[str, float], ...] = ()
+    min_match: int = 1
+    merge_type: str = "sum"
 
-    def __init__(self, terms, boost: float = 1.0, term_boosts=None):
+    def __init__(self, terms, boost: float = 1.0, term_boosts=None,
+                 min_match: int = 1, merge_type: str = "sum"):
+        if merge_type not in MERGE_TYPES:
+            raise ValueError(f"merge_type must be one of {MERGE_TYPES}")
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "min_match", min_match)
+        object.__setattr__(self, "merge_type", merge_type)
         if term_boosts is None:
             pairs = ()
         else:

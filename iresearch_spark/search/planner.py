@@ -82,6 +82,18 @@ def _rewrite(node: ast.Node) -> ast.Node:
             return dataclasses.replace(node, child=child)
         return node
 
+    if isinstance(node, ast.Terms) and (
+        node.min_match > 1 or node.merge_type != "sum"
+    ):
+        # by_terms min_match / merge_type (terms_filter.hpp:63-67) ride
+        # the boolean Or machinery; per-term boosts fold into the kids
+        return ast.Or(
+            [ast.Term(t, node.term_boost(t)) for t in dict.fromkeys(node.terms)],
+            min_match=node.min_match,
+            boost=node.boost,
+            merge_type=node.merge_type,
+        )
+
     if isinstance(node, ast.Terms) and len(node.terms) == 1:
         t = node.terms[0]
         return ast.Term(t, node.boost * node.term_boost(t))
