@@ -235,13 +235,15 @@ class Or(Node):
 @dataclass(frozen=True)
 class Exists(Node):
     """Docs whose stored column is non-null, constant score = boost
-    (reference `by_column_existence`, column_existence_filter.hpp —
-    prefix-mode matching is a columnstore detail with no Spark
-    analogue). Requires the index to carry the column via
-    build_index(extra_doc_cols=[...])."""
+    (reference `by_column_existence`, column_existence_filter.hpp).
+    `prefix_match=True` is the reference's ColumnAcceptor prefix mode
+    (:38-39): match docs where ANY stored column whose NAME starts
+    with `column` is non-null. Requires the index to carry the
+    column(s) via build_index(extra_doc_cols=[...])."""
 
     column: str
     boost: float = 1.0
+    prefix_match: bool = False
 
 
 @dataclass(frozen=True)

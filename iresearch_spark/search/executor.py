@@ -782,14 +782,34 @@ class SearchEngine:
                 node.boost * boost,
             )
         if isinstance(node, ast.Exists):
-            if node.column not in self.index.docs.columns:
-                raise ValueError(
-                    f"docs table has no column {node.column!r}; build the "
-                    "index with extra_doc_cols=[...] to store it"
-                )
-            return self.index.docs.filter(
-                F.col(node.column).isNotNull()
-            ).select("doc_id", F.lit(float(node.boost * boost)).alias("score"))
+            if node.prefix_match:
+                # ColumnAcceptor prefix mode: any stored column whose
+                # NAME starts with the prefix (column names are schema
+                # metadata — the enumeration is free at plan time)
+                cols = [
+                    c
+                    for c in self.index.docs.columns
+                    if c.startswith(node.column) and c not in ("doc_id", "dl")
+                ]
+                if not cols:
+                    raise ValueError(
+                        f"docs table has no column with prefix "
+                        f"{node.column!r}; build the index with "
+                        "extra_doc_cols=[...] to store them"
+                    )
+                pred = F.col(cols[0]).isNotNull()
+                for c in cols[1:]:
+                    pred = pred | F.col(c).isNotNull()
+            else:
+                if node.column not in self.index.docs.columns:
+                    raise ValueError(
+                        f"docs table has no column {node.column!r}; build "
+                        "the index with extra_doc_cols=[...] to store it"
+                    )
+                pred = F.col(node.column).isNotNull()
+            return self.index.docs.filter(pred).select(
+                "doc_id", F.lit(float(node.boost * boost)).alias("score")
+            )
         if isinstance(node, ast.NumericRange):
             if node.column not in self.index.docs.columns:
                 raise ValueError(
