@@ -422,7 +422,33 @@ def _word_tokenize(text: str) -> list[str]:
     return _WORD_RE.findall(text)
 
 
-def _ngram_fn(min_gram: int, max_gram: int, preserve_original: bool):
+def _ngram_fn(
+    min_gram: int,
+    max_gram: int,
+    preserve_original: bool,
+    start_marker: str = "",
+    end_marker: str = "",
+):
+    # marker semantics (ngram_token_stream.cpp next(), :~195-250): an
+    # ngram starting at offset 0 is emitted with start_marker PREPENDED
+    # (replacing the unmarked form); an ngram ending at the input's end
+    # gets end_marker APPENDED; an ngram covering the whole input with
+    # BOTH markers set is emitted twice (start-marked, then end-marked).
+    # All emissions share the ngram's start position.
+    def emit(terms, positions, i, s, at_start, at_end):
+        if at_start and start_marker:
+            terms.append(start_marker + s)
+            positions.append(i)
+            if at_end and end_marker:
+                terms.append(s + end_marker)
+                positions.append(i)
+        elif at_end and end_marker:
+            terms.append(s + end_marker)
+            positions.append(i)
+        else:
+            terms.append(s)
+            positions.append(i)
+
     def run(texts: Sequence[str]) -> list[TokensAndPositions]:
         out = []
         for text in texts:
@@ -434,11 +460,9 @@ def _ngram_fn(min_gram: int, max_gram: int, preserve_original: bool):
             n = len(text)
             for g in range(min_gram, max_gram + 1):
                 for i in range(0, n - g + 1):
-                    terms.append(text[i : i + g])
-                    positions.append(i)
+                    emit(terms, positions, i, text[i : i + g], i == 0, i + g == n)
             if preserve_original and (n < min_gram or n > max_gram):
-                terms.append(text)
-                positions.append(0)
+                emit(terms, positions, 0, text, True, True)
             out.append((terms, positions))
         return out
 
@@ -609,9 +633,19 @@ def _delimiter(delimiter: str = ",", **_opts) -> Analyzer:
 
 @_register("ngram")
 def _ngram(
-    min_gram: int = 2, max_gram: int = 3, preserve_original: bool = False, **_opts
+    min_gram: int = 2,
+    max_gram: int = 3,
+    preserve_original: bool = False,
+    start_marker: str = "",
+    end_marker: str = "",
+    **_opts,
 ) -> Analyzer:
-    return Analyzer("ngram", _ngram_fn(min_gram, max_gram, preserve_original))
+    return Analyzer(
+        "ngram",
+        _ngram_fn(
+            min_gram, max_gram, preserve_original, start_marker, end_marker
+        ),
+    )
 
 
 @_register("stopwords")
