@@ -365,6 +365,7 @@ def _parse_edge(edge_ngram: dict | None) -> tuple[int, int | None, bool] | None:
 def _make_chain(
     tokenize: Callable[[str], list[str]],
     lowercase: bool = True,
+    uppercase: bool = False,
     nfc: bool = False,
     accent: bool = False,
     stopwords: frozenset[str] | None = None,
@@ -382,6 +383,8 @@ def _make_chain(
                 text = unicodedata.normalize("NFC", text)
             if lowercase:
                 text = _simple_lower(text)
+            elif uppercase:
+                text = text.upper()
             raw = tokenize(text)
             if accent:
                 raw = [_strip_accents(t) for t in raw]
@@ -420,6 +423,14 @@ def _ws_tokenize(text: str) -> list[str]:
 
 def _word_tokenize(text: str) -> list[str]:
     return _WORD_RE.findall(text)
+
+
+_GRAPHIC_RE = re.compile(r"\S+")
+
+
+def _graphic_tokenize(text: str) -> list[str]:
+    # segmentation word_break_t::GRAPHIC: keep every non-whitespace run
+    return _GRAPHIC_RE.findall(text)
 
 
 def _ngram_fn(
@@ -540,14 +551,35 @@ def _simple(edge_ngram: dict | None = None, **_opts) -> Analyzer:
 
 
 @_register("segmentation")
-def _segmentation(case: str = "lower", **_opts) -> Analyzer:
+def _segmentation(
+    case: str = "lower", word_break: str = "alpha", **_opts
+) -> Analyzer:
     # reference: core/analysis/segmentation_token_stream.cpp (UAX#29 word
     # break + case conversion, no stemming) — the index-benchmark default.
+    # `case` maps case_convert_t {LOWER, NONE, UPPER} (:43-51; UPPER uses
+    # Python str.upper vs the reference's ICU locale toUpper — documented
+    # deviation, same as the lower chain). `word_break` maps word_break_t:
+    # "alpha" keeps word segments, "graphic" keeps every non-whitespace
+    # run (the reference's GRAPHIC mode; ALL — whitespace segments too —
+    # has no indexing use and is not exposed).
+    if case not in ("lower", "none", "upper"):
+        raise ValueError("case must be lower|none|upper")
+    if word_break not in ("alpha", "graphic"):
+        raise ValueError("word_break must be alpha|graphic")
+    tok = _word_tokenize if word_break == "alpha" else _graphic_tokenize
+    default = case == "lower" and word_break == "alpha"
     return Analyzer(
         "segmentation",
-        _make_chain(_word_tokenize, lowercase=(case == "lower")),
-        _flat_fn=_make_arrow_flat("segmentation") if case == "lower" else None,
-        _span_fn=_make_span_chain(_WORD_RE, lowercase=(case == "lower")),
+        _make_chain(tok, lowercase=(case == "lower"), uppercase=(case == "upper")),
+        _flat_fn=_make_arrow_flat("segmentation") if default else None,
+        _span_fn=(
+            _make_span_chain(
+                _WORD_RE if word_break == "alpha" else _GRAPHIC_RE,
+                lowercase=(case == "lower"),
+            )
+            if case != "upper"
+            else None
+        ),
     )
 
 
