@@ -657,10 +657,62 @@ def _stem(**_opts) -> Analyzer:
 
 @_register("delimiter")
 def _delimiter(delimiter: str = ",", **_opts) -> Analyzer:
+    # CSV-style quote handling (delimited_token_stream.cpp:37-87):
+    # delimiters inside double-quoted sections don't split, a term
+    # starting with '"' is unquoted with "" as an escaped quote, and
+    # mismatched quotes return the term verbatim.
     def tok(text: str) -> list[str]:
-        return text.split(delimiter)
+        return [_csv_unquote(p) for p in _split_outside_quotes(text, delimiter)]
 
     return Analyzer("delimiter", _make_chain(tok, lowercase=False))
+
+
+def _split_outside_quotes(text: str, delim: str) -> list[str]:
+    if not delim:
+        return [text]
+    parts: list[str] = []
+    start = i = 0
+    quoted = False
+    n, dl = len(text), len(delim)
+    while i < n:
+        c = text[i]
+        if quoted:
+            if c == '"':
+                quoted = False
+            i += 1
+        elif text.startswith(delim, i):
+            # delimiter match takes precedence over '"' (reference :89-92)
+            parts.append(text[start:i])
+            i += dl
+            start = i
+        elif c == '"':
+            quoted = True
+            i += 1
+        else:
+            i += 1
+    parts.append(text[start:])
+    return parts
+
+
+def _csv_unquote(term: str) -> str:
+    # eval_term (delimited_token_stream.cpp:37-67)
+    if not term or term[0] != '"':
+        return term
+    buf: list[str] = []
+    escaped = False
+    start = 1
+    n = len(term)
+    for i in range(1, n):
+        if term[i] == '"':
+            if escaped and start == i:
+                escaped = False
+                continue
+            if escaped:
+                break
+            buf.append(term[start:i])
+            escaped = True
+            start = i + 1
+    return "".join(buf) if (start != 1 and start == n) else term
 
 
 @_register("ngram")
