@@ -200,25 +200,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 10_000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold via shingle inverted
     index: explode distinct shingles, self-join on shingle (docs sharing
     >=1 shingle), count intersections, Jaccard = |I|/(|A|+|B|-|I|).
 
-    `max_shingle_df` drops shingles appearing in more than that many
-    docs before the pair join — the explicit skew guard for 100 TB runs
-    (a boilerplate shingle shared by 10^9 docs must not produce 10^18
-    pairs; dropping it cannot remove any pair above a high threshold
-    when docs still share their rarer shingles — standard practice, and
-    an approximation only for ubiquitous-shingle corpora). The guard is
-    ON by default so the naive call cannot hit the pair blowup; pass
-    None for the exact quadratic semantics on small corpora. Dropped
-    shingles are exactly those with df > max_shingle_df (inspect via
-    `sh.groupBy("shingle").count()` if an audit is needed); their
-    intersection contributions vanish from BOTH the numerator and
-    nothing else — union sizes keep every shingle, so reported Jaccard
-    only ever under-counts for pairs sharing a dropped shingle.
+    `max_shingle_df` (opt-in) drops shingles appearing in more than
+    that many docs before the pair join — the explicit skew guard for
+    100 TB runs (a boilerplate shingle shared by 10^9 docs must not
+    produce 10^18 pairs; dropping it cannot remove any pair above a
+    high threshold when docs still share their rarer shingles —
+    standard practice, and an approximation only for ubiquitous-shingle
+    corpora). The DEFAULT is exact semantics (guard off): a library
+    caller gets the true Jaccard unless they explicitly trade accuracy
+    for skew safety — at web scale pass e.g. max_shingle_df=10_000 and
+    audit the trade with `skew_guard_report` (the dropped-shingle count
+    as a real metric, not a log line). Dropped shingles are exactly
+    those with df > max_shingle_df; their intersection contributions
+    vanish from the numerator and nothing else — union sizes keep every
+    shingle, so reported Jaccard only ever under-counts for pairs
+    sharing a dropped shingle.
     """
     sh = _shingles(df, text_col, id_col, n)
     # union sizes from the UNFILTERED shingle sets: the skew guard then
@@ -226,16 +228,15 @@ def ngram_jaccard_pairs(
     # sharing a dropped shingle and never over-counts (no false pairs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     if max_shingle_df is not None:
-        # no-silent-caps: this default guard can under-count Jaccard
-        # for pairs sharing a >df shingle — surface it once per call
-        # (counting the dropped shingles would cost an extra action;
-        # the audit query below is exact when needed)
+        # no-silent-caps: the opt-in guard can under-count Jaccard for
+        # pairs sharing a >df shingle — surface it once per call; the
+        # exact dropped-shingle metric is skew_guard_report (an agg the
+        # caller runs when the audit matters, not a hidden extra job)
         _log.warning(
             "ngram_jaccard_pairs: skew guard active — shingles with "
             "df > %d are excluded from intersections (Jaccard can only "
-            "under-count; pass max_shingle_df=None for exact semantics; "
-            "audit dropped shingles via "
-            "minhash-style sh.groupBy('shingle').count())",
+            "under-count; the default max_shingle_df=None is exact; "
+            "quantify the drop with dedup.skew_guard_report)",
             max_shingle_df,
         )
         rare = (
@@ -275,6 +276,46 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def skew_guard_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_df: int = 10_000,
+) -> dict:
+    """Quantify what a `max_shingle_df` skew guard would drop from
+    `ngram_jaccard_pairs` on this corpus: the audit surface for the
+    guard's accuracy trade (returned as a metric, not a log line).
+
+    Returns {"max_shingle_df", "n_shingles", "n_dropped_shingles",
+    "dropped_occurrences", "max_df"} — n_dropped_shingles is the count
+    of distinct shingles with df > max_shingle_df (exactly the ones
+    excluded from intersections), dropped_occurrences the (doc,
+    shingle) rows they account for (the intersection mass removed).
+    One groupBy + one agg, linear in corpus size.
+    """
+    dfs = _shingles(df, text_col, id_col, n).groupBy("shingle").agg(
+        F.count("*").alias("_df")
+    )
+    row = dfs.agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("_df") > max_shingle_df, 1).otherwise(0)).alias(
+            "n_dropped_shingles"
+        ),
+        F.sum(
+            F.when(F.col("_df") > max_shingle_df, F.col("_df")).otherwise(0)
+        ).alias("dropped_occurrences"),
+        F.max("_df").alias("max_df"),
+    ).collect()[0]
+    return {
+        "max_shingle_df": max_shingle_df,
+        "n_shingles": int(row["n_shingles"] or 0),
+        "n_dropped_shingles": int(row["n_dropped_shingles"] or 0),
+        "dropped_occurrences": int(row["dropped_occurrences"] or 0),
+        "max_df": int(row["max_df"] or 0),
+    }
 
 
 def _verify_jaccard(df, cand, text_col, id_col, n) -> DataFrame:

@@ -221,7 +221,7 @@ def test_frame_sample(spark):
 
 def test_ngram_jaccard_skew_guard(spark):
     """A boilerplate shingle shared by every doc must not explode the
-    pair join: the default guard drops it, union sizes stay unfiltered
+    pair join: the opt-in guard drops it, union sizes stay unfiltered
     (Jaccard only under-counts — no false pairs)."""
     from iresearch_spark.ops import dedup as _dedup
 
