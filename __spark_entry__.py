@@ -270,6 +270,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["edge_ngram_search"] = edge_ngram_search
 
+    # legacy Norm variant (bm25.hpp:29-46, norm.hpp:46-70): index built
+    # with norm="legacy" stores 1/sqrt(dl); BM25 scores with
+    # tf = sqrt(freq), |doc| = sqrt(dl)
+    def term_legacy_norm(spark, sf_dir):
+        key = os.path.abspath(sf_dir) + ":legacy"
+        if key not in _INDEX_CACHE:
+            idx = build_index(
+                _docs(spark, sf_dir), analyzer="simple", bucket_bits=16,
+                norm="legacy",
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        return _rounded(SearchEngine(_INDEX_CACHE[key]).matches(Term(HIGH1)))
+
+    q["term_legacy_norm"] = term_legacy_norm
+
     # --- top-k + WAND (SURVEY §2.5) ---
     q["topk_bm25"] = _topk_q(Or([Term(t) for t in TOPK_TERMS]), k=10)
 
@@ -368,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d))
     q["quality"] = lambda s, d: textstats.quality_score(_docs(s, d))
     q["lang_id"] = lambda s, d: textstats.lang_id(_docs(s, d))
+    q["lang_id_ngram"] = lambda s, d: textstats.lang_id_ngram(_docs(s, d))
     q["fingerprint"] = lambda s, d: textstats.doc_fingerprint(_docs(s, d))
     q["repetition"] = lambda s, d: textstats.repetition_signals(_docs(s, d))
 
@@ -821,6 +839,20 @@ JOIN tstats ts ON ts.term = t.term
 WHERE t.term IN {_in([HIGH1, HIGH2])}
 GROUP BY t.doc_id HAVING count(DISTINCT t.term) = 2
 """
+    # legacy Norm BM25 (bm25.hpp:29-46): tf = sqrt(freq), |doc| =
+    # sqrt(dl); idf and avg_dl unchanged (bm25.cpp:394-401 computes
+    # avg_dl from the same field stats in both norm modes)
+    o["term_legacy_norm"] = f"""{_CTE}
+SELECT t.doc_id,
+  ROUND(SUM((({_K}+1.0) * ln(1.0 + (s.n_docs - ts.df + 0.5)/(ts.df + 0.5)))
+        * sqrt(t.tf)
+        / ({_K}*(1.0-{_B}) + ({_K}*{_B}/(s.ttf*1.0/s.n_docs))*sqrt(d.dl)
+           + sqrt(t.tf))), 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s
+JOIN tstats ts ON ts.term = t.term
+WHERE t.term = '{HIGH1}'
+GROUP BY t.doc_id
+"""
     topk_body = _match_sql(f"t.term IN {_in(TOPK_TERMS)}").rstrip()
     o["topk_bm25"] = (
         topk_body + f"\nORDER BY SUM({_score()}) DESC, t.doc_id ASC LIMIT 10\n"
@@ -957,6 +989,37 @@ SELECT doc_id,
 FROM a
 """
     o["lang_id"] = _lang_id_sql()
+    # char-trigram profile model: the (lang, gram, w) broadcast table is
+    # replayed as literal VALUES rows (same derivation both sides)
+    prof_rows = ", ".join(
+        "('{}', '{}', {})".format(lang, g.replace("'", "''"), w)
+        for lang, g, w in textstats.lang_trigram_rows()
+    )
+    o["lang_id_ngram"] = rf"""
+WITH prof(lang, gram, w) AS (VALUES {prof_rows}),
+a AS (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ') || ' ' AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS gram
+  FROM (SELECT doc_id, norm,
+               unnest(range(1, greatest(length(norm) - 2, 1) + 1)) AS i
+        FROM a)
+),
+s AS (
+  SELECT doc_id, lang, SUM(w) AS score
+  FROM g JOIN prof USING (gram) GROUP BY 1, 2
+),
+b AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+  FROM s
+)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id AND b.rk = 1
+"""
     winnow = hash60_sql("shingle4")
     o["fingerprint"] = rf"""
 WITH a AS (

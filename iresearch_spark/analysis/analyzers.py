@@ -842,6 +842,76 @@ def _minhash(num_hashes: int = 4, inner: str = "simple", **_opts) -> Analyzer:
     return Analyzer("minhash", run)
 
 
+def collation_sort_key(text: str, strength: int = 3) -> str:
+    """UCA-style multi-level collation sort key, hex-encoded so the
+    term dictionary's plain string order IS the collation order.
+
+    The reference's `collation` analyzer emits the ICU collator sort
+    key of the WHOLE input as a single term
+    (collation_token_stream.cpp:268-300). This sandbox has no ICU, so
+    the key is built from the public Unicode Collation Algorithm's
+    level structure via unicodedata (root collation, no locale
+    tailorings — see the `collation` factory note):
+
+      primary    casefolded, accent-stripped code points (NFD base
+                 characters; casefold expansions like ß -> ss keep
+                 their expanded weights)
+      secondary  combining marks in occurrence order
+      tertiary   case bit per base character
+
+    Levels are fixed-width hex runs joined by '.' (which sorts below
+    every hex digit), so string comparison of keys equals
+    level-by-level UCA comparison. `strength` 1..3 truncates levels
+    like ICU's collator strength (1 = case/accent-insensitive,
+    2 = case-insensitive, 3 = full)."""
+    if strength not in (1, 2, 3):
+        raise ValueError("strength must be 1, 2 or 3")
+    d = unicodedata.normalize("NFD", text)
+    primary: list[int] = []
+    secondary: list[int] = []
+    tertiary: list[int] = []
+    for ch in d:
+        if unicodedata.combining(ch):
+            secondary.append(ord(ch))
+            continue
+        for fc in ch.casefold():
+            primary.append(ord(fc))
+        tertiary.append(1 if ch != ch.casefold() else 0)
+    parts = ["".join(f"{p:06x}" for p in primary)]
+    if strength >= 2:
+        parts.append("".join(f"{s:06x}" for s in secondary))
+    if strength >= 3:
+        parts.append("".join(f"{t:x}" for t in tertiary))
+    return ".".join(parts)
+
+
+@_register("collation")
+def _collation(
+    locale: str = "root", strength: int = 3, **_opts
+) -> Analyzer:
+    """Locale collation keys as terms (reference
+    collation_token_stream.cpp: one ICU sort-key term per input).
+    Equality/range queries over the keys then follow collation order —
+    e.g. Range over a collation-indexed field sorts accented names
+    correctly, and strength<3 keys give case/accent-insensitive
+    matching. NOTE: without ICU in the environment the key is the
+    ROOT-collation UCA approximation above; `locale` is accepted for
+    API parity and recorded, but locale-specific tailorings (e.g.
+    phonebook ä) are not applied — the documented gap vs the
+    reference."""
+
+    def run(texts: Sequence[str]):
+        out = []
+        for text in texts:
+            if text is None or text == "":
+                out.append(([], []))
+            else:
+                out.append(([collation_sort_key(text, strength)], [0]))
+        return out
+
+    return Analyzer("collation", run)
+
+
 def get_analyzer(name: str, **opts) -> Analyzer:
     """Look up an analyzer by name (mirrors `analyzers::get`, the
     reference's registry at `core/analysis/analyzers.cpp:190`)."""

@@ -780,8 +780,16 @@ def build_index(
     id_base: int = 0,
     with_offsets: bool = False,
     payload_delimiter: str | None = None,
+    norm: str = "norm2",
 ) -> InvertedIndex:
     """End-to-end index build via local segments (see build_segments).
+
+    `norm` picks the doc-length normalization variant the index carries
+    (reference bm25.hpp:29-46): "norm2" (default — dl stored as int,
+    tf = freq) or "legacy" (the old-style `Norm` feature,
+    norm.hpp:46-70 / norm.cpp NormWriter: 1/sqrt(dl) stored as float32
+    in a `norm` docs column; BM25 then scores with tf = sqrt(freq) and
+    |doc| = sqrt(dl), TFIDF with the stored 1/sqrt(dl) factor).
 
     `payload_delimiter` turns on the PAY posting stream (reference
     IndexFeatures PAY, index_features.hpp:40-58): every analyzed token
@@ -797,6 +805,8 @@ def build_index(
     segment doc-range width (default: bucket_bits, docs per segment =
     2^seg_bits — size it so a segment's token data fits an executor).
     """
+    if norm not in ("norm2", "legacy"):
+        raise ValueError(f"norm must be 'norm2' or 'legacy', got {norm!r}")
     if isinstance(analyzer, str):
         analyzer = get_analyzer(analyzer)
     if with_offsets and not analyzer.supports_offsets:
@@ -853,7 +863,23 @@ def build_index(
     stats_row = docs.agg(
         F.count(F.when(F.col("dl") > 0, True)).alias("n"),
         F.sum("dl").alias("ttf"),
+        F.max("dl").alias("mx"),
     ).collect()[0]
+    if norm == "legacy":
+        # the reference's NormWriter value (norm.cpp:36-41): float32 of
+        # sqrt(dl) computed in double, inverted in float32 — written as
+        # a stored docs column (the Spark stand-in for the norm
+        # columnstore); NULL for empty docs (writer skips len == 0)
+        docs = docs.withColumn(
+            "norm",
+            F.when(
+                F.col("dl") > 0,
+                (
+                    F.lit(1.0).cast("float")
+                    / F.sqrt(F.col("dl").cast("double")).cast("float")
+                ).cast("float"),
+            ),
+        )
     if extra_doc_cols:
         if fused_offsets is not None:
             passthrough = fused_doc_map(
@@ -872,6 +898,7 @@ def build_index(
     field_stats = FieldStats(
         n_docs=int(stats_row["n"] or 0),
         total_term_freq=int(stats_row["ttf"] or 0),
+        max_dl=int(stats_row["mx"] or 0),
     )
 
     return InvertedIndex(
@@ -882,6 +909,7 @@ def build_index(
         with_positions=with_positions,
         with_offsets=with_offsets,
         with_payloads=payload_delimiter is not None,
+        norm=norm,
         analyzer_name=analyzer.name,
         blocks=blocks,
     )

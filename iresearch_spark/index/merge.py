@@ -53,7 +53,18 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
     fs = FieldStats(
         n_docs=a.field_stats.n_docs + b.field_stats.n_docs,
         total_term_freq=a.field_stats.total_term_freq + b.field_stats.total_term_freq,
+        max_dl=(
+            max(a.field_stats.max_dl, b.field_stats.max_dl)
+            if a.field_stats.max_dl is not None
+            and b.field_stats.max_dl is not None
+            else None
+        ),
     )
+    if a.norm != b.norm:
+        raise ValueError(
+            f"cannot merge indexes with different norm modes: "
+            f"{a.norm!r} vs {b.norm!r}"
+        )
     return InvertedIndex(
         postings=postings,
         docs=docs,
@@ -62,6 +73,7 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         with_positions=a.with_positions,
         with_offsets=a.with_offsets,
         with_payloads=a.with_payloads,
+        norm=a.norm,
         analyzer_name=a.analyzer_name,
         deleted=deleted,
     )
@@ -115,6 +127,7 @@ def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         with_positions=index.with_positions,
         with_offsets=index.with_offsets,
         with_payloads=index.with_payloads,
+        norm=index.norm,
         analyzer_name=index.analyzer_name,
         deleted=index.deleted,
     )
@@ -148,6 +161,7 @@ def purge_deleted(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
     stats_row = docs.agg(
         F.count(F.when(F.col("dl") > 0, True)).alias("n"),
         F.sum("dl").alias("ttf"),
+        F.max("dl").alias("mx"),
     ).collect()[0]
     return InvertedIndex(
         postings=postings,
@@ -156,10 +170,12 @@ def purge_deleted(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         field_stats=FieldStats(
             n_docs=int(stats_row["n"] or 0),
             total_term_freq=int(stats_row["ttf"] or 0),
+            max_dl=int(stats_row["mx"] or 0),
         ),
         with_positions=index.with_positions,
         with_offsets=index.with_offsets,
         with_payloads=index.with_payloads,
+        norm=index.norm,
         analyzer_name=index.analyzer_name,
         deleted=None,
     )

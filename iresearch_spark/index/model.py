@@ -100,6 +100,12 @@ class FieldStats:
 
     n_docs: int
     total_term_freq: int
+    # max doc length across the index — the reference's Norm2 encoding
+    # choice (norm.hpp Norm2Header: max <= 255 packs norms into one
+    # byte, selecting the kNorm2Tiny scorer path, bm25.cpp:464-476).
+    # None = unknown (old manifests); computed lazily when float32
+    # parity mode needs it
+    max_dl: int | None = None
 
     @property
     def avg_dl(self) -> float:
@@ -118,6 +124,11 @@ class InvertedIndex:
     with_offsets: bool = False
     # per-occurrence payload bytes stored (IndexFeatures PAY)
     with_payloads: bool = False
+    # norm variant the index was built with: "norm2" (dl as int — the
+    # reference's Norm2, norm.hpp:71+) or "legacy" (the old-style Norm,
+    # norm.hpp:46-70: 1/sqrt(dl) stored as float32 in docs.norm;
+    # scorers then use tf = sqrt(freq), |doc| = sqrt(dl))
+    norm: str = "norm2"
     # delete mask (reference: per-segment deleted-docs bitset applied at
     # read time, index_writer.hpp:376-411; stats stay stale until a
     # consolidation purges the postings — same semantics here)
@@ -135,6 +146,76 @@ class InvertedIndex:
     # term's bucket under EVERY count, which over-includes but never
     # drops a matching file.
     term_buckets: int | list[int] | None = None
+    # term-dictionary block index of a SAVED index: [(file_path,
+    # min_term, max_term)] for the range-partitioned, term-sorted
+    # term_stats files — the analogue of the reference burst-trie's
+    # per-block term ranges (formats_burst_trie.cpp:953-966). Lets
+    # Prefix/Range (and literal-prefix Wildcard / prefixed Fuzzy)
+    # expansion read only the files whose [min, max] intersects the
+    # query's term interval instead of scanning the whole vocabulary.
+    # On an Iceberg deployment this map IS the table's file manifest —
+    # the same pruning falls out of min/max column stats.
+    term_stats_ranges: list | None = None
+
+    def pruned_term_stats(
+        self,
+        lo: str | None = None,
+        hi: str | None = None,
+        hi_inclusive: bool = True,
+    ) -> tuple[DataFrame, int | None, int | None]:
+        """term_stats narrowed to the saved files whose [min_term,
+        max_term] intersects [lo, hi] — the FST term-dictionary seek for
+        multi-term expansion (returns (df, files_selected, files_total);
+        counts are None for an in-memory index, where the full
+        DataFrame is the only choice). Never drops a matching term:
+        selection is by file min/max overlap, the caller still applies
+        its exact predicate."""
+        ranges = self.term_stats_ranges
+        if not ranges:
+            return self.term_stats, None, None
+        sel = [
+            p
+            for (p, mn, mx) in ranges
+            if (lo is None or mx >= lo)
+            and (
+                hi is None
+                or (mn <= hi if hi_inclusive else mn < hi)
+            )
+        ]
+        total = len(ranges)
+        if len(sel) == total:
+            return self.term_stats, total, total
+        spark = self.term_stats.sparkSession
+        if not sel:
+            return (
+                spark.createDataFrame([], self.term_stats.schema),
+                0,
+                total,
+            )
+        return spark.read.parquet(*sel), len(sel), total
+
+    def term_stats_for_terms(self, terms: list[str]) -> DataFrame:
+        """term_stats narrowed to the dictionary files that can hold the
+        given exact terms (binary search over the sorted per-file term
+        ranges — the per-term FST seek). Falls back to the full table
+        for an in-memory index."""
+        ranges = self.term_stats_ranges
+        if not ranges or not terms:
+            return self.term_stats
+        import bisect
+
+        mins = [mn for (_, mn, _) in ranges]  # ranges sorted by min
+        sel: set[str] = set()
+        for t in terms:
+            i = bisect.bisect_right(mins, t) - 1
+            if i >= 0 and ranges[i][1] <= t <= ranges[i][2]:
+                sel.add(ranges[i][0])
+        spark = self.term_stats.sparkSession
+        if not sel:
+            return spark.createDataFrame([], self.term_stats.schema)
+        if len(sel) == len(ranges):
+            return self.term_stats
+        return spark.read.parquet(*sorted(sel))
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         """Postings scan narrowed to the given exact terms: directory
@@ -289,9 +370,47 @@ class InvertedIndex:
         self.docs.coalesce(n_part).write.mode(mode).parquet(
             os.path.join(path, "docs")
         )
-        self.term_stats.coalesce(n_part).write.mode(mode).parquet(
-            os.path.join(path, "term_stats")
-        )
+        ts_path = os.path.join(path, "term_stats")
+        term_stats_ranges = None
+        if optimize_layout:
+            # term dictionary: range-partitioned and sorted by term, so
+            # each file covers one contiguous term interval; the
+            # per-file [min, max] map below is the burst-trie block
+            # index (formats_burst_trie.cpp:953-966) that lets Prefix/
+            # Range expansion seek instead of scanning the vocabulary.
+            # ~2M terms per file keeps dictionaries O(10MB); min 16
+            # files so even small indexes demonstrate pruning.
+            n_terms = self.term_stats.count()
+            ts_files = max(16, min(n_part * 4, (n_terms // 2_000_000) + 16))
+            (
+                self.term_stats.repartitionByRange(ts_files, "term")
+                .sortWithinPartitions("term")
+                .write.mode(mode)
+                .parquet(ts_path)
+            )
+            # one vocabulary-bounded job to build the block index (on
+            # Iceberg this is free — the manifest already tracks
+            # per-file column min/max)
+            franges = (
+                self.term_stats.sparkSession.read.parquet(ts_path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.min("term").alias("mn"), F.max("term").alias("mx"))
+                .collect()
+            )
+            prefix = "file:"
+            term_stats_ranges = sorted(
+                (
+                    os.path.relpath(
+                        r["f"][len(prefix):] if r["f"].startswith(prefix) else r["f"],
+                        path,
+                    ),
+                    r["mn"],
+                    r["mx"],
+                )
+                for r in franges
+            )
+        else:
+            self.term_stats.coalesce(n_part).write.mode(mode).parquet(ts_path)
         if self.deleted is not None:
             self.deleted.write.mode(mode).parquet(os.path.join(path, "deleted"))
         manifest = {
@@ -302,8 +421,11 @@ class InvertedIndex:
             "with_offsets": self.with_offsets,
             "with_payloads": self.with_payloads,
             "analyzer": self.analyzer_name,
+            "norm": self.norm,
+            "max_dl": self.field_stats.max_dl,
             "has_deleted": self.deleted is not None,
             "term_buckets": term_buckets,
+            "term_stats_ranges": term_stats_ranges,
             # bucket id also present as the _tbd data column (flat
             # multi-segment reads rely on it; absent in old segments)
             "tb_data_col": term_buckets is not None,
@@ -324,10 +446,12 @@ class InvertedIndex:
             field_stats=FieldStats(
                 n_docs=manifest["n_docs"],
                 total_term_freq=manifest["total_term_freq"],
+                max_dl=manifest.get("max_dl"),
             ),
             with_positions=manifest["with_positions"],
             with_offsets=manifest.get("with_offsets", False),
             with_payloads=manifest.get("with_payloads", False),
+            norm=manifest.get("norm", "norm2"),
             analyzer_name=manifest["analyzer"],
             deleted=(
                 spark.read.parquet(os.path.join(path, "deleted"))
@@ -335,6 +459,14 @@ class InvertedIndex:
                 else None
             ),
             term_buckets=manifest.get("term_buckets"),
+            term_stats_ranges=(
+                [
+                    (os.path.join(path, f), mn, mx)
+                    for f, mn, mx in manifest["term_stats_ranges"]
+                ]
+                if manifest.get("term_stats_ranges")
+                else None
+            ),
         )
 
     def cache(self) -> "InvertedIndex":

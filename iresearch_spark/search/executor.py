@@ -84,9 +84,28 @@ class SearchEngine:
         scored_terms_limit: int = 1024,
         wand_min_postings: int = 0,
         preload_stats: bool = False,
+        score_dtype: str = "float64",
     ):
         self.index = index
         self.scorer = get_scorer(scorer) if isinstance(scorer, str) else scorer
+        # the index's norm variant drives the scoring formula (the
+        # reference picks the scorer path from which norm feature the
+        # segment carries, bm25.cpp:445-489)
+        if getattr(index, "norm", "norm2") == "legacy":
+            import dataclasses
+
+            if hasattr(self.scorer, "norm") and self.scorer.norm != "legacy":
+                self.scorer = dataclasses.replace(self.scorer, norm="legacy")
+            elif hasattr(self.scorer, "with_norms"):
+                self.scorer = dataclasses.replace(self.scorer, with_norms=True)
+        # "float64" (default — matches the engine's DuckDB replay
+        # oracle) or "float32" (reference parity: score_t = float,
+        # core/search/scorer.hpp — every per-posting score and every
+        # sum-merge accumulates in float32 with a fixed child order;
+        # golden-tested bit-equal to ref_bm25_f32)
+        if score_dtype not in ("float64", "float32"):
+            raise ValueError(f"score_dtype must be float64/float32, got {score_dtype!r}")
+        self.score_dtype = score_dtype
         self.scored_terms_limit = scored_terms_limit
         # mode="wand" falls back to the exhaustive plan when the query
         # terms' total df is below this (pruning overhead beats payoff
@@ -166,6 +185,12 @@ class SearchEngine:
         phrased: dict[str, tuple] = {}
         rest: dict[str, ast.Node] = {}
         for name, node in queries.items():
+            if self._f32:
+                # parity mode: the shared-scan fan-out multiplies c0
+                # JVM-side in float64 — route through per-query plans
+                # (which carry the exact float32 op chain) instead
+                rest[name] = node
+                continue
             norm = planner.normalize(node)
             shape = self._batchable(norm)
             if shape is not None:
@@ -478,7 +503,8 @@ class SearchEngine:
             missing = []
         if missing:
             rows = (
-                self.index.term_stats.filter(F.col("term").isin(missing))
+                self.index.term_stats_for_terms(missing)
+                .filter(F.col("term").isin(missing))
                 .select("term", "df")
                 .collect()
             )
@@ -487,51 +513,195 @@ class SearchEngine:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
 
+    @staticmethod
+    def _prefix_successor(p: str) -> str | None:
+        """Smallest string ordering after every p-prefixed string (the
+        exclusive upper bound of the prefix's term interval); None when
+        unbounded (prefix of all-max code points)."""
+        for i in range(len(p) - 1, -1, -1):
+            c = ord(p[i])
+            if c < 0x10FFFF:
+                return p[:i] + chr(c + 1)
+        return None
+
+    @staticmethod
+    def _wildcard_literal_prefix(pattern: str) -> str:
+        """Leading literal run of a LIKE pattern (up to the first
+        unescaped % or _) — the seekable prefix of a wildcard query
+        (the reference walks its wildcard automaton's literal prefix
+        through the FST the same way, wildcard_utils.cpp)."""
+        out = []
+        i, n = 0, len(pattern)
+        while i < n:
+            ch = pattern[i]
+            if ch == "\\" and i + 1 < n:
+                out.append(pattern[i + 1])
+                i += 2
+                continue
+            if ch in ("%", "_"):
+                break
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
     def _expand(
-        self, predicate, order_extra=None, limit: int | None = None
+        self,
+        predicate,
+        order_extra=None,
+        limit: int | None = None,
+        lo: str | None = None,
+        hi: str | None = None,
+        hi_inclusive: bool = True,
     ) -> list[tuple[str, int]]:
         """Expand a multi-term leaf against term_stats: top terms by
         (df desc, term asc) up to `limit` (the reference's
-        limited_sample_collector, scored_terms_limit)."""
-        q = self.index.term_stats.filter(predicate)
+        limited_sample_collector, scored_terms_limit). On a saved index
+        the [lo, hi] term interval prunes whole dictionary files via
+        the manifest's per-file min/max map (the FST seek analogue) —
+        the predicate still applies exactly, so pruning never changes
+        the expansion. Leading-wildcard and unprefixed-fuzzy leaves
+        have no interval and scan the full dictionary (the documented
+        trade vs the reference's automaton-intersected FST walk)."""
+        src, _, _ = self.index.pruned_term_stats(lo, hi, hi_inclusive)
+        q = src.filter(predicate)
         order = order_extra or [F.desc("df"), F.asc("term")]
         if limit is not None:
             q = q.orderBy(*order).limit(limit)
         return [(r["term"], r["df"]) for r in q.select("term", "df").collect()]
 
+    @property
+    def _f32(self) -> bool:
+        return self.score_dtype == "float32"
+
+    @property
+    def _norm_mode(self) -> str:
+        return getattr(self.index, "norm", "norm2")
+
+    def _max_dl(self) -> int:
+        """Max doc length — drives the reference's Norm2 one-byte
+        encoding choice and with it the kNorm2Tiny scorer path
+        (norm.hpp Norm2Header, bm25.cpp:464-476). Stored by
+        build_index/manifest; computed lazily (one tiny agg) for
+        indexes predating the field."""
+        fs = self.index.field_stats
+        if fs.max_dl is None:
+            row = self.index.docs.agg(F.max("dl").alias("m")).collect()[0]
+            fs.max_dl = int(row["m"] or 0)
+        return fs.max_dl
+
+    def _const_score(self, x: float) -> float:
+        """Constant scores (AllDocs/Exists/NumericRange boosts) round
+        through float32 in parity mode (score_t = float)."""
+        return float(np.float32(x)) if self._f32 else float(x)
+
     def _c0(self, df_: int, boost: float) -> float:
         if df_ <= 0:
             return 0.0
-        idf = self.scorer.idf(df_, self.index.field_stats.n_docs)
         # c0 folds boost*(k+1)*idf for BM25; boost*idf for TFIDF — both
         # scorers have the shape score = c0 * g(tf, dl); g is _score_g.
         from iresearch_spark.search.scorers import BM25
 
+        n_docs = self.index.field_stats.n_docs
+        if self._f32:
+            # reference rounding: double log1p -> float32 idf
+            # (bm25.cpp:380-384), float32 products (BM1Context :201)
+            f32 = np.float32
+            if isinstance(self.scorer, BM25):
+                idf = f32(math.log1p((n_docs - df_ + 0.5) / (df_ + 0.5)))
+                return float(
+                    f32(f32(f32(boost) * f32(f32(self.scorer.k) + f32(1.0))) * idf)
+                )
+            idf = f32(math.log1p((n_docs + 1.0) / (df_ + 1.0)))
+            return float(f32(f32(boost) * idf))
+        idf = self.scorer.idf(df_, n_docs)
         if isinstance(self.scorer, BM25):
             return boost * (self.scorer.k + 1.0) * idf
         return boost * idf
 
     def _score_g(self, freq, dl):
-        """The per-posting factor g(tf, dl) with c0 factored out."""
+        """The per-posting factor g(tf, dl) with c0 factored out
+        (float64 — the WAND bound path and the default-mode positional
+        path; float32 parity scoring goes through _score_full_expr /
+        the fused numpy kernel instead)."""
         from iresearch_spark.search.scorers import BM25
 
         if isinstance(self.scorer, BM25):
             avg_dl = self.index.field_stats.avg_dl
+            tf = freq.cast("double")
+            dlf = dl.cast("double")
+            if self._norm_mode == "legacy":
+                # old-style Norm (bm25.hpp:29-46): tf = sqrt(freq),
+                # |doc| = sqrt(dl) (the stored 1/sqrt(dl) inverted)
+                tf, dlf = F.sqrt(tf), F.sqrt(dlf)
             c1 = F.lit(self.scorer.k * (1.0 - self.scorer.b)) + F.lit(
                 (self.scorer.k * self.scorer.b) / avg_dl if avg_dl else 0.0
-            ) * dl.cast("double")
-            tf = freq.cast("double")
+            ) * dlf
             return tf / (c1 + tf)
         s = F.sqrt(freq.cast("double"))
         if getattr(self.scorer, "with_norms", False):
             s = s / F.sqrt(dl.cast("double"))
         return s
 
+    def _score_full_expr(self, c0: float, freq, dl):
+        """Full score Column for (c0, freq, dl) — used by the
+        positional paths. float64: c0 * g. float32 parity: the exact
+        reference op chain in JVM FloatType arithmetic (every
+        intermediate a float32, bm25.cpp:319-365)."""
+        if not self._f32:
+            return F.lit(c0) * self._score_g(freq, dl)
+        from iresearch_spark.search.scorers import BM25, f32_stats
+
+        fl = lambda x: F.lit(float(x)).cast("float")  # noqa: E731
+        if not isinstance(self.scorer, BM25):
+            s = F.sqrt(freq.cast("float").cast("double")).cast("float")
+            s = (fl(c0) * s).cast("float")
+            if getattr(self.scorer, "with_norms", False):
+                stored = (
+                    F.lit(1.0).cast("float")
+                    / F.sqrt(dl.cast("double")).cast("float")
+                ).cast("float")
+                s = (s * stored).cast("float")
+            return s.cast("double")
+        k, b = self.scorer.k, self.scorer.b
+        fs = self.index.field_stats
+        c0c = fl(np.float32(c0))
+        if k == 0.0:  # BM1: constant
+            return c0c.cast("double")
+        if b == 0.0:  # BM15 (bm25.cpp:287-317): no norm feature
+            tf = freq.cast("float")
+            c1 = fl(np.float32(k))
+            return (
+                c0c - (c0c / (F.lit(1.0).cast("float") + (tf / c1).cast("float")).cast("float")).cast("float")
+            ).cast("float").cast("double")
+        if self._norm_mode == "legacy":
+            tf = F.sqrt(freq.cast("float").cast("double")).cast("float")
+            stored = (
+                F.lit(1.0).cast("float")
+                / F.sqrt(dl.cast("double")).cast("float")
+            ).cast("float")
+            nrm = (F.lit(1.0).cast("float") / stored).cast("float")
+        else:
+            tf = freq.cast("float")
+            nrm = dl.cast("float")
+        nc, nl = f32_stats(k, b, fs.n_docs, fs.total_term_freq)
+        c1 = (fl(nc) + (fl(nl) * nrm).cast("float")).cast("float")
+        if self._norm_mode != "legacy" and self._max_dl() <= 255:
+            # kNorm2Tiny: inverse-norm cache path (bm25.cpp:348-352)
+            inv_c1 = (F.lit(1.0).cast("float") / c1).cast("float")
+            return (
+                c0c - (c0c / (F.lit(1.0).cast("float") + (tf * inv_c1).cast("float")).cast("float")).cast("float")
+            ).cast("float").cast("double")
+        return (
+            c0c - ((c0c * c1).cast("float") / (c1 + tf).cast("float")).cast("float")
+        ).cast("float").cast("double")
+
     def _g_py(self, tf: float, dl: float) -> float:
         from iresearch_spark.search.scorers import BM25
 
         if isinstance(self.scorer, BM25):
             avg_dl = self.index.field_stats.avg_dl
+            if self._norm_mode == "legacy":
+                tf, dl = math.sqrt(tf), math.sqrt(dl)
             c1 = self.scorer.k * (1.0 - self.scorer.b) + (
                 (self.scorer.k * self.scorer.b) / avg_dl if avg_dl else 0.0
             ) * dl
@@ -569,7 +739,11 @@ class SearchEngine:
             pred = col.startswith(node.prefix)
             limit = min(node.scored_terms_limit, self.scored_terms_limit)
             expanded = self._expand(
-                F.col("term").startswith(node.prefix), limit=limit
+                F.col("term").startswith(node.prefix),
+                limit=limit,
+                lo=node.prefix,
+                hi=self._prefix_successor(node.prefix),
+                hi_inclusive=False,
             )
             return PreparedLeaf(
                 predicate=pred,
@@ -585,7 +759,14 @@ class SearchEngine:
             regex = _like_to_regex(node.pattern)
             pred = col.rlike(regex)
             limit = min(node.scored_terms_limit, self.scored_terms_limit)
-            expanded = self._expand(F.col("term").rlike(regex), limit=limit)
+            litp = self._wildcard_literal_prefix(node.pattern)
+            expanded = self._expand(
+                F.col("term").rlike(regex),
+                limit=limit,
+                lo=litp or None,
+                hi=self._prefix_successor(litp) if litp else None,
+                hi_inclusive=False,
+            )
             return PreparedLeaf(
                 predicate=pred,
                 weights={t: self._c0(d, boost) for t, d in expanded},
@@ -612,7 +793,13 @@ class SearchEngine:
                 pred = pred & c
             pred_post = pred
             limit = min(node.scored_terms_limit, self.scored_terms_limit)
-            expanded = self._expand(pred, limit=limit)
+            expanded = self._expand(
+                pred,
+                limit=limit,
+                lo=node.min_term,
+                hi=node.max_term,
+                hi_inclusive=node.include_max,
+            )
             return PreparedLeaf(
                 predicate=pred_post,
                 weights={t: self._c0(d, boost) for t, d in expanded},
@@ -651,7 +838,17 @@ class SearchEngine:
             if plen
             else F.col("term")
         )
-        banded = self.index.term_stats.filter(
+        ts_src = self.index.term_stats
+        if plen:
+            # the exact-prefix option pins a term interval -> dictionary
+            # file pruning on a saved index (unprefixed fuzzy has no
+            # interval and scans the vocabulary — documented trade)
+            ts_src, _, _ = self.index.pruned_term_stats(
+                node.prefix,
+                self._prefix_successor(node.prefix),
+                hi_inclusive=False,
+            )
+        banded = ts_src.filter(
             F.length("term").between(
                 plen + tlen - node.distance, plen + tlen + node.distance
             )
@@ -713,11 +910,20 @@ class SearchEngine:
     def _scorer_params(self) -> tuple:
         from iresearch_spark.search.scorers import BM25
 
+        fs = self.index.field_stats
+        tiny = (
+            self._norm_mode == "norm2" and self._max_dl() <= 255
+            if self._f32
+            else False
+        )
         if isinstance(self.scorer, BM25):
-            return ("bm25", self.scorer.k, self.scorer.b,
-                    self.index.field_stats.avg_dl, False)
+            return ("bm25", self.scorer.k, self.scorer.b, fs.avg_dl, False,
+                    self._norm_mode, self.score_dtype, fs.n_docs,
+                    fs.total_term_freq, tiny)
         return ("tfidf", 0.0, 0.0, 0.0,
-                bool(getattr(self.scorer, "with_norms", False)))
+                bool(getattr(self.scorer, "with_norms", False)),
+                self._norm_mode, self.score_dtype, fs.n_docs,
+                fs.total_term_freq, tiny)
 
     def _eval_leaf_df(
         self,
@@ -767,7 +973,8 @@ class SearchEngine:
             return self._empty()
         if isinstance(node, ast.AllDocs):
             return self.index.docs.select(
-                "doc_id", F.lit(float(node.boost * boost)).alias("score")
+                "doc_id",
+                F.lit(self._const_score(node.boost * boost)).alias("score"),
             )
         if isinstance(node, ast.Phrase):
             return self._eval_positional(
@@ -808,7 +1015,8 @@ class SearchEngine:
                     )
                 pred = F.col(node.column).isNotNull()
             return self.index.docs.filter(pred).select(
-                "doc_id", F.lit(float(node.boost * boost)).alias("score")
+                "doc_id",
+                F.lit(self._const_score(node.boost * boost)).alias("score"),
             )
         if isinstance(node, ast.NumericRange):
             if node.column not in self.index.docs.columns:
@@ -827,7 +1035,8 @@ class SearchEngine:
                     col <= node.max_val if node.include_max else col < node.max_val
                 )
             return self.index.docs.filter(pred).select(
-                "doc_id", F.lit(float(node.boost * boost)).alias("score")
+                "doc_id",
+                F.lit(self._const_score(node.boost * boost)).alias("score"),
             )
         if isinstance(node, ast.Cached):
             key = node.child
@@ -914,9 +1123,26 @@ class SearchEngine:
         # sum (default), max (dismax/best-field), min, or noop (score
         # untouched -> constant 0).
         merge = node.merge_type
-        score_agg = {"sum": F.sum, "max": F.max, "min": F.min}.get(
-            merge, F.sum
-        )("score").alias("score")
+        if self._f32 and merge == "sum":
+            # parity mode: child scores accumulate in float32 in a
+            # FIXED order (leaf index — the reference sums in child
+            # iterator order, score_t = float); array_sort on the
+            # (_leaf, score) structs pins the order under the shuffle
+            score_agg = (
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("_leaf", "score"))),
+                    F.lit(0.0).cast("float"),
+                    lambda acc, x: (acc + x["score"].cast("float")).cast(
+                        "float"
+                    ),
+                )
+                .cast("double")
+                .alias("score")
+            )
+        else:
+            score_agg = {"sum": F.sum, "max": F.max, "min": F.min}.get(
+                merge, F.sum
+            )("score").alias("score")
         merged = (
             unioned.groupBy("doc_id")
             .agg(score_agg, F.count(F.lit(1)).alias("_cnt"))
@@ -953,12 +1179,19 @@ class SearchEngine:
             return self._expand(
                 F.col("term").startswith(part.prefix),
                 limit=min(part.scored_terms_limit, self.scored_terms_limit),
+                lo=part.prefix,
+                hi=self._prefix_successor(part.prefix),
+                hi_inclusive=False,
             )
         if isinstance(part, ast.Wildcard):
             regex = _like_to_regex(part.pattern)
+            litp = self._wildcard_literal_prefix(part.pattern)
             return self._expand(
                 F.col("term").rlike(regex),
                 limit=min(part.scored_terms_limit, self.scored_terms_limit),
+                lo=litp or None,
+                hi=self._prefix_successor(litp) if litp else None,
+                hi_inclusive=False,
             )
         if isinstance(part, ast.Range):
             conds = []
@@ -978,7 +1211,11 @@ class SearchEngine:
             for c in conds[1:]:
                 pred = pred & c
             return self._expand(
-                pred, limit=min(part.scored_terms_limit, self.scored_terms_limit)
+                pred,
+                limit=min(part.scored_terms_limit, self.scored_terms_limit),
+                lo=part.min_term,
+                hi=part.max_term,
+                hi_inclusive=part.include_max,
             )
         if isinstance(part, ast.Fuzzy):
             return self._fuzzy_candidates(part)
@@ -1075,9 +1312,9 @@ class SearchEngine:
         ).filter(F.col("freq") > 0)
         return freq_df.select(
             "doc_id",
-            (F.lit(c0_sum) * self._score_g(F.col("freq"), F.col("dl"))).alias(
-                "score"
-            ),
+            self._score_full_expr(
+                c0_sum, F.col("freq"), F.col("dl")
+            ).alias("score"),
         )
 
     def _eval_nested(self, node: ast.Nested, boost: float) -> DataFrame:
@@ -1244,23 +1481,56 @@ class SearchEngine:
 
     # --------------------------------------------------------------- WAND
 
-    def _wand_terms(self, node: ast.Node) -> list | None:
-        """Flat scored-term query shapes eligible for block-max pruning."""
-        if isinstance(node, ast.Term):
-            return [node.term]
+    @staticmethod
+    def _wand_leaf_boosts(leaf: ast.Node) -> list[tuple[str, float]] | None:
+        """(term, boost-multiplier) pairs of a WAND-eligible scored
+        leaf: a (possibly boosted) Term, or a sum-merge Terms set with
+        its per-term boosts (terms_filter.hpp {term, boost} pairs — the
+        reference serves every scored multiterm through the same
+        wanderator, multiterm_query.cpp:36-100). Terms with
+        min_match > 1 / non-sum merge never reach here (the planner
+        rewrites them onto Or)."""
+        if isinstance(leaf, ast.Term):
+            return [(leaf.term, leaf.boost)]
         if (
+            isinstance(leaf, ast.Terms)
+            and leaf.min_match <= 1
+            and leaf.merge_type == "sum"
+        ):
+            return [
+                (t, leaf.boost * leaf.term_boost(t))
+                for t in dict.fromkeys(leaf.terms)
+            ]
+        return None
+
+    def _wand_terms(self, node: ast.Node) -> dict[str, float] | None:
+        """term -> boost multiplier (root boost excluded) for query
+        shapes eligible for block-max pruning: a Term/Terms leaf, or a
+        sum-merge And/Or of such leaves (any child boosts — they fold
+        into the per-term upper bounds). Pruning soundness for leaves
+        holding 0-weight terms (beyond scored_terms_limit) follows from
+        the bound itself: a doc matching only through a pruned 0-weight
+        block scores <= rest < theta, so it cannot enter the top-k."""
+        pairs = self._wand_leaf_boosts(node)
+        if pairs is None and (
             isinstance(node, (ast.And, ast.Or))
             and node.merge_type == "sum"  # block-max bounds assume sum
-            and all(isinstance(c, ast.Term) for c in node.children)
         ):
-            terms = [c.term for c in node.children]
-            # duplicated terms would collapse in the per-term weight map
-            # (an And of twins would then demand 2 distinct matches of 1
-            # term -> empty); exhaustive eval handles them correctly
-            if len(set(terms)) != len(terms):
-                return None
-            return terms
-        return None
+            pairs = []
+            for c in node.children:
+                p = self._wand_leaf_boosts(c)
+                if p is None:
+                    return None
+                pairs.extend(p)
+        if pairs is None:
+            return None
+        terms = [t for t, _ in pairs]
+        # duplicated terms would collapse in the per-term weight map
+        # (an And of twins would then demand 2 distinct matches of 1
+        # term -> empty); exhaustive eval handles them correctly
+        if len(set(terms)) != len(terms):
+            return None
+        return dict(pairs)
 
     def _plain_terms(self, node: ast.Node, acc: list[str]) -> None:
         if isinstance(node, ast.Term):
@@ -1312,7 +1582,9 @@ class SearchEngine:
             return df
         return df.join(self.index.deleted.select("doc_id"), "doc_id", "left_anti")
 
-    def _execute_wand(self, query: ast.Node, terms: list[str], k: int) -> DataFrame:
+    def _execute_wand(
+        self, query: ast.Node, terms: dict[str, float], k: int
+    ) -> DataFrame:
         """Block-max WAND as ONE declarative plan (no driver round-trips).
 
         The previous shape ran 3 driver-synchronized Spark jobs (seed
@@ -1331,7 +1603,7 @@ class SearchEngine:
         plus every other term's global max upper bound cannot reach
         theta. Differential-tested vs exhaustive (wand_test.cpp:234-240
         recipe)."""
-        uniq = list(dict.fromkeys(terms))
+        uniq = list(terms)  # term -> boost multiplier (leaf boosts folded)
         dfs = self._term_dfs(uniq)
         if (
             self.wand_min_postings
@@ -1341,13 +1613,8 @@ class SearchEngine:
             # scan beats pruning overhead (AQE-style runtime choice)
             return self._eval(query, 1.0)
         boost = query.boost if isinstance(query, (ast.And, ast.Or)) else 1.0
-        child_boosts = (
-            {c.term: c.boost for c in query.children}
-            if isinstance(query, (ast.And, ast.Or))
-            else {terms[0]: getattr(query, "boost", 1.0)}
-        )
         weights = {
-            t: self._c0(dfs[t], boost * child_boosts.get(t, 1.0)) for t in dfs
+            t: self._c0(dfs[t], boost * terms[t]) for t in dfs
         }
         meta = self.index.postings_for_terms(list(weights)).select(
             "term", "block_id", "n_docs", "block_max_freq", "block_min_dl"
@@ -1385,10 +1652,17 @@ class SearchEngine:
         rest = maxub.crossJoin(F.broadcast(total)).select(
             "term", (F.col("_total") - F.col("_mx")).alias("_rest")
         )
+        # the upper bounds are float64 c0*g; in float32 parity mode the
+        # achieved scores round through float32 and can exceed the f64
+        # value by ~1 ulp — relax theta by a 1e-5 relative margin
+        # (scores are non-negative) so pruning stays sound
+        theta_cmp = (
+            F.col("_theta") * (1.0 - 1e-5) if self._f32 else F.col("_theta")
+        )
         keep = (
             ub.join(F.broadcast(rest), "term")
             .crossJoin(F.broadcast(theta_df))
-            .filter(F.col("_ub") + F.col("_rest") >= F.col("_theta"))
+            .filter(F.col("_ub") + F.col("_rest") >= theta_cmp)
             .select("term", "block_id")
         )
         # no broadcast hint on `keep`: when theta prunes little, the kept
@@ -1400,6 +1674,76 @@ class SearchEngine:
         return self._eval(query, 1.0, postings=survivors)
 
 
+def _make_score_kernel(params: tuple):
+    """(c0_row, freqs, dls) -> float64 score array for the fused pass.
+
+    float64 (default): score = c0 * g(tf, dl) — algebraically the
+    reference formula, evaluated in doubles for the DuckDB oracle.
+    float32 (parity mode): the exact reference op chain in np.float32 —
+    bit-equal to scorers.ref_bm25_f32 (itself a transcription of
+    bm25.cpp:198-365); see the scorers module docstring for the map.
+    """
+    (kind, k, b, avg_dl, with_norms, norm_mode, dtype, n_docs, ttf,
+     tiny) = params
+    legacy = norm_mode == "legacy"
+
+    if dtype == "float32":
+        from iresearch_spark.search.scorers import f32_stats
+
+        f32 = np.float32
+        one = f32(1.0)
+
+        def score32(c0_64, freqs, dls):
+            c0 = c0_64.astype(np.float32)
+            if kind == "tfidf":
+                s = f32(np.sqrt(freqs.astype(np.float32), dtype=np.float32))
+                s = (c0 * s).astype(np.float32)
+                if with_norms:
+                    stored = (
+                        one / np.sqrt(dls.astype(np.float64)).astype(np.float32)
+                    ).astype(np.float32)
+                    s = (s * stored).astype(np.float32)
+                return s.astype(np.float64)
+            if k == 0.0:  # BM1: constant per term
+                return c0.astype(np.float64)
+            if b == 0.0:  # BM15: no norm feature at all (tf = freq)
+                tf = freqs.astype(np.float32)
+                c1 = f32(k)
+                return (c0 - c0 / (one + tf / c1)).astype(np.float64)
+            if legacy:
+                tf = np.sqrt(freqs.astype(np.float32), dtype=np.float32)
+                stored = (
+                    one / np.sqrt(dls.astype(np.float64)).astype(np.float32)
+                ).astype(np.float32)
+                nrm = (one / stored).astype(np.float32)
+            else:
+                tf = freqs.astype(np.float32)
+                nrm = dls.astype(np.float32)
+            nc, nl = f32_stats(k, b, n_docs, ttf)
+            c1 = (nc + nl * nrm).astype(np.float32)
+            if tiny and not legacy:
+                inv_c1 = (one / c1).astype(np.float32)
+                return (c0 - c0 / (one + tf * inv_c1)).astype(np.float64)
+            return (c0 - (c0 * c1) / (c1 + tf)).astype(np.float64)
+
+        return score32
+
+    def score64(c0, freqs, dls):
+        freq = freqs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        if kind == "bm25":
+            if legacy:
+                freq, dl = np.sqrt(freq), np.sqrt(dl)
+            c1 = k * (1.0 - b) + (k * b / avg_dl if avg_dl else 0.0) * dl
+            return c0 * (freq / (c1 + freq))
+        s = np.sqrt(freq)
+        if with_norms:
+            s = s / np.sqrt(dl)
+        return c0 * s
+
+    return score64
+
+
 def _make_fused_scorer(
     weights: dict, params: tuple, topk: int | None, leaf_of: dict | None = None
 ):
@@ -1408,15 +1752,7 @@ def _make_fused_scorer(
     _leaf column so one scan serves every plain-Term child of a
     boolean node."""
 
-    def g_np(freq: np.ndarray, dl: np.ndarray) -> np.ndarray:
-        kind, k, b, avg_dl, with_norms = params
-        if kind == "bm25":
-            c1 = k * (1.0 - b) + (k * b / avg_dl if avg_dl else 0.0) * dl
-            return freq / (c1 + freq)
-        s = np.sqrt(freq)
-        if with_norms:
-            s = s / np.sqrt(dl)
-        return s
+    kernel = _make_score_kernel(params)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from iresearch_spark.index.model import decode_batch_arrays
@@ -1433,9 +1769,7 @@ def _make_fused_scorer(
                 dtype=np.float64,
                 count=len(dict_terms),
             )
-            score = c0[d["row_codes"]] * g_np(
-                d["freqs"].astype(np.float64), d["dls"].astype(np.float64)
-            )
+            score = kernel(c0[d["row_codes"]], d["freqs"], d["dls"])
             if leaf_of is not None:
                 leaf_codes = np.fromiter(
                     (leaf_of.get(t, -1) for t in dict_terms),

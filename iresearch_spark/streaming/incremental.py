@@ -275,7 +275,10 @@ class IncrementalIndexer:
         # across segments (same contract merge_indexes enforces) —
         # a silent mismatch would drop positions/offsets or mix
         # incompatible token streams in one postings union
-        for key in ("with_positions", "with_offsets", "with_payloads", "analyzer"):
+        for key in (
+            "with_positions", "with_offsets", "with_payloads", "analyzer",
+            "norm",
+        ):
             vals = {m.get(key, False) for m in sub_manifests}
             if len(vals) > 1:
                 raise ValueError(
@@ -329,10 +332,16 @@ class IncrementalIndexer:
             field_stats=FieldStats(
                 n_docs=sum(m["n_docs"] for m in sub_manifests),
                 total_term_freq=sum(m["total_term_freq"] for m in sub_manifests),
+                max_dl=(
+                    max(m["max_dl"] for m in sub_manifests)
+                    if all(m.get("max_dl") is not None for m in sub_manifests)
+                    else None
+                ),
             ),
             with_positions=sub_manifests[0]["with_positions"],
             with_offsets=sub_manifests[0].get("with_offsets", False),
             with_payloads=sub_manifests[0].get("with_payloads", False),
+            norm=sub_manifests[0].get("norm", "norm2"),
             analyzer_name=sub_manifests[0]["analyzer"],
             deleted=deleted,
             term_buckets=term_buckets,

@@ -41,6 +41,52 @@ def test_ngram_jaccard_default_is_exact(boiler_df):
     assert got == {(0, 1): 1.0}
 
 
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed")
+def test_real_decoder_branch_with_pil(spark):
+    """Exercises the production decode path when Pillow is present:
+    a real PNG round-trips through feature_extract and resize_images."""
+    import io
+
+    from PIL import Image
+
+    from iresearch_spark.ops import multimodal
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), (10, 200, 30)).save(buf, format="PNG")
+    rows = [(1, "image", buf.getvalue(), "image/png", 4, 4, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = multimodal.feature_extract(media, use_real_decoder=True).collect()
+    assert feat[0]["ok"]
+    assert [round(x) for x in feat[0]["feature"]] == [10, 200, 30]
+    resized = multimodal.resize_images(
+        media, 2, 2, use_real_decoder=True
+    ).collect()
+    assert resized[0]["ok"]
+    with Image.open(io.BytesIO(resized[0]["payload"])) as im:
+        assert im.size == (2, 2)
+
+
+@pytest.mark.skipif(_has_pil(), reason="Pillow installed")
+def test_real_decoder_raises_clearly_without_pil(spark):
+    from iresearch_spark.ops import multimodal
+
+    rows = [(1, "image", b"0123456789abcdef", "image/x-raw", 4, 4, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="Pillow"):
+        multimodal.feature_extract(media, use_real_decoder=True).collect()
+    with pytest.raises(Exception, match="Pillow"):
+        multimodal.resize_images(media, 2, 2, use_real_decoder=True).collect()
+
+
 def test_skew_guard_report(boiler_df):
     """The audit surface returns the dropped-shingle count as a metric:
     with max_shingle_df=5 exactly one shingle ('c1 c2 c3', df=30) is
