@@ -194,6 +194,44 @@ def main():
         queries[f"pages_index_build_{pages_n}"] = t
         extra["pages_docs_per_sec"] = round(pages_n / t, 1)
 
+        # WAND pruning payoff at a corpus size where it can pay (the
+        # sf0.1 documents table is too small for pruning to beat its
+        # overhead — that adaptive fallback is the wand_min_postings
+        # setting above): forced block-max WAND vs exhaustive on the
+        # SAME materialized pages index, a boosted Terms disjunction
+        # (the round-4 extended WAND shape). Results are
+        # rank-identical by construction (differential-tested).
+        from iresearch_spark.search import Terms
+
+        pidx = _materialized_index(
+            pages, id_col=None, sort_key="url", analyzer="segmentation",
+            seg_bits=10,
+        )
+        node = Or(
+            [
+                Terms(
+                    ["ref", "second", "state"], term_boosts={"ref": 2.0}
+                ),
+                Term("south", boost=1.5),
+            ]
+        )
+        eng_exh = SearchEngine(pidx, preload_stats=True)
+        eng_wand = SearchEngine(pidx, preload_stats=True)
+        eng_exh.search(Term("ref"), k=1).collect()  # warm workers
+        t_exh = min(
+            timed(lambda: eng_exh.search(node, k=10).collect())[0]
+            for _ in range(repeat)
+        )
+        t_wand = min(
+            timed(
+                lambda: eng_wand.search(node, k=10, mode="wand").collect()
+            )[0]
+            for _ in range(repeat)
+        )
+        queries["pages_or_terms_exhaustive"] = t_exh
+        queries["pages_or_terms_wand"] = t_wand
+        pidx.unpersist()
+
     total = sum(queries.values())
     print(
         json.dumps(

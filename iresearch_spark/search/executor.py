@@ -107,6 +107,11 @@ class SearchEngine:
             raise ValueError(f"score_dtype must be float64/float32, got {score_dtype!r}")
         self.score_dtype = score_dtype
         self.scored_terms_limit = scored_terms_limit
+        # opt-in WAND pruning observability (costs two tiny jobs over
+        # the checkpointed bound table): after a mode="wand" search,
+        # last_wand_stats = {blocks_total, blocks_kept, theta}
+        self.collect_wand_stats = False
+        self.last_wand_stats: dict | None = None
         # mode="wand" falls back to the exhaustive plan when the query
         # terms' total df is below this (pruning overhead beats payoff
         # on tiny candidate sets); 0 = always use WAND when requested
@@ -1090,13 +1095,20 @@ class SearchEngine:
         fold = term_children if len(set(seen_terms)) == len(seen_terms) else []
         folded_idx = {i for i, _ in fold}
         parts = []
-        if fold and postings is None:
+        if fold:
+            # one fused scan for ALL plain-Term children — also under a
+            # restricted postings set (the WAND survivor scan): without
+            # this the pruned re-evaluation ran one scan PER child,
+            # which alone made forced WAND slower than exhaustive
             dfs = self._term_dfs([c.term for _, c in fold])
             weights = {
                 c.term: self._c0(dfs[c.term], boost * c.boost) for _, c in fold
             }
             leaf_of = {c.term: i for i, c in fold}
-            blocks = self.index.postings_for_terms(list(weights))
+            if postings is None:
+                blocks = self.index.postings_for_terms(list(weights))
+            else:
+                blocks = postings.filter(F.col("term").isin(list(weights)))
             slim = blocks.select("term", "n_docs", "docs", "dls").repartition(
                 self._spark.sparkContext.defaultParallelism
             )
@@ -1105,7 +1117,7 @@ class SearchEngine:
             )
             parts.append(slim.mapInArrow(fused, LEAF_RESULT_SCHEMA))
         for i, c in enumerate(positives):
-            if i in folded_idx and fold and postings is None:
+            if i in folded_idx and fold:
                 continue
             parts.append(
                 self._eval(c, boost, postings).withColumn(
@@ -1585,16 +1597,22 @@ class SearchEngine:
     def _execute_wand(
         self, query: ast.Node, terms: dict[str, float], k: int
     ) -> DataFrame:
-        """Block-max WAND as ONE declarative plan (no driver round-trips).
+        """Block-max WAND: a few SMALL driver-synchronized steps, then
+        one pruned scan.
 
-        The previous shape ran 3 driver-synchronized Spark jobs (seed
-        collect -> theta, max-ub collect -> rest, final scan); at small
-        scale each job pays the scheduling floor, making WAND slower
-        than exhaustive. All three steps are now subplans of a single
-        job: theta comes from an in-plan top-k aggregate over the seed
-        blocks, per-term rest-max from an in-plan groupBy, and the
-        theta=0 "fall back to exhaustive" case is implicit — every
-        block's _ub + rest >= 0, so nothing is pruned.
+        Shape (round-4): (1) one meta-only job materializes the
+        per-block bound table (localCheckpoint — stays distributed;
+        bound rows are per (term, block) and far too many to collect
+        at 10^12 docs); (2) theta and the per-term rest mass collect
+        driver-side — a SCALAR and n_query_terms rows, O(1) at any
+        corpus size; (3) the survivor filter is a row-local predicate
+        over each block's own (block_max_freq, block_min_dl) columns,
+        so the pruned scan needs NO join against the posting blobs.
+        Round 3's all-in-one-plan shape re-evaluated the bound subplan
+        per reference and semi-joined the keep list against the blob
+        rows (a full blob shuffle) — measured 3-10x slower than
+        exhaustive at 100k docs; this shape prices WAND at the pruned
+        scan plus two small jobs.
 
         Soundness: a doc appears in exactly one block per term (blocks
         partition doc-id ranges), so pass-1 scores over complete seed
@@ -1624,6 +1642,15 @@ class SearchEngine:
             "_ub",
             F.col("w") * self._score_g(F.col("block_max_freq"), F.col("block_min_dl")),
         )
+        # materialize the per-block bound table ONCE (meta columns only
+        # — no posting blobs): the plan below references it from the
+        # seed selection, the per-term max aggregate AND the keep
+        # filter, and without truncation each reference re-runs the
+        # meta scan+join (measured 3-10x slower than exhaustive at
+        # 100k docs). localCheckpoint keeps it distributed — bound
+        # rows are per (term, block), which at 10^12 docs is far too
+        # big to collect but trivial to hold across executors.
+        ub = ub.localCheckpoint(eager=True)
         # seed = highest-upper-bound blocks; complete blocks => achieved scores
         seed_blocks = max(2, (4 * k) // 128 + 1)
         seed = ub.orderBy(F.desc("_ub")).limit(seed_blocks).select("term", "block_id")
@@ -1635,7 +1662,9 @@ class SearchEngine:
         # score and prune blocks holding live top-k docs (the reference
         # applies the deleted-docs bitset inside every doc_iterator, so
         # its WAND threshold only ever rises on live docs)
-        theta_df = (
+        # theta = k-th best ACHIEVED (live) score on the seed blocks —
+        # a scalar, so collecting it is O(1) at any corpus size
+        theta = float(
             self._apply_delete_mask(
                 self._eval(query, 1.0, postings=seed_postings)
             )
@@ -1646,31 +1675,53 @@ class SearchEngine:
                 .otherwise(F.min("score"))
                 .alias("_theta")
             )
+            .collect()[0]["_theta"]
         )
-        maxub = ub.groupBy("term").agg(F.max("_ub").alias("_mx"))
-        total = maxub.agg(F.sum("_mx").alias("_total"))
-        rest = maxub.crossJoin(F.broadcast(total)).select(
-            "term", (F.col("_total") - F.col("_mx")).alias("_rest")
+        if theta <= 0.0:
+            # seed couldn't fill k: no bound can prune anything
+            return self._eval(query, 1.0)
+        # per-term rest mass (sum of the OTHER terms' global max block
+        # bounds) — n_query_terms rows, collected driver-side and folded
+        # into the scan predicate as a literal map. The survivor filter
+        # is then ROW-LOCAL on the block's own (max_freq, min_dl)
+        # columns: no join against the posting blobs (the previous
+        # keep-list semi-join shuffled every blob through a sort-merge
+        # join — measured 3-10x slower than exhaustive at 100k docs).
+        mx = {
+            r["term"]: r["_mx"]
+            for r in ub.groupBy("term").agg(F.max("_ub").alias("_mx")).collect()
+        }
+        total_ub = sum(mx.values())
+        # float32 parity mode: achieved scores round through float32
+        # and can exceed the f64 bounds by ~1 ulp — relax theta by a
+        # 1e-5 relative margin (scores are non-negative)
+        theta_eff = theta * (1.0 - 1e-5) if self._f32 else theta
+        rest_map = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in mx]),
+            F.array(*[F.lit(float(total_ub - v)) for v in mx.values()]),
         )
-        # the upper bounds are float64 c0*g; in float32 parity mode the
-        # achieved scores round through float32 and can exceed the f64
-        # value by ~1 ulp — relax theta by a 1e-5 relative margin
-        # (scores are non-negative) so pruning stays sound
-        theta_cmp = (
-            F.col("_theta") * (1.0 - 1e-5) if self._f32 else F.col("_theta")
+        c0_map = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in weights]),
+            F.array(*[F.lit(float(w)) for w in weights.values()]),
         )
-        keep = (
-            ub.join(F.broadcast(rest), "term")
-            .crossJoin(F.broadcast(theta_df))
-            .filter(F.col("_ub") + F.col("_rest") >= theta_cmp)
-            .select("term", "block_id")
+        bound = F.element_at(c0_map, F.col("term")) * self._score_g(
+            F.col("block_max_freq"), F.col("block_min_dl")
+        ) + F.element_at(rest_map, F.col("term"))
+        survivors = self.index.postings_for_terms(list(weights)).filter(
+            bound >= F.lit(theta_eff)
         )
-        # no broadcast hint on `keep`: when theta prunes little, the kept
-        # block list can be large — AQE picks broadcast vs shuffle at
-        # runtime from the actual size
-        survivors = self.index.postings_for_terms(list(weights)).join(
-            keep, ["term", "block_id"], "left_semi"
-        )
+        if self.collect_wand_stats:
+            total_blocks = ub.count()
+            kept = ub.filter(
+                F.col("_ub")
+                + F.element_at(rest_map, F.col("term"))
+                >= F.lit(theta_eff)
+            ).count()
+            self.last_wand_stats = {
+                "blocks_total": int(total_blocks),
+                "blocks_kept": int(kept),
+                "theta": theta,
+            }
         return self._eval(query, 1.0, postings=survivors)
 
 

@@ -75,6 +75,40 @@ def test_wand_with_zero_weight_terms(engine):
     assert exh and exh == wnd
 
 
+def test_wand_pruning_engages(spark):
+    """On a corpus with real block-max spread (one hot doc, many weak
+    postings in other blocks), forced WAND must actually DROP blocks —
+    and stay result-identical. (The synthetic bench corpora have almost
+    no prunable spread; this pins the machinery itself.)"""
+    rows = []
+    # doc 0: 'zzkey' 60 times in a short doc -> huge tf, low dl
+    rows.append((0, "zzkey " * 60))
+    # 2000 docs: one 'zzkey' buried in 120 filler tokens -> low tf,
+    # high dl -> low block bounds (many 128-doc blocks)
+    for i in range(1, 2001):
+        rows.append((i, "zzkey " + " ".join(f"f{i}x{j}" for j in range(120))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, analyzer="simple", bucket_bits=8)
+    idx.cache()
+    idx.postings.count()
+    eng = SearchEngine(idx)
+    eng.collect_wand_stats = True
+    exh = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search(Term("zzkey"), k=1).collect()
+    ]
+    wnd = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search(Term("zzkey"), k=1, mode="wand").collect()
+    ]
+    assert exh == wnd
+    stats = eng.last_wand_stats
+    assert stats is not None
+    assert stats["blocks_total"] > 4
+    assert stats["blocks_kept"] < stats["blocks_total"]
+    assert stats["theta"] > 0
+
+
 def test_wand_shape_detection(engine):
     """Ineligible shapes fall back to exhaustive (no error, same
     results): non-sum merge, duplicate terms across children."""
