@@ -156,6 +156,10 @@ class InvertedIndex:
     # On an Iceberg deployment this map IS the table's file manifest —
     # the same pruning falls out of min/max column stats.
     term_stats_ranges: list | None = None
+    # the reversed-term dictionary's file ranges ([(path, min_rterm,
+    # max_rterm)], rows sorted by reverse(term)) — leading-wildcard
+    # patterns with a literal suffix prune on the reversed interval
+    term_stats_rev_ranges: list | None = None
 
     def pruned_term_stats(
         self,
@@ -193,6 +197,37 @@ class InvertedIndex:
                 total,
             )
         return spark.read.parquet(*sel), len(sel), total
+
+    def pruned_rev_term_stats(
+        self, rlo: str, rhi: str | None
+    ) -> tuple[DataFrame, int | None, int | None]:
+        """term_stats narrowed via the REVERSED-term dictionary: files
+        whose [min_rterm, max_rterm] intersects [rlo, rhi) — the
+        leading-wildcard seek (a literal suffix reversed is a prefix of
+        reverse(term)). Falls back to the full table when the index
+        has no reversed layout (in-memory, or pre-round-4 manifests)."""
+        ranges = self.term_stats_rev_ranges
+        if not ranges:
+            return self.term_stats, None, None
+        sel = [
+            p
+            for (p, mn, mx) in ranges
+            if mx >= rlo and (rhi is None or mn < rhi)
+        ]
+        total = len(ranges)
+        if len(sel) == total:
+            return self.term_stats, total, total
+        spark = self.term_stats.sparkSession
+        if not sel:
+            return (
+                spark.createDataFrame([], self.term_stats.schema),
+                0,
+                total,
+            )
+        df = spark.read.parquet(*sorted(sel))
+        if "rterm" in df.columns:
+            df = df.drop("rterm")
+        return df, len(sel), total
 
     def term_stats_for_terms(self, terms: list[str]) -> DataFrame:
         """term_stats narrowed to the dictionary files that can hold the
@@ -372,6 +407,10 @@ class InvertedIndex:
         )
         ts_path = os.path.join(path, "term_stats")
         term_stats_ranges = None
+        # the dictionary is written twice (forward + reversed layouts)
+        # and counted once — persist so the groupBy over posting blocks
+        # that derives it runs ONCE, not per consumer
+        ts_cached = self.term_stats.persist()
         if optimize_layout:
             # term dictionary: range-partitioned and sorted by term, so
             # each file covers one contiguous term interval; the
@@ -380,37 +419,68 @@ class InvertedIndex:
             # Range expansion seek instead of scanning the vocabulary.
             # ~2M terms per file keeps dictionaries O(10MB); min 16
             # files so even small indexes demonstrate pruning.
-            n_terms = self.term_stats.count()
+            n_terms = ts_cached.count()
             ts_files = max(16, min(n_part * 4, (n_terms // 2_000_000) + 16))
             (
-                self.term_stats.repartitionByRange(ts_files, "term")
+                ts_cached.repartitionByRange(ts_files, "term")
                 .sortWithinPartitions("term")
                 .write.mode(mode)
                 .parquet(ts_path)
             )
-            # one vocabulary-bounded job to build the block index (on
-            # Iceberg this is free — the manifest already tracks
-            # per-file column min/max)
+            # reversed-term dictionary (the Lucene reversed-field trick
+            # for leading wildcards): the same rows sorted by
+            # reverse(term), so a pattern with only a literal SUFFIX
+            # ('%tion') prunes dictionary files by the reversed-suffix
+            # interval instead of scanning the vocabulary. One extra
+            # vocabulary-sized write at save time.
+            rev_path = os.path.join(path, "term_stats_rev")
+            (
+                ts_cached.withColumn("rterm", F.reverse(F.col("term")))
+                .repartitionByRange(ts_files, "rterm")
+                .sortWithinPartitions("rterm")
+                .write.mode(mode)
+                .parquet(rev_path)
+            )
+            # ONE vocabulary-bounded job builds BOTH block indexes:
+            # each file is fully covered by either [min,max] term
+            # (forward layout) or [min,max] rterm (reversed layout) —
+            # keyed apart by directory. (On Iceberg this job is free —
+            # the manifest already tracks per-file column min/max.)
             franges = (
-                self.term_stats.sparkSession.read.parquet(ts_path)
+                self.term_stats.sparkSession.read.option(
+                    "mergeSchema", "true"
+                )
+                .parquet(ts_path, rev_path)
                 .groupBy(F.input_file_name().alias("f"))
-                .agg(F.min("term").alias("mn"), F.max("term").alias("mx"))
+                .agg(
+                    F.min("term").alias("mn"),
+                    F.max("term").alias("mx"),
+                    F.min("rterm").alias("rmn"),
+                    F.max("rterm").alias("rmx"),
+                )
                 .collect()
             )
             prefix = "file:"
-            term_stats_ranges = sorted(
-                (
-                    os.path.relpath(
-                        r["f"][len(prefix):] if r["f"].startswith(prefix) else r["f"],
-                        path,
-                    ),
-                    r["mn"],
-                    r["mx"],
+
+            def _rel(f: str) -> str:
+                return os.path.relpath(
+                    f[len(prefix):] if f.startswith(prefix) else f, path
                 )
+
+            term_stats_ranges = sorted(
+                (_rel(r["f"]), r["mn"], r["mx"])
                 for r in franges
+                if r["rmn"] is None  # forward-layout files lack rterm
+            )
+            term_stats_rev_ranges = sorted(
+                (_rel(r["f"]), r["rmn"], r["rmx"])
+                for r in franges
+                if r["rmn"] is not None
             )
         else:
-            self.term_stats.coalesce(n_part).write.mode(mode).parquet(ts_path)
+            term_stats_rev_ranges = None
+            ts_cached.coalesce(n_part).write.mode(mode).parquet(ts_path)
+        ts_cached.unpersist()
         if self.deleted is not None:
             self.deleted.write.mode(mode).parquet(os.path.join(path, "deleted"))
         manifest = {
@@ -426,6 +496,7 @@ class InvertedIndex:
             "has_deleted": self.deleted is not None,
             "term_buckets": term_buckets,
             "term_stats_ranges": term_stats_ranges,
+            "term_stats_rev_ranges": term_stats_rev_ranges,
             # bucket id also present as the _tbd data column (flat
             # multi-segment reads rely on it; absent in old segments)
             "tb_data_col": term_buckets is not None,
@@ -465,6 +536,14 @@ class InvertedIndex:
                     for f, mn, mx in manifest["term_stats_ranges"]
                 ]
                 if manifest.get("term_stats_ranges")
+                else None
+            ),
+            term_stats_rev_ranges=(
+                [
+                    (os.path.join(path, f), mn, mx)
+                    for f, mn, mx in manifest["term_stats_rev_ranges"]
+                ]
+                if manifest.get("term_stats_rev_ranges")
                 else None
             ),
         )

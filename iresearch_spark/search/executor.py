@@ -549,6 +549,51 @@ class SearchEngine:
             i += 1
         return "".join(out)
 
+    @staticmethod
+    def _wildcard_literal_suffix(pattern: str) -> str:
+        """Trailing literal run of a LIKE pattern (after the last
+        unescaped % or _) — the seekable REVERSED prefix of a
+        leading-wildcard query via the reversed-term dictionary (the
+        classic reversed-field trick)."""
+        toks: list[tuple[bool, str]] = []  # (is_literal, char)
+        i, n = 0, len(pattern)
+        while i < n:
+            ch = pattern[i]
+            if ch == "\\" and i + 1 < n:
+                toks.append((True, pattern[i + 1]))
+                i += 2
+                continue
+            toks.append((ch not in ("%", "_"), ch))
+            i += 1
+        out = []
+        for is_lit, ch in reversed(toks):
+            if not is_lit:
+                break
+            out.append(ch)
+        return "".join(reversed(out))
+
+    def _wildcard_expand_plan(self, pattern: str):
+        """(source_df_or_None, bounds_kwargs) for a wildcard's
+        dictionary expansion: a literal prefix prunes the forward
+        dictionary; otherwise a literal suffix prunes the reversed
+        one; otherwise a full vocabulary scan (the documented trade
+        vs the reference's automaton-intersected FST walk)."""
+        litp = self._wildcard_literal_prefix(pattern)
+        if litp:
+            return None, dict(
+                lo=litp,
+                hi=self._prefix_successor(litp),
+                hi_inclusive=False,
+            )
+        suf = self._wildcard_literal_suffix(pattern)
+        if suf:
+            rsuf = suf[::-1]
+            src, _, _ = self.index.pruned_rev_term_stats(
+                rsuf, self._prefix_successor(rsuf)
+            )
+            return src, {}
+        return None, {}
+
     def _expand(
         self,
         predicate,
@@ -557,6 +602,7 @@ class SearchEngine:
         lo: str | None = None,
         hi: str | None = None,
         hi_inclusive: bool = True,
+        source=None,
     ) -> list[tuple[str, int]]:
         """Expand a multi-term leaf against term_stats: top terms by
         (df desc, term asc) up to `limit` (the reference's
@@ -567,7 +613,10 @@ class SearchEngine:
         the expansion. Leading-wildcard and unprefixed-fuzzy leaves
         have no interval and scan the full dictionary (the documented
         trade vs the reference's automaton-intersected FST walk)."""
-        src, _, _ = self.index.pruned_term_stats(lo, hi, hi_inclusive)
+        if source is not None:
+            src = source  # caller-pruned (e.g. the reversed dictionary)
+        else:
+            src, _, _ = self.index.pruned_term_stats(lo, hi, hi_inclusive)
         q = src.filter(predicate)
         order = order_extra or [F.desc("df"), F.asc("term")]
         if limit is not None:
@@ -764,13 +813,9 @@ class SearchEngine:
             regex = _like_to_regex(node.pattern)
             pred = col.rlike(regex)
             limit = min(node.scored_terms_limit, self.scored_terms_limit)
-            litp = self._wildcard_literal_prefix(node.pattern)
+            wsrc, wkw = self._wildcard_expand_plan(node.pattern)
             expanded = self._expand(
-                F.col("term").rlike(regex),
-                limit=limit,
-                lo=litp or None,
-                hi=self._prefix_successor(litp) if litp else None,
-                hi_inclusive=False,
+                F.col("term").rlike(regex), limit=limit, source=wsrc, **wkw
             )
             return PreparedLeaf(
                 predicate=pred,
@@ -1197,13 +1242,12 @@ class SearchEngine:
             )
         if isinstance(part, ast.Wildcard):
             regex = _like_to_regex(part.pattern)
-            litp = self._wildcard_literal_prefix(part.pattern)
+            wsrc, wkw = self._wildcard_expand_plan(part.pattern)
             return self._expand(
                 F.col("term").rlike(regex),
                 limit=min(part.scored_terms_limit, self.scored_terms_limit),
-                lo=litp or None,
-                hi=self._prefix_successor(litp) if litp else None,
-                hi_inclusive=False,
+                source=wsrc,
+                **wkw,
             )
         if isinstance(part, ast.Range):
             conds = []
