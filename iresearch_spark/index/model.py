@@ -160,6 +160,18 @@ class InvertedIndex:
     # max_rterm)], rows sorted by reverse(term)) — leading-wildcard
     # patterns with a literal suffix prune on the reversed interval
     term_stats_rev_ranges: list | None = None
+    # the k-gram index's file ranges ([(path, min_gram, max_gram)]):
+    # a (gram, term, df) table of every padded character 3-gram of
+    # every dictionary term, range-partitioned and sorted by gram —
+    # the classic IR-textbook k-gram index (Manning et al., IIR
+    # §3.2.2) that serves the two expansion shapes neither the
+    # forward nor the reversed dictionary can seek: infix-only
+    # wildcards ('%abc%def%') and unprefixed fuzzy terms. The
+    # reference walks a wildcard/Levenshtein automaton intersected
+    # with its FST (wildcard_utils.cpp, levenshtein_utils.cpp); on
+    # Spark the same "touch only plausible terms" effect comes from
+    # a gram-posting equi-lookup + count filter.
+    term_grams_ranges: list | None = None
 
     def pruned_term_stats(
         self,
@@ -251,6 +263,58 @@ class InvertedIndex:
         if len(sel) == len(ranges):
             return self.term_stats
         return spark.read.parquet(*sorted(sel))
+
+    def gram_files_for(self, grams: list[str]) -> tuple[list[str], int]:
+        """(gram-index files that can hold any of the given grams,
+        total files). Point lookups over the sorted per-file [min, max]
+        gram ranges; a merged multi-segment view carries the
+        concatenation of its segments' ranges, so the linear
+        intersection scan stays correct there too (the list is
+        O(files), tiny)."""
+        ranges = self.term_grams_ranges or []
+        sel = sorted(
+            {
+                p
+                for (p, mn, mx) in ranges
+                for g in grams
+                if mn <= g <= mx
+            }
+        )
+        return sel, len(ranges)
+
+    def gram_candidate_terms(
+        self, grams: list[str], min_match: int
+    ) -> DataFrame | None:
+        """(term, df) of dictionary terms containing >= min_match of
+        the given padded 3-grams, via the k-gram index. None when the
+        index has no gram layout (in-memory, or a pre-round-4 save) —
+        callers fall back to the full vocabulary scan.
+
+        Two-level aggregation so multi-segment views are exact: a term
+        present in several segments contributes one gram row PER
+        segment with its segment-local df; summing df per (gram, term)
+        first reconstitutes the global df (doc ids are disjoint across
+        segments), then the distinct-gram count per term applies the
+        match threshold."""
+        if self.term_grams_ranges is None or not grams:
+            return None
+        sel, _total = self.gram_files_for(grams)
+        spark = self.term_stats.sparkSession
+        if not sel:
+            return spark.createDataFrame([], "term string, df long")
+        return (
+            spark.read.parquet(*sel)
+            .filter(F.col("gram").isin(list(grams)))
+            .groupBy("gram", "term")
+            .agg(F.sum("df").alias("df"))
+            .groupBy("term")
+            .agg(
+                F.count("gram").alias("_gc"),
+                F.max("df").alias("df"),
+            )
+            .filter(F.col("_gc") >= int(min_match))
+            .select("term", "df")
+        )
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         """Postings scan narrowed to the given exact terms: directory
@@ -441,22 +505,56 @@ class InvertedIndex:
                 .write.mode(mode)
                 .parquet(rev_path)
             )
-            # ONE vocabulary-bounded job builds BOTH block indexes:
-            # each file is fully covered by either [min,max] term
-            # (forward layout) or [min,max] rterm (reversed layout) —
-            # keyed apart by directory. (On Iceberg this job is free —
-            # the manifest already tracks per-file column min/max.)
+            # k-gram index (IIR §3.2.2): every padded character 3-gram
+            # of every dictionary term, sorted+range-partitioned by
+            # gram. Serves infix-only wildcards and unprefixed fuzzy —
+            # the two shapes the forward/reversed dictionaries can't
+            # seek (the Spark analogue of the reference's automaton ∩
+            # FST walk, wildcard_utils.cpp / levenshtein_utils.cpp).
+            # ~8 grams per term -> one extra vocabulary-sized write.
+            grams_path = os.path.join(path, "term_grams")
+            gram_files = max(16, min(n_part * 4, (n_terms // 250_000) + 16))
+            (
+                ts_cached.withColumn(
+                    "_p",
+                    F.concat(F.lit("\x02"), F.col("term"), F.lit("\x03")),
+                )
+                .select(
+                    F.explode(
+                        F.array_distinct(
+                            F.expr(
+                                "transform(sequence(1, length(_p) - 2),"
+                                " i -> substring(_p, i, 3))"
+                            )
+                        )
+                    ).alias("gram"),
+                    "term",
+                    "df",
+                )
+                .repartitionByRange(gram_files, "gram")
+                .sortWithinPartitions("gram", "term")
+                .write.mode(mode)
+                .parquet(grams_path)
+            )
+            # ONE vocabulary-bounded job builds ALL block indexes:
+            # each file is fully covered by [min,max] term (forward
+            # layout), rterm (reversed layout) or gram (k-gram
+            # layout) — keyed apart by which column is present. (On
+            # Iceberg this job is free — the manifest already tracks
+            # per-file column min/max.)
             franges = (
                 self.term_stats.sparkSession.read.option(
                     "mergeSchema", "true"
                 )
-                .parquet(ts_path, rev_path)
+                .parquet(ts_path, rev_path, grams_path)
                 .groupBy(F.input_file_name().alias("f"))
                 .agg(
                     F.min("term").alias("mn"),
                     F.max("term").alias("mx"),
                     F.min("rterm").alias("rmn"),
                     F.max("rterm").alias("rmx"),
+                    F.min("gram").alias("gmn"),
+                    F.max("gram").alias("gmx"),
                 )
                 .collect()
             )
@@ -470,15 +568,21 @@ class InvertedIndex:
             term_stats_ranges = sorted(
                 (_rel(r["f"]), r["mn"], r["mx"])
                 for r in franges
-                if r["rmn"] is None  # forward-layout files lack rterm
+                if r["rmn"] is None and r["gmn"] is None
             )
             term_stats_rev_ranges = sorted(
                 (_rel(r["f"]), r["rmn"], r["rmx"])
                 for r in franges
                 if r["rmn"] is not None
             )
+            term_grams_ranges = sorted(
+                (_rel(r["f"]), r["gmn"], r["gmx"])
+                for r in franges
+                if r["gmn"] is not None
+            )
         else:
             term_stats_rev_ranges = None
+            term_grams_ranges = None
             ts_cached.coalesce(n_part).write.mode(mode).parquet(ts_path)
         ts_cached.unpersist()
         if self.deleted is not None:
@@ -497,6 +601,7 @@ class InvertedIndex:
             "term_buckets": term_buckets,
             "term_stats_ranges": term_stats_ranges,
             "term_stats_rev_ranges": term_stats_rev_ranges,
+            "term_grams_ranges": term_grams_ranges,
             # bucket id also present as the _tbd data column (flat
             # multi-segment reads rely on it; absent in old segments)
             "tb_data_col": term_buckets is not None,
@@ -544,6 +649,14 @@ class InvertedIndex:
                     for f, mn, mx in manifest["term_stats_rev_ranges"]
                 ]
                 if manifest.get("term_stats_rev_ranges")
+                else None
+            ),
+            term_grams_ranges=(
+                [
+                    (os.path.join(path, f), mn, mx)
+                    for f, mn, mx in manifest["term_grams_ranges"]
+                ]
+                if manifest.get("term_grams_ranges")
                 else None
             ),
         )

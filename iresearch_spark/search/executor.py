@@ -572,20 +572,84 @@ class SearchEngine:
             out.append(ch)
         return "".join(reversed(out))
 
+    @staticmethod
+    def _wildcard_required_grams(pattern: str) -> list[str]:
+        """Distinct padded 3-grams every matching term MUST contain:
+        each literal run of the pattern appears verbatim in a matching
+        term (anchored runs appear at the term's start/end, so they
+        pick up the \\x02/\\x03 pad grams). Feeds the k-gram index
+        (IIR §3.2.2) — the automaton-∩-FST analogue for infix-only
+        wildcards. Empty when no run yields a 3-gram (all runs
+        unanchored and < 3 chars)."""
+        toks: list[tuple[bool, str]] = []
+        i, n = 0, len(pattern)
+        while i < n:
+            ch = pattern[i]
+            if ch == "\\" and i + 1 < n:
+                toks.append((True, pattern[i + 1]))
+                i += 2
+                continue
+            toks.append((ch not in ("%", "_"), ch))
+            i += 1
+        runs: list[tuple[str, bool, bool]] = []  # (text, at_start, at_end)
+        cur, cur_start_idx = "", -1
+        for idx, (is_lit, ch) in enumerate(toks):
+            if is_lit:
+                if not cur:
+                    cur_start_idx = idx
+                cur += ch
+            else:
+                if cur:
+                    runs.append((cur, cur_start_idx == 0, False))
+                    cur = ""
+        if cur:
+            runs.append((cur, cur_start_idx == 0, True))
+        grams: set[str] = set()
+        for text, at_start, at_end in runs:
+            if at_start:
+                text = "\x02" + text
+            if at_end:
+                text = text + "\x03"
+            for j in range(len(text) - 2):
+                grams.add(text[j : j + 3])
+        return sorted(grams)
+
     def _wildcard_expand_plan(self, pattern: str):
         """(source_df_or_None, bounds_kwargs) for a wildcard's
-        dictionary expansion: a literal prefix prunes the forward
-        dictionary; otherwise a literal suffix prunes the reversed
-        one; otherwise a full vocabulary scan (the documented trade
-        vs the reference's automaton-intersected FST walk)."""
+        dictionary expansion, most-selective seek first: a literal
+        prefix >= 3 chars prunes the forward dictionary by interval; a
+        literal suffix >= 3 chars seeks the reversed one; otherwise
+        the pattern's required 3-grams drive a k-gram-index candidate
+        lookup (the Spark analogue of the reference's
+        automaton-intersected FST walk, wildcard_utils.cpp); short
+        prefixes/suffixes remain the interval fallback, and only a
+        pattern with no usable literal material on an index with no
+        gram layout scans the full vocabulary."""
         litp = self._wildcard_literal_prefix(pattern)
-        if litp:
+        if len(litp) >= 3:
             return None, dict(
                 lo=litp,
                 hi=self._prefix_successor(litp),
                 hi_inclusive=False,
             )
         suf = self._wildcard_literal_suffix(pattern)
+        if len(suf) >= 3:
+            rsuf = suf[::-1]
+            src, _, _ = self.index.pruned_rev_term_stats(
+                rsuf, self._prefix_successor(rsuf)
+            )
+            return src, {}
+        grams = self._wildcard_required_grams(pattern)
+        if grams:
+            cand = self.index.gram_candidate_terms(grams, len(grams))
+            if cand is not None:
+                return cand, {}
+        if litp:
+            return None, dict(
+                lo=litp,
+                hi=self._prefix_successor(litp),
+                hi_inclusive=False,
+            )
         if suf:
             rsuf = suf[::-1]
             src, _, _ = self.index.pruned_rev_term_stats(
@@ -891,13 +955,34 @@ class SearchEngine:
         ts_src = self.index.term_stats
         if plen:
             # the exact-prefix option pins a term interval -> dictionary
-            # file pruning on a saved index (unprefixed fuzzy has no
-            # interval and scans the vocabulary — documented trade)
+            # file pruning on a saved index
             ts_src, _, _ = self.index.pruned_term_stats(
                 node.prefix,
                 self._prefix_successor(node.prefix),
                 hi_inclusive=False,
             )
+        else:
+            # unprefixed fuzzy: q-gram count filtering (the public
+            # approximate-string-join lemma — Gravano et al., VLDB'01).
+            # One edit destroys at most q distinct padded 3-grams of
+            # the query (q+1 for a transposition, which touches two
+            # adjacent positions), so every term within distance d
+            # shares >= |G(s)| - d*q of them. When that bound is
+            # positive, a k-gram-index candidate lookup replaces the
+            # full vocabulary scan (the Levenshtein-automaton ∩ FST
+            # analogue, levenshtein_utils.cpp); the exact banded DP
+            # below still verifies every candidate, so the prefilter
+            # never changes results.
+            padded = "\x02" + node.term + "\x03"
+            qgrams = sorted(
+                {padded[i : i + 3] for i in range(len(padded) - 2)}
+            )
+            per_edit = 4 if node.transpositions else 3
+            thresh = len(qgrams) - per_edit * node.distance
+            if thresh >= 1:
+                cand = self.index.gram_candidate_terms(qgrams, thresh)
+                if cand is not None:
+                    ts_src = cand
         banded = ts_src.filter(
             F.length("term").between(
                 plen + tlen - node.distance, plen + tlen + node.distance

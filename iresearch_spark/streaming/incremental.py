@@ -345,4 +345,24 @@ class IncrementalIndexer:
             analyzer_name=sub_manifests[0]["analyzer"],
             deleted=deleted,
             term_buckets=term_buckets,
+            # the k-gram index survives the merged view: lookups are
+            # per-gram point intersections over the CONCATENATED file
+            # ranges, and gram_candidate_terms sums df per (gram, term)
+            # before the match-count filter, so per-segment rows
+            # reconstitute the global stats exactly. (The forward/
+            # reversed dictionaries do NOT carry over: their consumers
+            # collect (term, df) rows verbatim, which would double-count
+            # a term split across segments — they fall back to the
+            # re-aggregated term_stats table above.) All-or-nothing: one
+            # gram-less segment would make its terms invisible to the
+            # gram path, silently dropping matches.
+            term_grams_ranges=(
+                [
+                    (os.path.join(p, f), mn, mx)
+                    for p, m in zip(paths, sub_manifests)
+                    for f, mn, mx in m["term_grams_ranges"]
+                ]
+                if all(m.get("term_grams_ranges") for m in sub_manifests)
+                else None
+            ),
         )
