@@ -912,6 +912,182 @@ def _collation(
     return Analyzer("collation", run)
 
 
+def _embedding_table(model) -> tuple[dict[str, int], np.ndarray]:
+    """Normalize an embedding 'model' into (word -> row index, float32
+    L2-normalized matrix). Accepts a dict {word: vector}, an iterable
+    of (word, vector) pairs, or a Spark DataFrame with (term|word|
+    label, vector|embedding) columns — the Spark-native stand-in for
+    the reference's fastText model file (classification_stream.cpp /
+    nearest_neighbors_stream.cpp load the model memory-resident per
+    thread; here the table rides the task broadcast the same way).
+    DataFrames are collected driver-side and capped: an analyzer
+    model, like fastText's, must fit in executor memory — larger
+    vocabularies belong in ops/similarity's distributed ANN."""
+    _CAP = 500_000
+    rows: list[tuple[str, Sequence[float]]]
+    if isinstance(model, dict):
+        rows = list(model.items())
+    elif hasattr(model, "columns") and hasattr(model, "collect"):
+        cols = model.columns
+        key = next(c for c in ("term", "word", "label") if c in cols)
+        vec = next(c for c in ("vector", "embedding") if c in cols)
+        if model.count() > _CAP:
+            raise ValueError(
+                f"embedding model larger than {_CAP} rows; use "
+                "iresearch_spark.ops.similarity for distributed ANN"
+            )
+        rows = [(r[key], r[vec]) for r in model.select(key, vec).collect()]
+    else:
+        rows = list(model)
+    if len(rows) > _CAP:
+        raise ValueError(f"embedding model larger than {_CAP} rows")
+    rows.sort(key=lambda kv: kv[0])  # deterministic row order
+    words = {w: i for i, (w, _) in enumerate(rows)}
+    mat = np.asarray([v for _, v in rows], dtype=np.float32)
+    if mat.ndim != 2:
+        raise ValueError("embedding vectors must share one dimension")
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return words, mat / norms
+
+
+@_register("nearest_neighbors")
+def _nearest_neighbors(model=None, top_k: int = 1, **_opts) -> Analyzer:
+    """Per-token top-k nearest-neighbor terms (reference
+    nearest_neighbors_stream.cpp:234-273: for each whitespace token the
+    fastText model's getNN(word, top_k) words are emitted, the first
+    neighbor of each token carrying increment 1 and the rest 0 — so a
+    token's neighbors share one position and positions advance per
+    input token). The model here is an embedding TABLE (word ->
+    vector) instead of a fastText binary: neighbors are cosine top-k
+    over the table, the query word itself excluded (fastText getNN
+    semantics), ties broken by word ascending for determinism. OOV
+    tokens emit nothing (and, as in the reference, advance no
+    position — increments attach only to emitted tokens). Per-word
+    results are memoized per worker, and the scan is vectorized
+    numpy over the model matrix — no per-token Python beyond the memo
+    lookup."""
+    if model is None:
+        raise ValueError("nearest_neighbors requires model=")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    words, mat = _embedding_table(model)
+    vocab = np.array(sorted(words), dtype=object)
+    memo: dict[str, tuple[str, ...]] = {}
+
+    def _nn(batch: list[str]) -> None:
+        """Fill the memo for all in-vocab words of `batch` in one
+        vectorized (len(batch) x vocab) cosine pass."""
+        idx = [words[w] for w in batch]
+        sims = mat[idx] @ mat.T  # rows are L2-normalized -> cosine
+        for r, w in enumerate(batch):
+            row = sims[r]
+            row[words[w]] = -np.inf  # getNN excludes the query word
+            k = min(top_k, len(row) - 1)
+            if k <= 0:
+                memo[w] = ()
+                continue
+            neg = -row
+            # every index tied with the k-th score participates, so
+            # the (score desc, word asc) tie-break is deterministic
+            # regardless of argpartition's arbitrary boundary split
+            kth = np.partition(neg, k - 1)[k - 1]
+            cand = np.nonzero(neg <= kth)[0]
+            order = sorted(
+                ((float(neg[i]), vocab[i]) for i in cand),
+                key=lambda t: (t[0], t[1]),
+            )[:k]
+            memo[w] = tuple(wd for _, wd in order)
+
+    def run(texts: Sequence[str]):
+        toks_per_doc = [
+            [] if t is None else _ws_tokenize(t.lower()) for t in texts
+        ]
+        missing = sorted(
+            {
+                w
+                for toks in toks_per_doc
+                for w in toks
+                if w in words and w not in memo
+            }
+        )
+        for i in range(0, len(missing), 256):  # bound the sims matrix
+            _nn(missing[i : i + 256])
+        out = []
+        for toks in toks_per_doc:
+            terms: list[str] = []
+            positions: list[int] = []
+            pos = -1
+            for w in toks:
+                nbrs = memo.get(w, ())
+                if not nbrs:
+                    continue
+                pos += 1
+                terms.extend(nbrs)
+                positions.extend([pos] * len(nbrs))
+            out.append((terms, positions))
+        return out
+
+    return Analyzer("nearest_neighbors", run)
+
+
+@_register("classification")
+def _classification(
+    model=None, top_k: int = 1, threshold: float = 0.0, **_opts
+) -> Analyzer:
+    """Whole-input classification: the top-k predicted labels become
+    the tokens, all at position 0 (reference
+    classification_stream.cpp:255-283: predictLine's top_k predictions
+    above `threshold`, first label increment 1 and the rest 0, offsets
+    spanning the whole input). The fastText supervised model is
+    replaced by two embedding tables: `model={"vocab": ..., "labels":
+    ...}` — the input's sentence vector is the mean of its in-vocab
+    token vectors (fastText's hidden = average of input vectors) and
+    label scores are a softmax over label-vector cosines, so
+    `threshold` filters on a probability exactly like the reference's
+    option. Deterministic: ties break label-ascending."""
+    if not isinstance(model, dict) or not {"vocab", "labels"} <= set(model):
+        raise ValueError(
+            'classification requires model={"vocab": <word embeddings>, '
+            '"labels": <label embeddings>}'
+        )
+    words, mat = _embedding_table(model["vocab"])
+    label_keys, label_mat = _embedding_table(model["labels"])
+    labels = np.array(sorted(label_keys), dtype=object)
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+
+    def run(texts: Sequence[str]):
+        out = []
+        for text in texts:
+            toks = [] if text is None else _ws_tokenize(text.lower())
+            idx = [words[w] for w in toks if w in words]
+            if not idx:
+                out.append(([], []))
+                continue
+            sent = mat[idx].mean(axis=0)
+            n = np.linalg.norm(sent)
+            if n > 0:
+                sent = sent / n
+            scores = label_mat @ sent
+            probs = np.exp(scores - scores.max())
+            probs = probs / probs.sum()
+            order = sorted(
+                zip(-probs, labels), key=lambda t: (float(t[0]), t[1])
+            )
+            picked = [
+                (lbl, -negp)
+                for negp, lbl in order[:top_k]
+                if -negp >= threshold
+            ]
+            out.append(
+                ([lbl for lbl, _ in picked], [0] * len(picked))
+            )
+        return out
+
+    return Analyzer("classification", run)
+
+
 def get_analyzer(name: str, **opts) -> Analyzer:
     """Look up an analyzer by name (mirrors `analyzers::get`, the
     reference's registry at `core/analysis/analyzers.cpp:190`)."""
