@@ -43,6 +43,32 @@ from iresearch_spark.search import (
 )
 
 _INDEX_CACHE: dict[str, object] = {}
+_NN_INDEX_CACHE: dict[str, object] = {}
+
+# embedding "model" for the model-bound analyzers: integer coordinates
+# (exactly representable in float32 AND float64, so the engine's f32
+# matrix and the oracle's f64 arithmetic agree) over corpus words, with
+# all pairwise-cosine gaps >= 0.0069 — orders of magnitude above either
+# precision's rounding, so neighbor ranking is stable on both sides
+_NN_MODEL = {
+    "batch": [10, 2, 0], "small": [9, 3, 1], "scan": [8, 1, 3],
+    "join": [1, 10, 2], "key": [2, 9, 1], "dup": [0, 8, 3],
+    "table": [3, 2, 10], "hash": [1, 3, 9],
+}
+_CLS_LABELS = {"exec_label": [10, 1, 1], "data_label": [1, 10, 1]}
+# fixture sentences with label margins >= 0.50 (no precision straddle);
+# the last is all-OOV and must classify to nothing on both sides
+_CLS_DOCS = [
+    "batch small scan batch",
+    "join key dup",
+    "batch scan",
+    "key dup key join",
+    "small batch small",
+    "table hash batch batch batch",
+    "hash join join join",
+    "unknownword batch",
+    "quantum flux",
+]
 
 # query terms chosen from the synthetic vocabulary's df spectrum
 HIGH1, HIGH2, MED1, LOW1 = "batch", "small", "key", "dup"
@@ -68,6 +94,27 @@ def _engine(spark: SparkSession, sf_dir: str, scorer: str = "bm25") -> SearchEng
         idx.postings.count()
         _INDEX_CACHE[key] = idx
     return SearchEngine(_INDEX_CACHE[key], scorer=scorer)
+
+
+def _saved_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Engine over a SAVED+reloaded index: exercises the on-disk
+    dictionary layouts (forward/reversed/k-gram file pruning) that an
+    in-memory index doesn't have — the production read path."""
+    key = os.path.abspath(sf_dir)
+    if key not in _SAVED_INDEX_CACHE:
+        import tempfile
+
+        from iresearch_spark.index.model import InvertedIndex
+
+        path = os.path.join(tempfile.mkdtemp(prefix="ixgate"), "ix")
+        build_index(
+            _docs(spark, sf_dir), analyzer="simple", bucket_bits=16
+        ).save(path)
+        _SAVED_INDEX_CACHE[key] = InvertedIndex.load(spark, path)
+    return SearchEngine(_SAVED_INDEX_CACHE[key])
+
+
+_SAVED_INDEX_CACHE: dict[str, object] = {}
 
 
 def _rounded(df: DataFrame) -> DataFrame:
@@ -114,6 +161,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["terms_min_match"] = _match_q(Terms([HIGH1, MED1, LOW1], min_match=2))
     q["prefix"] = _match_q(Prefix("s"))
     q["wildcard"] = _match_q(Wildcard("s%k"))
+
+    # round-4 k-gram index paths over the SAVED index (infix-only
+    # wildcard and unprefixed fuzzy resolve via gram-candidate lookup
+    # instead of a vocabulary scan; results must equal the oracle's
+    # plain LIKE/levenshtein semantics exactly)
+    def wildcard_infix(spark, sf_dir):
+        return _rounded(
+            _saved_engine(spark, sf_dir).matches(Wildcard("%atc%"))
+        )
+
+    def fuzzy_gram(spark, sf_dir):
+        return _rounded(
+            _saved_engine(spark, sf_dir).matches(Fuzzy("spork", distance=1))
+        )
+
+    q["wildcard_infix"] = wildcard_infix
+    q["fuzzy_gram"] = fuzzy_gram
+
+    # model-bound analyzers (§2.1 classification/nearest_neighbors):
+    # the fastText binary is an embedding TABLE here, so the oracle can
+    # recompute the whole pipeline — neighbor ranking from the VALUES
+    # model, token stream, BM25 — from first principles in SQL.
+    def nn_analyzer_term(spark, sf_dir):
+        key = os.path.abspath(sf_dir)
+        if key not in _NN_INDEX_CACHE:
+            from iresearch_spark.analysis.analyzers import get_analyzer
+
+            a = get_analyzer("nearest_neighbors", model=_NN_MODEL, top_k=2)
+            idx = build_index(_docs(spark, sf_dir), analyzer=a, bucket_bits=16)
+            idx.cache()
+            idx.postings.count()
+            _NN_INDEX_CACHE[key] = idx
+        eng = SearchEngine(_NN_INDEX_CACHE[key])
+        return _rounded(eng.matches(Term("batch")))
+
+    q["nn_analyzer_term"] = nn_analyzer_term
+
+    def classification_label(spark, sf_dir):
+        from iresearch_spark.analysis.analyzers import get_analyzer
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_CLS_DOCS)],
+            "doc_id long, text string",
+        )
+        a = get_analyzer(
+            "classification",
+            model={"vocab": _NN_MODEL, "labels": _CLS_LABELS},
+            top_k=1,
+        )
+        idx = build_index(docs, analyzer=a, bucket_bits=6)
+        return _rounded(SearchEngine(idx).matches(Term("exec_label")))
+
+    q["classification_label"] = classification_label
     q["term_range"] = _match_q(Range(min_term="m", max_term="q"))
     q["fuzzy_d1"] = _match_q(Fuzzy("spork", distance=1))
     q["fuzzy_prefix"] = _match_q(Fuzzy("an", distance=1, prefix="sc"))
@@ -651,6 +751,98 @@ FROM lcs WHERE l * 1.0 / {m} >= {threshold}
 """
 
 
+def _model_values(model: dict) -> str:
+    return ", ".join(
+        f"('{w}', {v[0]}.0, {v[1]}.0, {v[2]}.0)"
+        for w, v in sorted(model.items())
+    )
+
+
+_NORM3 = "x/sqrt(x*x+y*y+z*z) AS x, y/sqrt(x*x+y*y+z*z) AS y, z/sqrt(x*x+y*y+z*z) AS z"
+
+
+def _nn_oracle_sql() -> str:
+    """Full first-principles replay of the nearest_neighbors-analyzed
+    index: neighbor ranking (top-2 cosine, self excluded, ties
+    word-asc) from the VALUES model, the per-token neighbor stream,
+    then BM25 over that stream — matching the engine's build exactly
+    (nearest_neighbors_stream.cpp semantics)."""
+    return rf"""
+WITH model(word, x, y, z) AS (VALUES {_model_values(_NN_MODEL)}),
+nm AS (SELECT word, {_NORM3} FROM model),
+nnp AS (
+  SELECT a.word, b.word AS neighbor,
+         a.x*b.x + a.y*b.y + a.z*b.z AS cs
+  FROM nm a JOIN nm b ON a.word <> b.word
+),
+nn AS (
+  SELECT word, neighbor FROM (
+    SELECT word, neighbor,
+           row_number() OVER (PARTITION BY word ORDER BY cs DESC, neighbor ASC) AS rk
+    FROM nnp
+  ) WHERE rk <= 2
+),
+rawtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+toks AS (SELECT r.doc_id, n.neighbor AS term FROM rawtoks r JOIN nn n ON n.word = r.w),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS ttf FROM dl),
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT t.doc_id, ROUND(SUM({_score()}), 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s
+JOIN tstats ts ON ts.term = t.term
+WHERE t.term = 'batch'
+GROUP BY t.doc_id
+"""
+
+
+def _cls_oracle_sql() -> str:
+    """First-principles replay of the classification-analyzed fixture
+    index: sentence vector = mean of in-vocab token vectors, argmax
+    label by cosine (softmax is monotone, top_k=1, threshold=0 —
+    classification_stream.cpp semantics), one label token per doc at
+    dl=1, then BM25."""
+    docs_vals = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(_CLS_DOCS)
+    )
+    return rf"""
+WITH cdocs(doc_id, text) AS (VALUES {docs_vals}),
+model(word, x, y, z) AS (VALUES {_model_values(_NN_MODEL)}),
+nm AS (SELECT word, {_NORM3} FROM model),
+lab(label, x, y, z) AS (VALUES {_model_values(_CLS_LABELS)}),
+nl AS (SELECT label, {_NORM3} FROM lab),
+rawtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM cdocs
+),
+tv AS (SELECT r.doc_id, m.x, m.y, m.z FROM rawtoks r JOIN nm m ON m.word = r.w),
+sent AS (SELECT doc_id, avg(x) AS sx, avg(y) AS sy, avg(z) AS sz FROM tv GROUP BY 1),
+scored AS (
+  SELECT s.doc_id, l.label, s.sx*l.x + s.sy*l.y + s.sz*l.z AS sc
+  FROM sent s CROSS JOIN nl l
+),
+toks AS (
+  SELECT doc_id, label AS term FROM (
+    SELECT doc_id, label,
+           row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, label ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS ttf FROM dl),
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, ROUND(SUM({_score()}), 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s
+JOIN tstats ts ON ts.term = t.term
+WHERE t.term = 'exec_label'
+GROUP BY t.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["term_high"] = _match_sql(f"t.term = '{HIGH1}'")
@@ -665,6 +857,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["prefix"] = _match_sql("t.term LIKE 's%'")
     o["wildcard"] = _match_sql("t.term LIKE 's%k'")
+    o["wildcard_infix"] = _match_sql("t.term LIKE '%atc%'")
+    o["fuzzy_gram"] = _match_sql(
+        "t.term IN (SELECT term FROM tstats WHERE levenshtein(term, 'spork') <= 1)"
+    )
+    o["nn_analyzer_term"] = _nn_oracle_sql()
+    o["classification_label"] = _cls_oracle_sql()
     o["term_range"] = _match_sql("t.term >= 'm' AND t.term <= 'q'")
     o["fuzzy_d1"] = _match_sql(
         "t.term IN (SELECT term FROM tstats WHERE levenshtein(term, 'spork') <= 1)"

@@ -100,6 +100,10 @@ def main():
         "Phrase": (Phrase(["table", "hash"]), "exhaustive"),
         "Prefix3": (Prefix("sca"), "exhaustive"),
         "Wildcard": (Wildcard("s%k"), "exhaustive"),
+        # infix-only pattern: no literal prefix/suffix to seek, so the
+        # round-4 k-gram index resolves candidates (pre-round-4 this
+        # was the full-vocabulary-scan shape)
+        "WildcardInfix": (Wildcard("%atc%"), "exhaustive"),
         "Fuzzy1": (Fuzzy("spork", distance=1), "exhaustive"),
     }
     n_queries = 0

@@ -172,6 +172,12 @@ class InvertedIndex:
     # Spark the same "touch only plausible terms" effect comes from
     # a gram-posting equi-lookup + count filter.
     term_grams_ranges: list | None = None
+    # True on a merged multi-segment view (streaming/incremental.read):
+    # the same (gram, term) row then appears once PER SEGMENT with
+    # segment-local df, so gram_candidate_terms must re-sum df before
+    # thresholding. A single saved index has unique (gram, term) rows
+    # carrying the global df and skips that shuffle.
+    gram_df_duplicated: bool = False
 
     def pruned_term_stats(
         self,
@@ -302,12 +308,20 @@ class InvertedIndex:
         spark = self.term_stats.sparkSession
         if not sel:
             return spark.createDataFrame([], "term string, df long")
+        df = spark.read.parquet(*sel).filter(
+            F.col("gram").isin(list(grams))
+        )
+        if self.gram_df_duplicated:
+            # merged view: re-sum per-segment dfs first (doc ids are
+            # disjoint across segments, and every segment containing a
+            # term emits the same gram set, so the per-gram sums agree)
+            df = df.groupBy("gram", "term").agg(F.sum("df").alias("df"))
+        elif len(grams) == 1:
+            # unique (gram, term) rows with global df: the single-gram
+            # lookup needs no aggregation at all
+            return df.select("term", "df")
         return (
-            spark.read.parquet(*sel)
-            .filter(F.col("gram").isin(list(grams)))
-            .groupBy("gram", "term")
-            .agg(F.sum("df").alias("df"))
-            .groupBy("term")
+            df.groupBy("term")
             .agg(
                 F.count("gram").alias("_gc"),
                 F.max("df").alias("df"),

@@ -365,4 +365,5 @@ class IncrementalIndexer:
                 if all(m.get("term_grams_ranges") for m in sub_manifests)
                 else None
             ),
+            gram_df_duplicated=True,
         )
