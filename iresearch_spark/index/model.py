@@ -474,127 +474,113 @@ class InvertedIndex:
                 .repartition(term_buckets, "_tb")
                 .sortWithinPartitions("term", "block_id")
             )
-            postings.write.mode(mode).partitionBy("_tb").parquet(
-                os.path.join(path, "postings")
-            )
         else:
             n_part = max(self.postings.rdd.getNumPartitions(), 1)
-            postings.write.mode(mode).parquet(os.path.join(path, "postings"))
-        self.docs.coalesce(n_part).write.mode(mode).parquet(
-            os.path.join(path, "docs")
-        )
         ts_path = os.path.join(path, "term_stats")
         term_stats_ranges = None
-        # the dictionary is written twice (forward + reversed layouts)
-        # and counted once — persist so the groupBy over posting blocks
-        # that derives it runs ONCE, not per consumer
+        # the dictionary is written three times (forward + reversed +
+        # k-gram layouts) and counted once — persist so the groupBy
+        # over posting blocks that derives it runs ONCE, not per
+        # consumer
         ts_cached = self.term_stats.persist()
         if optimize_layout:
             # term dictionary: range-partitioned and sorted by term, so
             # each file covers one contiguous term interval; the
-            # per-file [min, max] map below is the burst-trie block
+            # per-file [min, max] manifest map is the burst-trie block
             # index (formats_burst_trie.cpp:953-966) that lets Prefix/
             # Range expansion seek instead of scanning the vocabulary.
             # ~2M terms per file keeps dictionaries O(10MB); min 16
             # files so even small indexes demonstrate pruning.
             n_terms = ts_cached.count()
             ts_files = max(16, min(n_part * 4, (n_terms // 2_000_000) + 16))
-            (
-                ts_cached.repartitionByRange(ts_files, "term")
-                .sortWithinPartitions("term")
-                .write.mode(mode)
-                .parquet(ts_path)
-            )
-            # reversed-term dictionary (the Lucene reversed-field trick
-            # for leading wildcards): the same rows sorted by
-            # reverse(term), so a pattern with only a literal SUFFIX
-            # ('%tion') prunes dictionary files by the reversed-suffix
-            # interval instead of scanning the vocabulary. One extra
-            # vocabulary-sized write at save time.
             rev_path = os.path.join(path, "term_stats_rev")
-            (
-                ts_cached.withColumn("rterm", F.reverse(F.col("term")))
-                .repartitionByRange(ts_files, "rterm")
-                .sortWithinPartitions("rterm")
-                .write.mode(mode)
-                .parquet(rev_path)
-            )
-            # k-gram index (IIR §3.2.2): every padded character 3-gram
-            # of every dictionary term, sorted+range-partitioned by
-            # gram. Serves infix-only wildcards and unprefixed fuzzy —
-            # the two shapes the forward/reversed dictionaries can't
-            # seek (the Spark analogue of the reference's automaton ∩
-            # FST walk, wildcard_utils.cpp / levenshtein_utils.cpp).
-            # ~8 grams per term -> one extra vocabulary-sized write.
             grams_path = os.path.join(path, "term_grams")
             gram_files = max(16, min(n_part * 4, (n_terms // 250_000) + 16))
-            (
-                ts_cached.withColumn(
-                    "_p",
-                    F.concat(F.lit("\x02"), F.col("term"), F.lit("\x03")),
+
+            def _w_postings():
+                postings.write.mode(mode).partitionBy("_tb").parquet(
+                    os.path.join(path, "postings")
                 )
-                .select(
-                    F.explode(
-                        F.array_distinct(
-                            F.expr(
-                                "transform(sequence(1, length(_p) - 2),"
-                                " i -> substring(_p, i, 3))"
+
+            def _w_docs():
+                self.docs.coalesce(n_part).write.mode(mode).parquet(
+                    os.path.join(path, "docs")
+                )
+
+            def _w_fwd():
+                (
+                    ts_cached.repartitionByRange(ts_files, "term")
+                    .sortWithinPartitions("term")
+                    .write.mode(mode)
+                    .parquet(ts_path)
+                )
+
+            def _w_rev():
+                # reversed-term dictionary (the Lucene reversed-field
+                # trick): the same rows sorted by reverse(term), so a
+                # pattern with only a literal SUFFIX ('%tion') prunes
+                # files by the reversed-suffix interval
+                (
+                    ts_cached.withColumn("rterm", F.reverse(F.col("term")))
+                    .repartitionByRange(ts_files, "rterm")
+                    .sortWithinPartitions("rterm")
+                    .write.mode(mode)
+                    .parquet(rev_path)
+                )
+
+            def _w_grams():
+                # k-gram index (IIR §3.2.2): every padded character
+                # 3-gram of every dictionary term, sorted by gram —
+                # serves infix-only wildcards and unprefixed fuzzy, the
+                # two shapes the forward/reversed dictionaries can't
+                # seek (the Spark analogue of the reference's automaton
+                # ∩ FST walk, wildcard_utils.cpp/levenshtein_utils.cpp)
+                (
+                    ts_cached.withColumn(
+                        "_p",
+                        F.concat(F.lit("\x02"), F.col("term"), F.lit("\x03")),
+                    )
+                    .select(
+                        F.explode(
+                            F.array_distinct(
+                                F.expr(
+                                    "transform(sequence(1, length(_p) - 2),"
+                                    " i -> substring(_p, i, 3))"
+                                )
                             )
-                        )
-                    ).alias("gram"),
-                    "term",
-                    "df",
-                )
-                .repartitionByRange(gram_files, "gram")
-                .sortWithinPartitions("gram", "term")
-                .write.mode(mode)
-                .parquet(grams_path)
-            )
-            # ONE vocabulary-bounded job builds ALL block indexes:
-            # each file is fully covered by [min,max] term (forward
-            # layout), rterm (reversed layout) or gram (k-gram
-            # layout) — keyed apart by which column is present. (On
-            # Iceberg this job is free — the manifest already tracks
-            # per-file column min/max.)
-            franges = (
-                self.term_stats.sparkSession.read.option(
-                    "mergeSchema", "true"
-                )
-                .parquet(ts_path, rev_path, grams_path)
-                .groupBy(F.input_file_name().alias("f"))
-                .agg(
-                    F.min("term").alias("mn"),
-                    F.max("term").alias("mx"),
-                    F.min("rterm").alias("rmn"),
-                    F.max("rterm").alias("rmx"),
-                    F.min("gram").alias("gmn"),
-                    F.max("gram").alias("gmx"),
-                )
-                .collect()
-            )
-            prefix = "file:"
-
-            def _rel(f: str) -> str:
-                return os.path.relpath(
-                    f[len(prefix):] if f.startswith(prefix) else f, path
+                        ).alias("gram"),
+                        "term",
+                        "df",
+                    )
+                    .repartitionByRange(gram_files, "gram")
+                    .sortWithinPartitions("gram", "term")
+                    .write.mode(mode)
+                    .parquet(grams_path)
                 )
 
-            term_stats_ranges = sorted(
-                (_rel(r["f"]), r["mn"], r["mx"])
-                for r in franges
-                if r["rmn"] is None and r["gmn"] is None
-            )
-            term_stats_rev_ranges = sorted(
-                (_rel(r["f"]), r["rmn"], r["rmx"])
-                for r in franges
-                if r["rmn"] is not None
-            )
-            term_grams_ranges = sorted(
-                (_rel(r["f"]), r["gmn"], r["gmx"])
-                for r in franges
-                if r["gmn"] is not None
-            )
+            # the five table writes are independent jobs over distinct
+            # output dirs — submit them concurrently (Spark's scheduler
+            # interleaves jobs from multiple driver threads), so the
+            # wall-clock is the longest write, not the sum
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=5) as ex:
+                futs = [
+                    ex.submit(f)
+                    for f in (_w_postings, _w_docs, _w_fwd, _w_rev, _w_grams)
+                ]
+                for fut in futs:
+                    fut.result()
+            (
+                term_stats_ranges,
+                term_stats_rev_ranges,
+                term_grams_ranges,
+            ) = self._dictionary_file_ranges(path)
         else:
+            postings.write.mode(mode).parquet(os.path.join(path, "postings"))
+            self.docs.coalesce(n_part).write.mode(mode).parquet(
+                os.path.join(path, "docs")
+            )
             term_stats_rev_ranges = None
             term_grams_ranges = None
             ts_cached.coalesce(n_part).write.mode(mode).parquet(ts_path)
@@ -624,6 +610,90 @@ class InvertedIndex:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(path, "manifest.json"))  # atomic commit
+
+    def _dictionary_file_ranges(self, path: str):
+        """Per-file [min, max] key ranges for the three dictionary
+        layouts (forward/reversed/k-gram — the burst-trie block-index
+        analogue, formats_burst_trie.cpp:953-966).
+
+        Fast path: read the parquet FOOTER statistics driver-side — no
+        data scan, exactly what an Iceberg manifest provides for free.
+        Parquet writers may truncate long string stats but must keep
+        them valid bounds, so range selection stays sound (overlap
+        test only; the exact predicate is always re-applied). Falls
+        back to one Spark aggregation job when footers are unreadable
+        driver-side (remote filesystem) or any file lacks stats."""
+        dirs = [
+            (os.path.join(path, "term_stats"), "term"),
+            (os.path.join(path, "term_stats_rev"), "rterm"),
+            (os.path.join(path, "term_grams"), "gram"),
+        ]
+        try:
+            import duckdb
+
+            out = []
+            for d, colname in dirs:
+                n_files = sum(
+                    1 for f in os.listdir(d) if f.endswith(".parquet")
+                )
+                rows = duckdb.execute(
+                    "SELECT file_name, min(stats_min_value),"
+                    " max(stats_max_value)"
+                    " FROM parquet_metadata(?)"
+                    " WHERE path_in_schema = ? GROUP BY file_name",
+                    [os.path.join(d, "*.parquet"), colname],
+                ).fetchall()
+                if len(rows) != n_files or any(
+                    mn is None or mx is None for _, mn, mx in rows
+                ):
+                    raise ValueError("parquet stats missing")
+                out.append(
+                    sorted(
+                        (os.path.relpath(f, path), mn, mx)
+                        for f, mn, mx in rows
+                    )
+                )
+            return tuple(out)
+        except Exception:
+            pass
+        franges = (
+            self.term_stats.sparkSession.read.option("mergeSchema", "true")
+            .parquet(*[d for d, _ in dirs])
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("term").alias("mn"),
+                F.max("term").alias("mx"),
+                F.min("rterm").alias("rmn"),
+                F.max("rterm").alias("rmx"),
+                F.min("gram").alias("gmn"),
+                F.max("gram").alias("gmx"),
+            )
+            .collect()
+        )
+        prefix = "file:"
+
+        def _rel(f: str) -> str:
+            return os.path.relpath(
+                f[len(prefix):] if f.startswith(prefix) else f, path
+            )
+
+        return (
+            sorted(
+                (_rel(r["f"]), r["mn"], r["mx"])
+                for r in franges
+                if r["rmn"] is None and r["gmn"] is None
+            ),
+            sorted(
+                (_rel(r["f"]), r["rmn"], r["rmx"])
+                for r in franges
+                if r["rmn"] is not None
+            ),
+            sorted(
+                (_rel(r["f"]), r["gmn"], r["gmx"])
+                for r in franges
+                if r["gmn"] is not None
+            ),
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":

@@ -82,6 +82,36 @@ def test_manifest_records_gram_ranges(saved):
     assert not fwd & grm
 
 
+def test_footer_ranges_match_spark_scan(spark, saved):
+    """The manifest ranges come from parquet FOOTER statistics read
+    driver-side (the Iceberg-manifest analogue); they must equal a
+    full Spark scan's per-file min/max exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    _, idx, path = saved
+    for sub, colname, ranges in (
+        ("term_stats", "term", idx.term_stats_ranges),
+        ("term_stats_rev", "rterm", idx.term_stats_rev_ranges),
+        ("term_grams", "gram", idx.term_grams_ranges),
+    ):
+        scanned = {
+            os.path.relpath(r["f"].removeprefix("file:"), path): (
+                r["mn"],
+                r["mx"],
+            )
+            for r in spark.read.parquet(os.path.join(path, sub))
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(colname).alias("mn"), F.max(colname).alias("mx"))
+            .collect()
+        }
+        from_manifest = {
+            os.path.relpath(f, path): (mn, mx) for f, mn, mx in ranges
+        }
+        assert from_manifest == scanned
+
+
 def test_gram_lookup_prunes_files(saved):
     _, idx, _ = saved
     sel, total = idx.gram_files_for(["for", "orm"])
