@@ -50,7 +50,14 @@ def parse_task(line: str):
     if category.startswith("Fuzzy"):
         d = 2 if category.endswith("2") else 1
         return category, Fuzzy(terms[0], distance=d)
-    return category, Term(terms[0])
+    # unknown category: infer from the pattern text instead of
+    # silently treating '*tat*' as a literal term
+    t = terms[0]
+    if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
+        return category, Prefix(t.rstrip("*"))
+    if "*" in t or "?" in t:
+        return category, Wildcard(t.replace("*", "%").replace("?", "_"))
+    return category, Term(t)
 
 
 def main():
