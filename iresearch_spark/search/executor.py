@@ -119,6 +119,13 @@ class SearchEngine:
         self._spark: SparkSession = index.postings.sparkSession
         self._df_cache: dict[str, int] = {}
         self._proxy_cache: dict = {}  # Cached-node materialized results
+        # multiterm expansion results keyed by the (frozen, hashable)
+        # leaf node — the reference's per-segment seek-cookie cache
+        # (term_filter.cpp:92-128 caches prepared term states the same
+        # way). Sound because the index view is immutable per engine;
+        # lets WAND's seed/survivor passes and repeated executions
+        # reuse ONE expansion job.
+        self._expansion_cache: dict = {}
         self._stats_preloaded = False
         if preload_stats:
             self.preload_stats()
@@ -854,7 +861,76 @@ class SearchEngine:
                 predicate=col.isin(terms), weights=w, exact_terms=terms
             )
         if isinstance(node, ast.Prefix):
-            pred = col.startswith(node.prefix)
+            expanded, complete = self._leaf_expansion(node)
+            return PreparedLeaf(
+                predicate=col.startswith(node.prefix),
+                weights={t: self._c0(d, boost) for t, d in expanded},
+                # expansion below the cap is COMPLETE: the leaf matches
+                # exactly these terms, unlocking bucket pruning + the
+                # decode-spread shuffle of the exact-term path
+                exact_terms=[t for t, _ in expanded] if complete else None,
+            )
+        if isinstance(node, ast.Wildcard):
+            expanded, complete = self._leaf_expansion(node)
+            return PreparedLeaf(
+                predicate=col.rlike(_like_to_regex(node.pattern)),
+                weights={t: self._c0(d, boost) for t, d in expanded},
+                exact_terms=[t for t, _ in expanded] if complete else None,
+            )
+        if isinstance(node, ast.Range):
+            expanded, complete = self._leaf_expansion(node)
+            return PreparedLeaf(
+                predicate=self._range_pred(node, col),
+                weights={t: self._c0(d, boost) for t, d in expanded},
+                exact_terms=[t for t, _ in expanded] if complete else None,
+            )
+        if isinstance(node, ast.Fuzzy):
+            cand, _ = self._leaf_expansion(node)
+            terms = [t for t, _ in cand]
+            return PreparedLeaf(
+                predicate=col.isin(terms) if terms else F.lit(False),
+                weights={t: self._c0(d, boost) for t, d in cand},
+                exact_terms=terms or None,
+            )
+        raise TypeError(f"not a leaf: {node}")
+
+    @staticmethod
+    def _range_pred(node: ast.Range, col):
+        conds = []
+        if node.min_term is not None:
+            conds.append(
+                col >= node.min_term
+                if node.include_min
+                else col > node.min_term
+            )
+        if node.max_term is not None:
+            conds.append(
+                col <= node.max_term
+                if node.include_max
+                else col < node.max_term
+            )
+        pred = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            pred = pred & c
+        return pred
+
+    def _leaf_expansion(
+        self, node: ast.Node
+    ) -> tuple[list[tuple[str, int]], bool]:
+        """([(term, df)], complete) for a multiterm-expansion leaf
+        (Prefix/Wildcard/Range/Fuzzy). `complete` means the leaf
+        matches EXACTLY these terms (expansion finished below its
+        cap — always true for Fuzzy, whose max_terms cap IS the leaf
+        semantics); an incomplete expansion leaves the pattern
+        predicate authoritative and only the sampled terms scored.
+        Results are cached per (frozen, hashable) node — the
+        reference's prepared-query seek-cookie cache — so WAND's
+        seed/survivor re-evaluations and repeated executions pay for
+        ONE expansion job."""
+        hit = self._expansion_cache.get(node)
+        if hit is not None:
+            return hit
+        if isinstance(node, ast.Prefix):
             limit = min(node.scored_terms_limit, self.scored_terms_limit)
             expanded = self._expand(
                 F.col("term").startswith(node.prefix),
@@ -863,73 +939,31 @@ class SearchEngine:
                 hi=self._prefix_successor(node.prefix),
                 hi_inclusive=False,
             )
-            return PreparedLeaf(
-                predicate=pred,
-                weights={t: self._c0(d, boost) for t, d in expanded},
-                # expansion below the cap is COMPLETE: the leaf matches
-                # exactly these terms, unlocking bucket pruning + the
-                # decode-spread shuffle of the exact-term path
-                exact_terms=(
-                    [t for t, _ in expanded] if len(expanded) < limit else None
-                ),
-            )
-        if isinstance(node, ast.Wildcard):
+            out = (expanded, len(expanded) < limit)
+        elif isinstance(node, ast.Wildcard):
             regex = _like_to_regex(node.pattern)
-            pred = col.rlike(regex)
             limit = min(node.scored_terms_limit, self.scored_terms_limit)
             wsrc, wkw = self._wildcard_expand_plan(node.pattern)
             expanded = self._expand(
                 F.col("term").rlike(regex), limit=limit, source=wsrc, **wkw
             )
-            return PreparedLeaf(
-                predicate=pred,
-                weights={t: self._c0(d, boost) for t, d in expanded},
-                exact_terms=(
-                    [t for t, _ in expanded] if len(expanded) < limit else None
-                ),
-            )
-        if isinstance(node, ast.Range):
-            conds = []
-            if node.min_term is not None:
-                conds.append(
-                    F.col("term") >= node.min_term
-                    if node.include_min
-                    else F.col("term") > node.min_term
-                )
-            if node.max_term is not None:
-                conds.append(
-                    F.col("term") <= node.max_term
-                    if node.include_max
-                    else F.col("term") < node.max_term
-                )
-            pred = conds[0] if conds else F.lit(True)
-            for c in conds[1:]:
-                pred = pred & c
-            pred_post = pred
+            out = (expanded, len(expanded) < limit)
+        elif isinstance(node, ast.Range):
             limit = min(node.scored_terms_limit, self.scored_terms_limit)
             expanded = self._expand(
-                pred,
+                self._range_pred(node, F.col("term")),
                 limit=limit,
                 lo=node.min_term,
                 hi=node.max_term,
                 hi_inclusive=node.include_max,
             )
-            return PreparedLeaf(
-                predicate=pred_post,
-                weights={t: self._c0(d, boost) for t, d in expanded},
-                exact_terms=(
-                    [t for t, _ in expanded] if len(expanded) < limit else None
-                ),
-            )
-        if isinstance(node, ast.Fuzzy):
-            cand = self._fuzzy_candidates(node)
-            terms = [t for t, _ in cand]
-            return PreparedLeaf(
-                predicate=col.isin(terms) if terms else F.lit(False),
-                weights={t: self._c0(d, boost) for t, d in cand},
-                exact_terms=terms or None,
-            )
-        raise TypeError(f"not a leaf: {node}")
+            out = (expanded, len(expanded) < limit)
+        elif isinstance(node, ast.Fuzzy):
+            out = (self._fuzzy_candidates(node), True)
+        else:
+            raise TypeError(f"not an expansion leaf: {node}")
+        self._expansion_cache[node] = out
+        return out
 
     def _fuzzy_candidates(self, node: ast.Fuzzy) -> list[tuple[str, int]]:
         """Edit-distance term expansion over the distinct-term table,
@@ -1359,7 +1393,7 @@ class SearchEngine:
                 hi_inclusive=part.include_max,
             )
         if isinstance(part, ast.Fuzzy):
-            return self._fuzzy_candidates(part)
+            return self._leaf_expansion(part)[0]  # cached
         raise TypeError(f"unsupported phrase slot: {part!r}")
 
     def _eval_positional(
@@ -1622,15 +1656,20 @@ class SearchEngine:
 
     # --------------------------------------------------------------- WAND
 
-    @staticmethod
-    def _wand_leaf_boosts(leaf: ast.Node) -> list[tuple[str, float]] | None:
+    def _wand_leaf_boosts(self, leaf: ast.Node) -> list[tuple[str, float]] | None:
         """(term, boost-multiplier) pairs of a WAND-eligible scored
-        leaf: a (possibly boosted) Term, or a sum-merge Terms set with
-        its per-term boosts (terms_filter.hpp {term, boost} pairs — the
-        reference serves every scored multiterm through the same
-        wanderator, multiterm_query.cpp:36-100). Terms with
-        min_match > 1 / non-sum merge never reach here (the planner
-        rewrites them onto Or)."""
+        leaf: a (possibly boosted) Term, a sum-merge Terms set with
+        its per-term boosts (terms_filter.hpp {term, boost} pairs), or
+        a COMPLETELY-expanded multiterm leaf (Prefix/Wildcard/Range/
+        Fuzzy — the reference serves every scored multiterm through
+        the same wanderator, multiterm_query.cpp:36-100; the expansion
+        is cached, so the WAND passes reuse it). An expansion that hit
+        its scored_terms_limit cap is NOT eligible: the leaf then
+        matches unscored terms beyond the sample, and restricting the
+        pruned scan to the sampled terms would drop those matches from
+        group (And/min_match) membership. Terms with min_match > 1 /
+        non-sum merge never reach here (the planner rewrites them onto
+        Or)."""
         if isinstance(leaf, ast.Term):
             return [(leaf.term, leaf.boost)]
         if (
@@ -1642,6 +1681,10 @@ class SearchEngine:
                 (t, leaf.boost * leaf.term_boost(t))
                 for t in dict.fromkeys(leaf.terms)
             ]
+        if isinstance(leaf, (ast.Prefix, ast.Wildcard, ast.Range, ast.Fuzzy)):
+            expanded, complete = self._leaf_expansion(leaf)
+            if complete and expanded:
+                return [(t, leaf.boost) for t, _ in expanded]
         return None
 
     def _wand_terms(self, node: ast.Node) -> dict[str, float] | None:
