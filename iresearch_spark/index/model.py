@@ -173,11 +173,22 @@ class InvertedIndex:
     # a gram-posting equi-lookup + count filter.
     term_grams_ranges: list | None = None
     # True on a merged multi-segment view (streaming/incremental.read):
-    # the same (gram, term) row then appears once PER SEGMENT with
-    # segment-local df, so gram_candidate_terms must re-sum df before
-    # thresholding. A single saved index has unique (gram, term) rows
-    # carrying the global df and skips that shuffle.
+    # dictionary rows (term_stats/rev/gram files) then appear once PER
+    # SEGMENT with segment-local df/cf, so every pruned accessor must
+    # re-aggregate (sum df — doc ids are disjoint across segments)
+    # before handing rows to callers. A single saved index has unique
+    # rows carrying the global stats and skips that shuffle.
     gram_df_duplicated: bool = False
+
+    def _agg_stats(self, df: DataFrame) -> DataFrame:
+        """Collapse per-segment dictionary rows to global stats (sum
+        df/cf per term) on merged views; identity on a single index."""
+        if not self.gram_df_duplicated:
+            return df
+        aggs = [F.sum("df").alias("df")]
+        if "cf" in df.columns:
+            aggs.append(F.sum("cf").alias("cf"))
+        return df.groupBy("term").agg(*aggs)
 
     def pruned_term_stats(
         self,
@@ -214,7 +225,7 @@ class InvertedIndex:
                 0,
                 total,
             )
-        return spark.read.parquet(*sel), len(sel), total
+        return self._agg_stats(spark.read.parquet(*sel)), len(sel), total
 
     def pruned_rev_term_stats(
         self, rlo: str, rhi: str | None
@@ -245,30 +256,41 @@ class InvertedIndex:
         df = spark.read.parquet(*sorted(sel))
         if "rterm" in df.columns:
             df = df.drop("rterm")
-        return df, len(sel), total
+        return self._agg_stats(df), len(sel), total
 
     def term_stats_for_terms(self, terms: list[str]) -> DataFrame:
         """term_stats narrowed to the dictionary files that can hold the
         given exact terms (binary search over the sorted per-file term
         ranges — the per-term FST seek). Falls back to the full table
-        for an in-memory index."""
+        for an in-memory index. On a merged multi-segment view the
+        concatenated ranges OVERLAP (one interval set per segment), so
+        selection is a linear intersection scan and the per-segment
+        rows are re-aggregated to global stats."""
         ranges = self.term_stats_ranges
         if not ranges or not terms:
             return self.term_stats
-        import bisect
-
-        mins = [mn for (_, mn, _) in ranges]  # ranges sorted by min
         sel: set[str] = set()
-        for t in terms:
-            i = bisect.bisect_right(mins, t) - 1
-            if i >= 0 and ranges[i][1] <= t <= ranges[i][2]:
-                sel.add(ranges[i][0])
+        if self.gram_df_duplicated:
+            # overlapping per-segment intervals: point-in-interval scan
+            # (driver-side, O(terms x files) over tiny lists)
+            for t in terms:
+                for p, mn, mx in ranges:
+                    if mn <= t <= mx:
+                        sel.add(p)
+        else:
+            import bisect
+
+            mins = [mn for (_, mn, _) in ranges]  # ranges sorted by min
+            for t in terms:
+                i = bisect.bisect_right(mins, t) - 1
+                if i >= 0 and ranges[i][1] <= t <= ranges[i][2]:
+                    sel.add(ranges[i][0])
         spark = self.term_stats.sparkSession
         if not sel:
             return spark.createDataFrame([], self.term_stats.schema)
         if len(sel) == len(ranges):
             return self.term_stats
-        return spark.read.parquet(*sorted(sel))
+        return self._agg_stats(spark.read.parquet(*sorted(sel)))
 
     def gram_files_for(self, grams: list[str]) -> tuple[list[str], int]:
         """(gram-index files that can hold any of the given grams,

@@ -33,6 +33,20 @@ from iresearch_spark.index.merge import build_metrics
 from iresearch_spark.index.model import FieldStats, InvertedIndex
 
 
+def _concat_ranges(paths, sub_manifests, key):
+    """Concatenated absolute-path [min, max] file ranges of one
+    dictionary layout across segments; None unless EVERY segment has
+    the layout (a range-less segment's terms would otherwise be
+    invisible to that seek path)."""
+    if not all(m.get(key) for m in sub_manifests):
+        return None
+    return [
+        (os.path.join(p, f), mn, mx)
+        for p, m in zip(paths, sub_manifests)
+        for f, mn, mx in m[key]
+    ]
+
+
 @dataclass
 class IncrementalIndexer:
     index_dir: str
@@ -345,25 +359,25 @@ class IncrementalIndexer:
             analyzer_name=sub_manifests[0]["analyzer"],
             deleted=deleted,
             term_buckets=term_buckets,
-            # the k-gram index survives the merged view: lookups are
-            # per-gram point intersections over the CONCATENATED file
-            # ranges, and gram_candidate_terms sums df per (gram, term)
-            # before the match-count filter, so per-segment rows
-            # reconstitute the global stats exactly. (The forward/
-            # reversed dictionaries do NOT carry over: their consumers
-            # collect (term, df) rows verbatim, which would double-count
-            # a term split across segments — they fall back to the
-            # re-aggregated term_stats table above.) All-or-nothing: one
-            # gram-less segment would make its terms invisible to the
-            # gram path, silently dropping matches.
-            term_grams_ranges=(
-                [
-                    (os.path.join(p, f), mn, mx)
-                    for p, m in zip(paths, sub_manifests)
-                    for f, mn, mx in m["term_grams_ranges"]
-                ]
-                if all(m.get("term_grams_ranges") for m in sub_manifests)
-                else None
+            # ALL dictionary layouts survive the merged view: lookups
+            # intersect the CONCATENATED per-segment file ranges
+            # (overlapping intervals — gram_df_duplicated routes the
+            # accessors through a linear scan + a sum-df re-aggregation
+            # so per-segment rows reconstitute global stats exactly;
+            # doc ids are disjoint across segments). Without this,
+            # every stats lookup on a merged view re-shuffled the FULL
+            # re-aggregated vocabulary — the per-query cost the
+            # dictionary seek exists to avoid. All-or-nothing per
+            # layout: one range-less segment would make its terms
+            # invisible to that seek path, silently dropping matches.
+            term_stats_ranges=_concat_ranges(
+                paths, sub_manifests, "term_stats_ranges"
+            ),
+            term_stats_rev_ranges=_concat_ranges(
+                paths, sub_manifests, "term_stats_rev_ranges"
+            ),
+            term_grams_ranges=_concat_ranges(
+                paths, sub_manifests, "term_grams_ranges"
             ),
             gram_df_duplicated=True,
         )

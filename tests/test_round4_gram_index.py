@@ -247,3 +247,56 @@ def test_multisegment_gram_path_exact(spark, tmp_path):
         got_scores = sorted(s for _, s in _hits(merged, node))
         want_scores = sorted(s for _, s in _hits(mono, node))
         assert got_scores == want_scores and len(got_scores) > 0
+
+
+def test_multisegment_dictionary_seeks_aggregate_stats(spark, tmp_path):
+    """Merged views carry ALL three dictionary layouts' concatenated
+    ranges; the pruned accessors re-aggregate per-segment rows, so
+    exact-term lookups, Prefix/Range expansion and scoring all see
+    GLOBAL stats (previously every lookup re-shuffled the full
+    vocabulary)."""
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.search import Fuzzy as Fz, Prefix, Range, Term
+
+    d1 = spark.createDataFrame(
+        [(f"a{i:03d}", f"information uniform doc{i % 3}") for i in range(40)],
+        "url string, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(f"b{i:03d}", f"information performing doc{i % 3}") for i in range(30)],
+        "url string, text string",
+    )
+    ix = IncrementalIndexer(index_dir=str(tmp_path / "ix"), bucket_bits=7)
+    ix.process_batch(d1, epoch_id=0)
+    ix.process_batch(d2, epoch_id=1)
+    merged = ix.read(spark)
+    assert merged.term_stats_ranges and merged.term_stats_rev_ranges
+    # exact-term seek returns ONE aggregated row with the global df
+    rows = (
+        merged.term_stats_for_terms(["information"])
+        .filter(F.col("term") == "information")
+        .collect()
+    )
+    assert [(r["term"], r["df"]) for r in rows] == [("information", 70)]
+    # pruned interval reads aggregate too
+    pruned, n_sel, n_total = merged.pruned_term_stats("i", "j", False)
+    got = {(r["term"], r["df"]) for r in pruned.collect()}
+    assert ("information", 70) in got
+    assert n_total and n_sel < n_total
+    mono = build_index(
+        d1.unionByName(d2),
+        analyzer=merged.analyzer_name,
+        bucket_bits=7,
+        id_col=None,
+        sort_key="url",
+    )
+    for node in (
+        Term("information"),
+        Prefix("uni"),
+        Range(min_term="p", max_term="u"),
+        Fz("unifor", distance=1),
+    ):
+        got_scores = sorted(s for _, s in _hits(merged, node))
+        want_scores = sorted(s for _, s in _hits(mono, node))
+        assert got_scores == want_scores and got_scores
