@@ -29,6 +29,7 @@ from iresearch_spark.search import (
     And,
     Exists,
     Fuzzy,
+    GranularRange,
     Not,
     NumericRange,
     Or,
@@ -248,6 +249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx = build_index(
                 _docs(spark, sf_dir), analyzer="simple", bucket_bits=16,
                 extra_doc_cols=["lang", "n_chars"],
+                # granular numeric dictionary over the same column the
+                # NumericRange gate predicates on (round 4: typed
+                # numeric token streams, index/numeric.py)
+                numeric_fields=["n_chars"],
             )
             idx.cache()
             idx.postings.count()
@@ -262,6 +267,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["numeric_range"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(
             NumericRange("n_chars", 100, 200, include_max=False, boost=2.0)
+        )
+    )
+    # granular numeric range over the INDEXED numeric dictionary
+    # (reference by_granular_range over numeric_token_stream trie
+    # terms): same result as the equivalent predicate, served from the
+    # (field, shift, prefix) num_terms table instead of the docs scan
+    q["granular_range"] = lambda s, d: _rounded(
+        _meta_engine(s, d).matches(
+            GranularRange("n_chars", 80, 300, include_min=False, boost=1.25)
         )
     )
 
@@ -964,6 +978,10 @@ FROM documents WHERE lang IS NOT NULL
     o["numeric_range"] = """
 SELECT doc_id, ROUND(CAST(2.0 AS DOUBLE), 6) AS score
 FROM documents WHERE n_chars >= 100 AND n_chars < 200
+"""
+    o["granular_range"] = """
+SELECT doc_id, ROUND(CAST(1.25 AS DOUBLE), 6) AS score
+FROM documents WHERE n_chars > 80 AND n_chars <= 300
 """
     o["nested_term"] = f"""{_CTE},
 child_scores AS (

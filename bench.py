@@ -47,6 +47,32 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+def host_control() -> dict:
+    """Spark-free host-speed probe, reported alongside the timings so
+    cross-round comparisons can see the shared box's state (steal
+    bursts swing wall-clock 2-10x between days — BENCH/BASELINE.md):
+    a fixed single-thread numpy workload (best of 3) plus the kernel's
+    cumulative steal/user tick counters."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.random(8_000_000)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.sort(a)  # single-threaded, ~0.5 s nominal
+        best = min(best, time.perf_counter() - t0)
+    out = {"host_control_sec": round(best, 4)}
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        out["host_user_ticks"] = int(parts[1])
+        out["host_steal_ticks"] = int(parts[8])
+    except Exception:
+        pass
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -250,6 +276,7 @@ def main():
                 "index_docs_per_sec": round(n_docs / queries["index_build"], 1),
                 "search_queries_per_sec": round(n_queries / t_search_total, 2),
                 **extra,
+                **host_control(),
             }
         )
     )

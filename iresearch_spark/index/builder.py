@@ -781,8 +781,20 @@ def build_index(
     with_offsets: bool = False,
     payload_delimiter: str | None = None,
     norm: str = "norm2",
+    numeric_fields: list[str] | None = None,
+    precision_step: int = 64,
 ) -> InvertedIndex:
     """End-to-end index build via local segments (see build_segments).
+
+    `numeric_fields` indexes the named numeric columns as granular
+    numeric terms (the reference's typed numeric token streams,
+    token_streams.hpp:118-230) into a (field, shift, prefix, doc_id)
+    dictionary, queried by GranularRange — see index/numeric.py for
+    the design. `precision_step` is the trie granularity (64 = one
+    level, the Spark-optimal default; the reference's
+    PRECISION_STEP_DEF=16 also supported, differential-tested). The
+    named columns are stored on the docs table as well (auto-added to
+    extra_doc_cols), so GranularRange and NumericRange agree.
 
     `norm` picks the doc-length normalization variant the index carries
     (reference bm25.hpp:29-46): "norm2" (default — dl stored as int,
@@ -807,6 +819,14 @@ def build_index(
     """
     if norm not in ("norm2", "legacy"):
         raise ValueError(f"norm must be 'norm2' or 'legacy', got {norm!r}")
+    numeric_meta = None
+    if numeric_fields:
+        from iresearch_spark.index.numeric import dtype_of
+
+        numeric_meta = {c: dtype_of(df.schema, c) for c in numeric_fields}
+        extra_doc_cols = list(
+            dict.fromkeys((extra_doc_cols or []) + list(numeric_fields))
+        )
     if isinstance(analyzer, str):
         analyzer = get_analyzer(analyzer)
     if with_offsets and not analyzer.supports_offsets:
@@ -891,6 +911,14 @@ def build_index(
             )
         docs = docs.join(passthrough, "doc_id")
 
+    num_terms = None
+    if numeric_meta:
+        from iresearch_spark.index.numeric import build_num_terms
+
+        # derived lazily from the docs table (no extra build action);
+        # save() materializes it sorted by (field, shift, prefix)
+        num_terms = build_num_terms(docs, numeric_meta, precision_step)
+
     term_stats = postings.groupBy("term").agg(
         F.sum("n_docs").alias("df"), F.sum("block_cf").alias("cf")
     )
@@ -912,4 +940,7 @@ def build_index(
         norm=norm,
         analyzer_name=analyzer.name,
         blocks=blocks,
+        num_terms=num_terms,
+        numeric_meta=numeric_meta,
+        precision_step=precision_step,
     )

@@ -65,6 +65,22 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
             f"cannot merge indexes with different norm modes: "
             f"{a.norm!r} vs {b.norm!r}"
         )
+    # numeric dictionaries union like postings (disjoint doc ids); the
+    # merged view only keeps the seek path when both sides carry a
+    # compatible layout — a one-sided dictionary would silently drop
+    # the other side's docs from GranularRange, so it degrades to the
+    # stored-column fallback instead (None)
+    num_terms = None
+    numeric_meta = None
+    precision_step = a.precision_step
+    if (
+        a.num_terms is not None
+        and b.num_terms is not None
+        and a.numeric_meta == b.numeric_meta
+        and a.precision_step == b.precision_step
+    ):
+        num_terms = a.num_terms.unionByName(b.num_terms)
+        numeric_meta = a.numeric_meta
     return InvertedIndex(
         postings=postings,
         docs=docs,
@@ -76,6 +92,9 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         norm=a.norm,
         analyzer_name=a.analyzer_name,
         deleted=deleted,
+        num_terms=num_terms,
+        numeric_meta=numeric_meta,
+        precision_step=precision_step,
     )
 
 
@@ -130,6 +149,9 @@ def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         norm=index.norm,
         analyzer_name=index.analyzer_name,
         deleted=index.deleted,
+        num_terms=index.num_terms,
+        numeric_meta=index.numeric_meta,
+        precision_step=index.precision_step,
     )
 
 
@@ -178,6 +200,13 @@ def purge_deleted(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         norm=index.norm,
         analyzer_name=index.analyzer_name,
         deleted=None,
+        num_terms=(
+            index.num_terms.join(mask, "doc_id", "left_anti")
+            if index.num_terms is not None
+            else None
+        ),
+        numeric_meta=index.numeric_meta,
+        precision_step=index.precision_step,
     )
 
 

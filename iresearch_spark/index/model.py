@@ -172,6 +172,18 @@ class InvertedIndex:
     # Spark the same "touch only plausible terms" effect comes from
     # a gram-posting equi-lookup + count filter.
     term_grams_ranges: list | None = None
+    # granular numeric term dictionary (reference numeric_token_stream
+    # + by_granular_range — see index/numeric.py): (field, shift,
+    # prefix, doc_id) rows, written sorted by (field, shift, prefix) so
+    # a range query's per-level BETWEENs prune row groups. None when
+    # the index was built without numeric_fields (GranularRange then
+    # falls back to the stored docs column when present).
+    num_terms: DataFrame | None = None
+    # {field: "long" | "double"} — the query-bound sortable mapping
+    numeric_meta: dict | None = None
+    # trie granularity step (64 = single level, the Spark default;
+    # reference PRECISION_STEP_DEF = 16)
+    precision_step: int = 64
     # True on a merged multi-segment view (streaming/incremental.read):
     # dictionary rows (term_stats/rev/gram files) then appear once PER
     # SEGMENT with segment-local df/cf, so every pruned accessor must
@@ -377,7 +389,7 @@ class InvertedIndex:
 
     def unpersist(self) -> "InvertedIndex":
         for df in (self.postings, self.docs, self.term_stats,
-                   self.blocks, self.deleted):
+                   self.blocks, self.deleted, self.num_terms):
             if df is not None:
                 try:
                     df.unpersist()
@@ -580,17 +592,32 @@ class InvertedIndex:
                     .parquet(grams_path)
                 )
 
-            # the five table writes are independent jobs over distinct
+            writers = [_w_postings, _w_docs, _w_fwd, _w_rev, _w_grams]
+            if self.num_terms is not None:
+
+                def _w_num():
+                    # numeric term dictionary: sorted by (field, shift,
+                    # prefix) so each per-level BETWEEN of a granular
+                    # range decomposition reads only the row groups
+                    # whose min/max prefix intersects it
+                    (
+                        self.num_terms.repartitionByRange(
+                            max(16, n_part), "field", "shift", "prefix"
+                        )
+                        .sortWithinPartitions("field", "shift", "prefix")
+                        .write.mode(mode)
+                        .parquet(os.path.join(path, "num_terms"))
+                    )
+
+                writers.append(_w_num)
+            # the table writes are independent jobs over distinct
             # output dirs — submit them concurrently (Spark's scheduler
             # interleaves jobs from multiple driver threads), so the
             # wall-clock is the longest write, not the sum
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=5) as ex:
-                futs = [
-                    ex.submit(f)
-                    for f in (_w_postings, _w_docs, _w_fwd, _w_rev, _w_grams)
-                ]
+            with ThreadPoolExecutor(max_workers=len(writers)) as ex:
+                futs = [ex.submit(f) for f in writers]
                 for fut in futs:
                     fut.result()
             (
@@ -606,6 +633,10 @@ class InvertedIndex:
             term_stats_rev_ranges = None
             term_grams_ranges = None
             ts_cached.coalesce(n_part).write.mode(mode).parquet(ts_path)
+            if self.num_terms is not None:
+                self.num_terms.write.mode(mode).parquet(
+                    os.path.join(path, "num_terms")
+                )
         ts_cached.unpersist()
         if self.deleted is not None:
             self.deleted.write.mode(mode).parquet(os.path.join(path, "deleted"))
@@ -627,6 +658,8 @@ class InvertedIndex:
             # bucket id also present as the _tbd data column (flat
             # multi-segment reads rely on it; absent in old segments)
             "tb_data_col": term_buckets is not None,
+            "numeric_meta": self.numeric_meta,
+            "precision_step": self.precision_step,
         }
         tmp = os.path.join(path, "_manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -765,6 +798,13 @@ class InvertedIndex:
                 if manifest.get("term_grams_ranges")
                 else None
             ),
+            num_terms=(
+                spark.read.parquet(os.path.join(path, "num_terms"))
+                if manifest.get("numeric_meta")
+                else None
+            ),
+            numeric_meta=manifest.get("numeric_meta"),
+            precision_step=manifest.get("precision_step", 64),
         )
 
     def cache(self) -> "InvertedIndex":

@@ -1,0 +1,238 @@
+"""Granular numeric terms — the reference's typed numeric token
+streams + `by_granular_range`, re-expressed for a columnar engine.
+
+Reference semantics (`core/analysis/token_streams.hpp:118-230`
+`numeric_token_stream`; `core/search/granular_range_filter.cpp`):
+a numeric value is indexed as one term per granularity level — the
+value's sortable bit pattern with the low `level*step` bits masked
+off (PRECISION_STEP_DEF = 16) — and a range query decomposes
+[min, max] into a handful of per-level term intervals (coarse levels
+cover the interior, level 0 the edges), so the term dictionary is
+touched in O(levels) contiguous seeks instead of enumerating every
+distinct value in the range. The decomposition is the published trie
+range algorithm (Schindler & Diepenbroek, "Generic XML-based framework
+for metadata portals", Computers & Geosciences 34 (2008); the same
+algorithm behind Lucene's legacy numeric range queries).
+
+Spark-first translation: the "numeric term dictionary" is a table
+
+    num_terms(field string, shift int, prefix long, doc_id long)
+
+sorted by (field, shift, prefix) on save, so every per-level interval
+of the decomposition becomes ONE contiguous BETWEEN predicate pushed
+to the parquet scan (min/max row-group stats prune the rest — the
+columnar analogue of the dictionary seek). Because a columnar BETWEEN
+never *enumerates* terms, the multi-level trie is not needed for
+performance on Spark — a single level-0 BETWEEN is already one pruned
+contiguous read. The default `precision_step=64` therefore stores ONE
+row per (field, doc); the reference's step=16 (and any other step) is
+fully supported and differential-tested for parity, it just spends
+64/step× the storage to buy nothing Spark hasn't already got.
+
+Value encoding: every numeric maps to a SIGNED 64-bit key whose
+signed order equals the numeric order (integers: identity; doubles:
+the IEEE-754 sortable transform — flip all bits of negatives except
+the sign, reference `core/utils/numeric_utils.hpp` equivalent).
+Masking low bits happens in OFFSET (unsigned) space so blocks align
+across the sign boundary; `v & -(1 << shift)` does this directly on
+the signed representation (two's complement: clearing low bits rounds
+toward -inf, which IS the offset-space floor).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+LONG_MIN = -(1 << 63)
+LONG_MAX = (1 << 63) - 1
+_U64 = 1 << 64
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOATING = (T.FloatType, T.DoubleType)
+
+
+def dtype_of(schema: T.StructType, column: str) -> str:
+    """'long' | 'double' classification of an indexable numeric column."""
+    f = schema[column]
+    if isinstance(f.dataType, _INTEGRAL):
+        return "long"
+    if isinstance(f.dataType, _FLOATING):
+        return "double"
+    raise ValueError(
+        f"column {column!r} has non-numeric type {f.dataType.simpleString()};"
+        " granular indexing needs an integral or floating column"
+    )
+
+
+def sortable_py(value: int | float, dtype: str) -> int:
+    """Driver-side value -> signed sortable long (query-bound mapping;
+    must agree bit-for-bit with sortable_col)."""
+    if dtype == "long":
+        v = int(value)
+        if not (LONG_MIN <= v <= LONG_MAX):
+            raise ValueError(f"integral bound {value!r} out of int64 range")
+        return v
+    v = float(value)
+    if v == 0.0:
+        return 0  # -0.0 == 0.0 in SQL comparisons; one key for both
+    bits = struct.unpack("<q", struct.pack("<d", v))[0]
+    return bits if bits >= 0 else bits ^ 0x7FFFFFFFFFFFFFFF
+
+
+def sortable_col(col: Column, dtype: str) -> Column:
+    """JVM/Arrow expression computing sortable_py over a column.
+    Integers stay pure JVM; doubles need the raw IEEE bits, which
+    Spark SQL has no builtin for — one Arrow-vectorized pandas UDF
+    (numpy view, no per-row Python), build-path only."""
+    if dtype == "long":
+        return col.cast("long")
+    # NaN sorts nowhere (reference numeric streams never see NaN —
+    # ArangoDB rejects it); NULL/NaN rows are filtered by the caller
+    return _get_dbl_sortable()(col.cast("double"))
+
+
+_DBL_UDF = None
+
+
+def _get_dbl_sortable():
+    """The pandas_udf is created lazily (and once): decorating at
+    import time would demand an active SparkSession before any
+    caller has built one."""
+    global _DBL_UDF
+    if _DBL_UDF is None:
+
+        def _dbl_sortable(s: pd.Series) -> pd.Series:
+            import numpy as np
+
+            a = s.to_numpy(dtype="float64")
+            b = a.view(np.int64)
+            out = np.where(b >= 0, b, b ^ np.int64(0x7FFFFFFFFFFFFFFF))
+            # -0.0 == 0.0 in SQL comparisons: one key for both
+            out = np.where(a == 0.0, np.int64(0), out)
+            return pd.Series(out)
+
+        _DBL_UDF = F.pandas_udf(_dbl_sortable, "long")
+    return _DBL_UDF
+
+
+def split_range(
+    lo: int, hi: int, step: int, bits: int = 64
+) -> list[tuple[int, int, int]]:
+    """Trie-range decomposition over UNSIGNED bounds (inclusive):
+    [(shift, lo_u, hi_u)] per level, intervals pairwise disjoint with
+    union == [lo, hi], at most 2 per level plus one top residue.
+    Endpoints at level `shift` have their low `shift` bits intact on
+    the outer edges (lo of the first lower range, hi of the first
+    upper range) and zeroed/filled on the inner edges — exactly the
+    prefixes the level stores, so each tuple compares directly against
+    the level's masked column."""
+    if not (1 <= step <= bits):
+        raise ValueError(f"precision step must be in [1, {bits}]")
+    out: list[tuple[int, int, int]] = []
+    shift = 0
+    while True:
+        diff = 1 << (shift + step)
+        mask = ((1 << step) - 1) << shift
+        has_lower = (lo & mask) != 0
+        has_upper = (hi & mask) != mask
+        next_lo = ((lo + diff) if has_lower else lo) & ~(diff - 1) & (_U64 - 1)
+        next_hi = ((hi - diff) if has_upper else hi) & ~(diff - 1)
+        wrapped = ((lo + diff) >= _U64 and has_lower) or (
+            (hi - diff) < 0 and has_upper
+        )
+        if shift + step >= bits or next_lo > next_hi or wrapped:
+            out.append((shift, lo, hi))  # top residue at this level
+            return out
+        if has_lower:
+            out.append((shift, lo, lo | mask))
+        if has_upper:
+            out.append((shift, hi & ~mask, hi))
+        lo, hi = next_lo, next_hi
+        shift += step
+
+
+def _to_signed(u: int) -> int:
+    return u - _U64 if u >= (1 << 63) else u
+
+
+def _to_unsigned(s: int) -> int:
+    return s + _U64 if s < 0 else s
+
+
+def build_num_terms(
+    docs: DataFrame, meta: dict[str, str], step: int
+) -> DataFrame:
+    """(field, shift, prefix, doc_id) rows: one per stored level per
+    non-null value — the numeric term dictionary. Lazy (no action);
+    pure JVM for integral fields."""
+    if not (1 <= step <= 64):
+        raise ValueError(f"precision_step must be in [1, 64], got {step}")
+    shifts = list(range(0, 64, step))
+    parts = []
+    for field, dtype in meta.items():
+        col = F.col(field)
+        keep = col.isNotNull()
+        if dtype == "double":
+            keep = keep & ~F.isnan(col.cast("double"))
+        base = docs.filter(keep).select(
+            F.lit(field).alias("field"),
+            sortable_col(col, dtype).alias("_s"),
+            "doc_id",
+        )
+        # prefix at level `shift` = signed key with low bits cleared
+        # (two's complement: v & -(1<<shift) floors in offset space)
+        lvl = F.explode(
+            F.array(*[F.lit(s).cast("int") for s in shifts])
+        ).alias("shift")
+        # -(1<<shift) == shiftleft(-1, shift) in two's complement;
+        # the latter never overflows under ANSI SQL (shift 63 is
+        # LONG_MIN, whose negation would throw)
+        part = base.select("field", lvl, "_s", "doc_id").select(
+            "field",
+            "shift",
+            F.expr("_s & shiftleft(CAST(-1 AS BIGINT), shift)").alias(
+                "prefix"
+            ),
+            "doc_id",
+        )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def range_predicate(
+    field: str,
+    lo_signed: int | None,
+    hi_signed: int | None,
+    step: int,
+) -> Column:
+    """Predicate over the num_terms table matching docs whose value key
+    lies in [lo_signed, hi_signed] (inclusive, already exclusivity-
+    adjusted; None = open end). OR of per-level contiguous BETWEENs —
+    each one prunes on the (field, shift, prefix) sort order."""
+    lo_u = _to_unsigned(LONG_MIN if lo_signed is None else lo_signed)
+    hi_u = _to_unsigned(LONG_MAX if hi_signed is None else hi_signed)
+    pieces = split_range(lo_u, hi_u, step)
+    pred = None
+    for shift, a_u, b_u in pieces:
+        # compare against the level's stored prefixes: clear the low
+        # `shift` bits of the interval edges (they are intact only on
+        # the outermost endpoints, which masking floors correctly —
+        # the stored prefix of any value in [a, b] lies in
+        # [a & keep, b & keep])
+        keep = -(1 << shift) if shift else -1
+        a_s = _to_signed((a_u & (keep % _U64)))
+        b_s = _to_signed((b_u & (keep % _U64)))
+        p = (
+            (F.col("shift") == shift)
+            & (F.col("prefix") >= a_s)
+            & (F.col("prefix") <= b_s)
+        )
+        pred = p if pred is None else (pred | p)
+    return (F.col("field") == field) & pred

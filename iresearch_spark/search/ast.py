@@ -265,6 +265,30 @@ class NumericRange(Node):
 
 
 @dataclass(frozen=True)
+class GranularRange(Node):
+    """Docs whose INDEXED numeric field lies in [min_val, max_val] via
+    the granular numeric term dictionary (reference
+    `by_granular_range` over `numeric_token_stream` terms,
+    granular_range_filter.cpp / token_streams.hpp:118-230): the range
+    decomposes into O(levels) contiguous per-level intervals over the
+    (field, shift, prefix)-sorted num_terms table — each one a
+    BETWEEN pushed to the parquet scan (see index/numeric.py).
+    Constant score = boost (the reference collects granular terms
+    with kNoBoost, granular_range_filter.cpp:84). Requires
+    build_index(numeric_fields=[...]); falls back to the stored docs
+    column (identical semantics) when the index lacks the dictionary
+    but stores the column. NULL (and NaN) values never match, as in
+    NumericRange."""
+
+    column: str
+    min_val: float | int | None = None
+    max_val: float | int | None = None
+    include_min: bool = True
+    include_max: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Cached(Node):
     """Caches the wrapped query's materialized (doc_id, score) result
     across repeated executions within one engine (reference

@@ -1207,6 +1207,8 @@ class SearchEngine:
                 "doc_id",
                 F.lit(self._const_score(node.boost * boost)).alias("score"),
             )
+        if isinstance(node, ast.GranularRange):
+            return self._eval_granular(node, boost)
         if isinstance(node, ast.Cached):
             key = node.child
             if key not in self._proxy_cache:
@@ -1490,6 +1492,75 @@ class SearchEngine:
             self._score_full_expr(
                 c0_sum, F.col("freq"), F.col("dl")
             ).alias("score"),
+        )
+
+    def _eval_granular(
+        self, node: "ast.GranularRange", boost: float
+    ) -> DataFrame:
+        """Granular numeric range over the num_terms dictionary
+        (reference by_granular_range, granular_range_filter.cpp): the
+        query bounds map to signed sortable keys, exclusivity becomes
+        a ±1 key step (for doubles that IS nextafter — the sortable
+        transform is a monotone bijection), and the trie decomposition
+        (index/numeric.py split_range) yields O(levels) contiguous
+        BETWEENs over the (field, shift, prefix)-sorted table — each
+        pruned by parquet min/max stats. Constant score = boost, like
+        the reference's kNoBoost granular-term collection. Indexes
+        built without numeric_fields fall back to the stored docs
+        column (same semantics, unpruned scan)."""
+        from iresearch_spark.index import numeric as _num
+
+        idx = self.index
+        meta = idx.numeric_meta or {}
+        if idx.num_terms is None or node.column not in meta:
+            if node.column in idx.docs.columns:
+                return self._eval(
+                    ast.NumericRange(
+                        column=node.column,
+                        min_val=node.min_val,
+                        max_val=node.max_val,
+                        include_min=node.include_min,
+                        include_max=node.include_max,
+                        boost=node.boost,
+                    ),
+                    boost,
+                )
+            raise ValueError(
+                f"index has no numeric dictionary for {node.column!r} and "
+                "no stored column to fall back to; build with "
+                "numeric_fields=[...] (or extra_doc_cols)"
+            )
+        dtype = meta[node.column]
+
+        def _empty() -> DataFrame:
+            return self._spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+
+        lo = hi = None
+        if node.min_val is not None:
+            lo = _num.sortable_py(node.min_val, dtype)
+            if not node.include_min:
+                if lo == _num.LONG_MAX:
+                    return _empty()
+                lo += 1
+        if node.max_val is not None:
+            hi = _num.sortable_py(node.max_val, dtype)
+            if not node.include_max:
+                if hi == _num.LONG_MIN:
+                    return _empty()
+                hi -= 1
+        if lo is not None and hi is not None and lo > hi:
+            return _empty()
+        pred = _num.range_predicate(
+            node.column, lo, hi, idx.precision_step
+        )
+        # the covering intervals are pairwise disjoint and every doc
+        # has exactly one dictionary row per level, so each matching
+        # doc appears exactly once — no distinct needed
+        return idx.num_terms.filter(pred).select(
+            "doc_id",
+            F.lit(self._const_score(node.boost * boost)).alias("score"),
         )
 
     def _eval_nested(self, node: ast.Nested, boost: float) -> DataFrame:

@@ -339,6 +339,20 @@ class IncrementalIndexer:
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )
+        # granular numeric dictionary: one multi-path read when EVERY
+        # segment carries a compatible layout (doc ids are disjoint, so
+        # union == merged dictionary); a partial or mismatched set
+        # degrades to the stored-column fallback (None) rather than
+        # silently dropping some segments' docs from GranularRange
+        num_terms = None
+        numeric_meta = None
+        metas = [m.get("numeric_meta") for m in sub_manifests]
+        steps = {m.get("precision_step", 64) for m in sub_manifests}
+        if all(metas) and len({json.dumps(x, sort_keys=True) for x in metas}) == 1 and len(steps) == 1:
+            num_terms = spark.read.parquet(
+                *[os.path.join(p, "num_terms") for p in paths]
+            )
+            numeric_meta = metas[0]
         return InvertedIndex(
             postings=postings,
             docs=spark.read.parquet(*[os.path.join(p, "docs") for p in paths]),
@@ -380,4 +394,7 @@ class IncrementalIndexer:
                 paths, sub_manifests, "term_grams_ranges"
             ),
             gram_df_duplicated=True,
+            num_terms=num_terms,
+            numeric_meta=numeric_meta,
+            precision_step=min(steps),  # irrelevant when num_terms is None
         )
