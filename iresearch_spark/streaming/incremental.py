@@ -55,6 +55,10 @@ class IncrementalIndexer:
     sort_key: str = "url"
     with_positions: bool = True
     bucket_bits: int = 16
+    # granular numeric dictionary per segment (index/numeric.py);
+    # the merged view unions them when every segment agrees
+    numeric_fields: list | None = None
+    precision_step: int = 64
 
     # ---------------- manifest ----------------
 
@@ -100,6 +104,8 @@ class IncrementalIndexer:
             with_positions=self.with_positions,
             bucket_bits=self.bucket_bits,
             id_base=base,
+            numeric_fields=self.numeric_fields,
+            precision_step=self.precision_step,
         )
         seg_path = os.path.join(self.index_dir, "segments", seg_id)
         idx.save(seg_path)

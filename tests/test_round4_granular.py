@@ -252,3 +252,34 @@ def test_granular_merge_delete_purge(spark, corpus):
     assert _ids(SearchEngine(m2).matches(GranularRange("n", 0, None))) == want
     for i in (a, b, c):
         i.unpersist()
+
+
+def test_granular_incremental_multisegment(spark, tmp_path):
+    """Streaming segments carry per-segment numeric dictionaries; the
+    merged multi-segment view unions them (doc ids disjoint) and
+    GranularRange over it matches the predicate over all batches."""
+    from iresearch_spark.streaming.incremental import IncrementalIndexer
+
+    ix = IncrementalIndexer(
+        index_dir=str(tmp_path / "ixnum"), bucket_bits=7,
+        numeric_fields=["price"],
+    )
+    b1 = spark.createDataFrame(
+        [(f"u{i:03d}", "alpha beta", float(i * 7 - 100)) for i in range(50)],
+        "url string, text string, price double",
+    )
+    b2 = spark.createDataFrame(
+        [(f"v{i:03d}", "alpha gamma", float(i * 11 - 150)) for i in range(40)],
+        "url string, text string, price double",
+    )
+    ix.process_batch(b1, epoch_id=0)
+    ix.process_batch(b2, epoch_id=1)
+    merged = ix.read(spark)
+    assert merged.num_terms is not None
+    assert merged.numeric_meta == {"price": "double"}
+    eng = SearchEngine(merged)
+    got = len(_ids(eng.matches(GranularRange("price", 0.0, 150.0))))
+    want = b1.filter("price >= 0 and price <= 150").count() + b2.filter(
+        "price >= 0 and price <= 150"
+    ).count()
+    assert got == want
