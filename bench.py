@@ -155,7 +155,8 @@ def main():
         )[0]
         for _ in range(repeat)
     )
-    queries["search_many_12"] = t_batched
+    # (renamed from search_many_12 when WildcardInfix joined the set)
+    queries[f"search_many_{n_queries}"] = t_batched
     extra["search_many_qps"] = round(n_queries / t_batched, 2)
 
     t = min(
