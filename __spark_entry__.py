@@ -279,6 +279,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # timestamp keys (epoch micros): the web-corpus shape's warc_ts
+    # range query, exercised on the events table (its ts column is a
+    # real TIMESTAMP); reference precision step 16
+    def granular_ts(spark, sf_dir):
+        key = os.path.abspath(sf_dir) + ":evts"
+        if key not in _INDEX_CACHE:
+            ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            idx = build_index(
+                ev, text_col="event_type", id_col="event_id",
+                bucket_bits=16, analyzer="simple",
+                numeric_fields=["ts"], precision_step=16,
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        eng = SearchEngine(_INDEX_CACHE[key])
+        return _rounded(
+            eng.matches(
+                GranularRange(
+                    "ts", "2024-01-08", "2024-01-15", include_max=False
+                )
+            )
+        )
+
+    q["granular_ts_range"] = granular_ts
+
     # ByNestedFilter analogue: parent = the decade-leader doc (a real
     # doc id), parents match when >=2 of their children match the term
     def nested_term(spark, sf_dir):
@@ -982,6 +1008,12 @@ FROM documents WHERE n_chars >= 100 AND n_chars < 200
     o["granular_range"] = """
 SELECT doc_id, ROUND(CAST(1.25 AS DOUBLE), 6) AS score
 FROM documents WHERE n_chars > 80 AND n_chars <= 300
+"""
+    o["granular_ts_range"] = """
+SELECT event_id AS doc_id, ROUND(CAST(1.0 AS DOUBLE), 6) AS score
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
 """
     o["nested_term"] = f"""{_CTE},
 child_scores AS (

@@ -42,6 +42,7 @@ toward -inf, which IS the offset-space floor).
 from __future__ import annotations
 
 import struct
+from datetime import date, datetime, timezone
 
 import pandas as pd
 
@@ -56,26 +57,66 @@ _FLOATING = (T.FloatType, T.DoubleType)
 
 
 def dtype_of(schema: T.StructType, column: str) -> str:
-    """'long' | 'double' classification of an indexable numeric column."""
+    """'long' | 'double' | 'timestamp' | 'date' classification of an
+    indexable column (the reference's typed streams cover int32/int64/
+    float/double; timestamps/dates are the web-corpus shape's natural
+    range keys — warc_ts — and key as epoch micros / days)."""
     f = schema[column]
     if isinstance(f.dataType, _INTEGRAL):
         return "long"
     if isinstance(f.dataType, _FLOATING):
         return "double"
+    if isinstance(f.dataType, T.TimestampType):
+        return "timestamp"
+    if isinstance(f.dataType, T.TimestampNTZType):
+        # session-timezone-free: keys are micros of the wall-clock
+        # value itself (driver bounds treat naive datetimes the same)
+        return "timestamp_ntz"
+    if isinstance(f.dataType, T.DateType):
+        return "date"
     raise ValueError(
         f"column {column!r} has non-numeric type {f.dataType.simpleString()};"
-        " granular indexing needs an integral or floating column"
+        " granular indexing needs an integral/floating/timestamp/date column"
     )
 
 
-def sortable_py(value: int | float, dtype: str) -> int:
+_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_EPOCH_D = date(1970, 1, 1)
+
+
+def sortable_py(value, dtype: str) -> int:
     """Driver-side value -> signed sortable long (query-bound mapping;
-    must agree bit-for-bit with sortable_col)."""
+    must agree bit-for-bit with sortable_col). Timestamp bounds accept
+    datetime (naive = UTC), ISO strings, or raw epoch micros; date
+    bounds accept date, ISO strings, or epoch days. Exclusive bounds
+    then adjust by one key step: one microsecond / one day /
+    nextafter for doubles."""
     if dtype == "long":
         v = int(value)
         if not (LONG_MIN <= v <= LONG_MAX):
             raise ValueError(f"integral bound {value!r} out of int64 range")
         return v
+    if dtype in ("timestamp", "timestamp_ntz"):
+        if isinstance(value, str):
+            value = datetime.fromisoformat(value)
+        if isinstance(value, datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=timezone.utc)
+            d = value - _EPOCH_DT
+            return (
+                d.days * 86_400_000_000
+                + d.seconds * 1_000_000
+                + d.microseconds
+            )
+        return int(value)  # raw epoch micros
+    if dtype == "date":
+        if isinstance(value, str):
+            value = date.fromisoformat(value)
+        if isinstance(value, datetime):
+            value = value.date()
+        if isinstance(value, date):
+            return (value - _EPOCH_D).days
+        return int(value)  # raw epoch days
     v = float(value)
     if v == 0.0:
         return 0  # -0.0 == 0.0 in SQL comparisons; one key for both
@@ -90,6 +131,19 @@ def sortable_col(col: Column, dtype: str) -> Column:
     (numpy view, no per-row Python), build-path only."""
     if dtype == "long":
         return col.cast("long")
+    if dtype == "timestamp":
+        # micros since epoch UTC — instant-based, independent of the
+        # session timezone (Spark stores timestamps as UTC micros)
+        return F.unix_micros(col)
+    if dtype == "timestamp_ntz":
+        # micros of the wall-clock value, no timezone involved at all
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+            col,
+        )
+    if dtype == "date":
+        return F.unix_date(col).cast("long")
     # NaN sorts nowhere (reference numeric streams never see NaN —
     # ArangoDB rejects it); NULL/NaN rows are filtered by the caller
     return _get_dbl_sortable()(col.cast("double"))

@@ -254,6 +254,64 @@ def test_granular_merge_delete_purge(spark, corpus):
         i.unpersist()
 
 
+def test_granular_timestamp_and_date(spark):
+    """Timestamp/date fields key as epoch micros/days; bounds accept
+    datetime/date/ISO-string/raw ints; exclusive = one key step."""
+    from datetime import date, datetime
+
+    rows = [
+        (
+            i,
+            "alpha beta",
+            datetime(2024, 1, 1 + i % 28, i % 24, i % 60, i % 60,
+                     (i * 137) % 1_000_000),
+            date(2023, 1 + i % 12, 1 + i % 28),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp, d date"
+    )
+    idx = build_index(
+        df, analyzer="simple", numeric_fields=["ts", "d"],
+        precision_step=16,
+    )
+    eng = SearchEngine(idx)
+    lo, hi = datetime(2024, 1, 8), datetime(2024, 1, 15)
+    got = _ids(eng.matches(GranularRange("ts", lo, hi, include_max=False)))
+    want = _ids(
+        df.filter(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+        )
+    )
+    assert got == want and got
+    # ISO-string bounds hit the same keys
+    assert got == _ids(
+        eng.matches(
+            GranularRange("ts", "2024-01-08", "2024-01-15",
+                          include_max=False)
+        )
+    )
+    # exclusive timestamp bound = +1 microsecond
+    edge = datetime(2024, 1, 8, 0, 0, 0, 0)
+    with_edge = _ids(eng.matches(GranularRange("ts", edge, hi)))
+    without = _ids(
+        eng.matches(GranularRange("ts", edge, hi, include_min=False))
+    )
+    edge_ids = _ids(df.filter(F.col("ts") == F.lit(edge)))
+    assert sorted(set(with_edge) - set(without)) == edge_ids
+    # dates
+    got = _ids(eng.matches(GranularRange("d", date(2023, 3, 1), "2023-06-30")))
+    want = _ids(
+        df.filter(
+            (F.col("d") >= F.lit(date(2023, 3, 1)))
+            & (F.col("d") <= F.lit(date(2023, 6, 30)))
+        )
+    )
+    assert got == want and got
+    idx.unpersist()
+
+
 def test_granular_incremental_multisegment(spark, tmp_path):
     """Streaming segments carry per-segment numeric dictionaries; the
     merged multi-segment view unions them (doc ids disjoint) and
