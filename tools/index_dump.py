@@ -81,6 +81,27 @@ def main() -> None:
             idx.term_buckets,
         )
     )
+    if idx.numeric_meta:
+        print(
+            "numeric dictionary: fields=%s precision_step=%d"
+            % (idx.numeric_meta, idx.precision_step)
+        )
+        if idx.num_terms is not None:
+            for r in (
+                idx.num_terms.groupBy("field")
+                .agg(
+                    F.countDistinct("shift").alias("levels"),
+                    F.count("*").alias("rows"),
+                    F.min(F.when(F.col("shift") == 0, F.col("prefix"))).alias("min_key"),
+                    F.max(F.when(F.col("shift") == 0, F.col("prefix"))).alias("max_key"),
+                )
+                .collect()
+            ):
+                print(
+                    f"  {r['field']!r}: levels={r['levels']}"
+                    f" rows={r['rows']} key range"
+                    f" [{r['min_key']}, {r['max_key']}]"
+                )
     n_terms = idx.term_stats.count()
     print(f"distinct terms: {n_terms}")
 
