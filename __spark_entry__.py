@@ -259,6 +259,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _INDEX_CACHE[key] = idx
         return SearchEngine(_INDEX_CACHE[key])
 
+    # SORTED index (reference Comparer, core/index/comparer.hpp): doc
+    # ids assigned in (n_chars DESC, orig doc_id) order at build time,
+    # so "first k by sort" is index-order iteration (top_docs =
+    # TakeOrderedAndProject early termination, never a full sort); the
+    # oracle recomputes it as a plain ORDER BY ... LIMIT.
+    def _sorted_engine(spark, sf_dir):
+        key = os.path.abspath(sf_dir) + ":sorted"
+        if key not in _INDEX_CACHE:
+            docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
+            idx = build_index(
+                docs, analyzer="simple", bucket_bits=16, id_col=None,
+                sort_key="orig_id", sort_field="n_chars",
+                sort_ascending=False, extra_doc_cols=["orig_id"],
+            )
+            idx.cache()
+            idx.docs.count()
+            _INDEX_CACHE[key] = idx
+        return SearchEngine(_INDEX_CACHE[key])
+
+    q["sorted_topk"] = lambda s, d: _sorted_engine(s, d).top_docs(
+        k=50, columns=["orig_id", "n_chars"]
+    )
+    q["sorted_topk_filtered"] = lambda s, d: _sorted_engine(s, d).top_docs(
+        k=25, query=Term(MED1), columns=["orig_id", "n_chars"]
+    )
+
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
     )
@@ -903,6 +929,17 @@ def oracle_sql() -> dict[str, str]:
     )
     o["nn_analyzer_term"] = _nn_oracle_sql()
     o["classification_label"] = _cls_oracle_sql()
+    o["sorted_topk"] = """
+SELECT doc_id AS orig_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 50
+"""
+    o["sorted_topk_filtered"] = f"""{_CTE}
+SELECT d.doc_id AS orig_id, d.n_chars FROM documents d
+WHERE EXISTS (
+  SELECT 1 FROM tf t WHERE t.doc_id = d.doc_id AND t.term = '{MED1}'
+)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 25
+"""
     o["term_range"] = _match_sql("t.term >= 'm' AND t.term <= 'q'")
     o["fuzzy_d1"] = _match_sql(
         "t.term IN (SELECT term FROM tstats WHERE levenshtein(term, 'spork') <= 1)"

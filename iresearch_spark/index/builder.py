@@ -672,6 +672,105 @@ def _bucket_layout(
     return offsets, seg_of
 
 
+def _order_surrogate(df: DataFrame, col: str):
+    """Order-preserving int64 surrogate of a sort column, used ONLY for
+    deterministic bucket layout (ties are fine — the within-bucket sort
+    uses the real column). Numeric/timestamp/date columns reuse the
+    granular dictionary's sortable transform (index/numeric.py); strings
+    key on their first 7 UTF-8 bytes, zero-padded big-endian, so
+    surrogate order == byte order == code-point order. (Java string
+    comparison diverges from code-point order only for supplementary-
+    plane characters in the first 7 bytes — irrelevant for the URL/tag
+    shaped sort fields this targets, and documented here.)"""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.StringType):
+        hx = F.rpad(
+            F.substring(F.hex(F.encode(F.col(col), "UTF-8")), 1, 14), 14, "0"
+        )
+        return F.conv(hx, 16, 10).cast("long")
+    from iresearch_spark.index.numeric import dtype_of, sortable_col
+
+    return sortable_col(F.col(col), dtype_of(df.schema, col))
+
+
+def _sorted_bucket_layout(
+    df: DataFrame,
+    sort_field: str,
+    key_col: str,
+    n_buckets: int,
+    seg_target_docs: int,
+    id_base: int = 0,
+    ascending: bool = True,
+):
+    """Bucket layout for a SORTED index (the reference's Comparer,
+    core/index/comparer.hpp + segment_writer sort: documents laid out in
+    sort-column order so doc_id order == (sort_field, key) order).
+
+    Same two-pass shape as `_bucket_layout`, with the hash bucket
+    replaced by an ORDER-PRESERVING quantizer: bkt = (surrogate - min)
+    >> shift, where shift is sized from the driver-collected [min, max]
+    span so ~n_buckets buckets come out. Deterministic — min/max and
+    counts are pure functions of the data — so doc ids are still
+    partitioning-independent. Descending indexes enumerate buckets in
+    reverse and reverse the within-bucket sort.
+
+    Returns (offsets, seg_of, bkt_expr, order_cols)."""
+    sv = _order_surrogate(df, sort_field)
+    row = df.select(
+        F.min(sv).alias("mn"),
+        F.max(sv).alias("mx"),
+        F.count("*").alias("n"),
+        F.count(sv).alias("nn"),
+    ).collect()[0]
+    if int(row["n"] or 0) != int(row["nn"] or 0):
+        raise ValueError(
+            f"sort_field {sort_field!r} has NULL values — a sorted index "
+            "needs a total order (fill or filter NULLs first)"
+        )
+    mn = int(row["mn"] or 0)
+    mx = int(row["mx"] or 0)
+    span = mx - mn + 1
+    shift = max(0, span.bit_length() - max(1, n_buckets.bit_length() - 1))
+    if shift == 0:
+        bkt = (sv - F.lit(mn)).cast("int")
+    else:
+        # halved subtraction: span may exceed int64 (double surrogates
+        # run the full sortable range), (sv>>1 - mn>>1) cannot overflow
+        # and stays monotonic non-strict — all bucketing needs
+        bkt = F.shiftright(
+            F.shiftright(sv, 1) - F.lit(mn >> 1), shift - 1
+        ).cast("int")
+    if not ascending:
+        # the posting/norm encoders need doc ids ASCENDING in partition
+        # order and partitions sort by _bkt ascending — negating the
+        # bucket id makes ascending bucket order == descending sort
+        # order == ascending doc-id order
+        bkt = (-bkt).cast("int")
+    counts = (
+        df.select(bkt.alias("_bkt")).groupBy("_bkt")
+        .agg(F.count("*").alias("cnt")).collect()
+    )
+    cnt = {r["_bkt"]: r["cnt"] for r in counts}
+    offsets: dict[int, int] = {}
+    seg_of: dict[int, int] = {}
+    acc = id_base
+    seg = 0
+    seg_acc = 0
+    for b in sorted(cnt):
+        offsets[b] = acc
+        acc += cnt[b]
+        if seg_acc >= seg_target_docs:
+            seg += 1
+            seg_acc = 0
+        seg_of[b] = seg
+        seg_acc += cnt[b]
+    sort_col = F.col(sort_field)
+    # within-bucket order on the REAL column (callers append their key
+    # column as the unique tie-break)
+    order = sort_col.asc() if ascending else sort_col.desc()
+    return offsets, seg_of, bkt, order
+
+
 def build_segments_fused(
     df: DataFrame,
     key_col: str,
@@ -713,20 +812,30 @@ def _fused_blocks(
     n_buckets: int,
     with_offsets: bool = False,
     payload_delim: str | None = None,
+    bkt_expr=None,
+    order_col=None,
+    sort_field: str | None = None,
 ) -> DataFrame:
     spark = df.sparkSession
     map_df = spark.createDataFrame(
         [(int(b), int(seg_of[b]), int(offsets[b])) for b in offsets],
         "_bkt int, _seg int, _off long",
     )
+    # sorted indexes (Comparer analogue) ship the sort column through
+    # the shuffle (8-byte numeric / short string) so the in-partition
+    # sort can order bucket runs by it; the Arrow gen ignores extras
+    ship = [text_col] if sort_field is None or sort_field == text_col \
+        else [text_col, sort_field]
+    sel = df.select(F.col(key_col).alias("_key"), *ship)
+    if bkt_expr is None:
+        bkt_expr = F.pmod(F.xxhash64(F.col("_key")), F.lit(n_buckets)).cast("int")
+    order = [order_col, F.col("_key").asc()] if order_col is not None \
+        else [F.col("_key").asc()]
     arranged = (
-        df.select(F.col(key_col).alias("_key"), text_col)
-        .withColumn(
-            "_bkt", F.pmod(F.xxhash64(F.col("_key")), F.lit(n_buckets)).cast("int")
-        )
+        sel.withColumn("_bkt", bkt_expr)
         .join(F.broadcast(map_df), "_bkt")
         .repartition("_seg")
-        .sortWithinPartitions("_seg", "_bkt", "_key")
+        .sortWithinPartitions("_seg", "_bkt", *order)
     )
 
     return arranged.mapInArrow(
@@ -744,6 +853,9 @@ def fused_doc_map(
     offsets: dict[int, int],
     n_buckets: int,
     extra_cols: list[str] | None = None,
+    bkt_expr=None,
+    order_col=None,
+    sort_field: str | None = None,
 ) -> DataFrame:
     """(key -> doc_id) mapping table via the same slim deterministic
     ranking the fused build uses; carries only key + extra_cols."""
@@ -753,12 +865,17 @@ def fused_doc_map(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_bkt").orderBy(key_col)
+    if bkt_expr is None:
+        bkt_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    order = [order_col, F.col(key_col).asc()] if order_col is not None \
+        else [F.col(key_col).asc()]
+    w = Window.partitionBy("_bkt").orderBy(*order)
+    cols = list(dict.fromkeys(
+        [key_col] + (extra_cols or []) + ([sort_field] if sort_field else [])
+    ))
     return (
-        df.select(key_col, *(extra_cols or []))
-        .withColumn(
-            "_bkt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
-        )
+        df.select(*cols)
+        .withColumn("_bkt", bkt_expr)
         .withColumn("_rank", F.row_number().over(w) - 1)
         .join(F.broadcast(offs), "_bkt")
         .withColumn("doc_id", F.col("_offset") + F.col("_rank"))
@@ -783,6 +900,8 @@ def build_index(
     norm: str = "norm2",
     numeric_fields: list[str] | None = None,
     precision_step: int = 64,
+    sort_field: str | None = None,
+    sort_ascending: bool = True,
 ) -> InvertedIndex:
     """End-to-end index build via local segments (see build_segments).
 
@@ -849,18 +968,41 @@ def build_index(
         # beats fewer/fatter posting blocks at sandbox scale.
         seg_bits = min(bucket_bits, 10)
     fused_offsets = None
+    fused_bkt = fused_order = None
+    if sort_field is not None:
+        # SORTED index (the reference's Comparer, comparer.hpp +
+        # segment_writer sort / merge_writer comparator-aware doc map):
+        # doc ids are assigned in (sort_field asc|desc, sort_key) order,
+        # so index order IS the sort order and first-k-by-sort queries
+        # early-terminate (TakeOrderedAndProject, no full sort).
+        if id_col is not None:
+            raise ValueError(
+                "sort_field assigns its own doc ids — pass id_col=None "
+                "and a unique sort_key tie-break"
+            )
+        if sort_key is None:
+            raise ValueError("sort_field needs sort_key as the unique tie-break")
+        # the sort value is part of index order: store it on docs
+        extra_doc_cols = list(dict.fromkeys((extra_doc_cols or []) + [sort_field]))
     if id_col is None:
         if sort_key is None:
             raise ValueError("need id_col or sort_key")
         # fused path: id assignment inside the segment-build shuffle
-        offsets, seg_of = _bucket_layout(
-            df, sort_key, n_buckets, 1 << seg_bits, id_base=id_base
-        )
+        if sort_field is not None:
+            offsets, seg_of, fused_bkt, fused_order = _sorted_bucket_layout(
+                df, sort_field, sort_key, n_buckets, 1 << seg_bits,
+                id_base=id_base, ascending=sort_ascending,
+            )
+        else:
+            offsets, seg_of = _bucket_layout(
+                df, sort_key, n_buckets, 1 << seg_bits, id_base=id_base
+            )
         fused_offsets = offsets
         blocks = _fused_blocks(
             df, sort_key, analyzer, text_col, with_positions, offsets, seg_of,
             n_buckets, with_offsets=with_offsets,
             payload_delim=payload_delimiter,
+            bkt_expr=fused_bkt, order_col=fused_order, sort_field=sort_field,
         )
     else:
         blocks = build_segments(
@@ -903,7 +1045,9 @@ def build_index(
     if extra_doc_cols:
         if fused_offsets is not None:
             passthrough = fused_doc_map(
-                df, sort_key, fused_offsets, n_buckets, extra_doc_cols
+                df, sort_key, fused_offsets, n_buckets, extra_doc_cols,
+                bkt_expr=fused_bkt, order_col=fused_order,
+                sort_field=sort_field,
             ).select("doc_id", *extra_doc_cols)
         else:
             passthrough = df.select(
@@ -943,4 +1087,6 @@ def build_index(
         num_terms=num_terms,
         numeric_meta=numeric_meta,
         precision_step=precision_step,
+        sort_field=sort_field,
+        sort_ascending=sort_ascending,
     )

@@ -95,6 +95,13 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         num_terms=num_terms,
         numeric_meta=numeric_meta,
         precision_step=precision_step,
+        # a disjoint-id-range union is NOT globally sort-ordered even
+        # when both inputs were built with the same sort_field (the
+        # reference merge_writer re-sorts through the comparator-aware
+        # doc_id_map, merge_writer.cpp:266-329; here restoring order
+        # means rebuilding via build_index(sort_field=...)). The merged
+        # view honestly drops the sorted property.
+        sort_field=None,
     )
 
 
@@ -152,6 +159,9 @@ def consolidate(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         num_terms=index.num_terms,
         numeric_meta=index.numeric_meta,
         precision_step=index.precision_step,
+        # doc ids are unchanged by re-blocking, so index order survives
+        sort_field=index.sort_field,
+        sort_ascending=index.sort_ascending,
     )
 
 
@@ -207,6 +217,9 @@ def purge_deleted(index: InvertedIndex, bucket_bits: int = 16) -> InvertedIndex:
         ),
         numeric_meta=index.numeric_meta,
         precision_step=index.precision_step,
+        # purge keeps surviving ids (and hence their relative order)
+        sort_field=index.sort_field,
+        sort_ascending=index.sort_ascending,
     )
 
 

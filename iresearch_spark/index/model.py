@@ -184,6 +184,12 @@ class InvertedIndex:
     # trie granularity step (64 = single level, the Spark default;
     # reference PRECISION_STEP_DEF = 16)
     precision_step: int = 64
+    # SORTED index (the reference's Comparer, core/index/comparer.hpp:
+    # index_writer laid out in comparator order, merge_writer remaps via
+    # a comparator-aware doc map): doc_id order == (sort_field asc|desc,
+    # sort_key) order. None = unsorted (hash-bucket key order).
+    sort_field: str | None = None
+    sort_ascending: bool = True
     # True on a merged multi-segment view (streaming/incremental.read):
     # dictionary rows (term_stats/rev/gram files) then appear once PER
     # SEGMENT with segment-local df/cf, so every pruned accessor must
@@ -660,6 +666,8 @@ class InvertedIndex:
             "tb_data_col": term_buckets is not None,
             "numeric_meta": self.numeric_meta,
             "precision_step": self.precision_step,
+            "sort_field": self.sort_field,
+            "sort_ascending": self.sort_ascending,
         }
         tmp = os.path.join(path, "_manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -805,6 +813,8 @@ class InvertedIndex:
             ),
             numeric_meta=manifest.get("numeric_meta"),
             precision_step=manifest.get("precision_step", 64),
+            sort_field=manifest.get("sort_field"),
+            sort_ascending=manifest.get("sort_ascending", True),
         )
 
     def cache(self) -> "InvertedIndex":

@@ -164,6 +164,32 @@ class SearchEngine:
         """All matching docs with scores (unordered)."""
         return self._execute(query, k=None, mode="exhaustive")
 
+    def top_docs(
+        self,
+        k: int = 10,
+        query: ast.Node | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """First k live docs in INDEX ORDER (doc_id asc), optionally
+        restricted to a filter's matches.
+
+        On an index built with `sort_field=...` (the reference's
+        Comparer, core/index/comparer.hpp: documents laid out in
+        comparator order so iteration order == sort order), index order
+        IS (sort_field asc|desc, sort_key) — this is the
+        sorted-index early-termination shape (e.g. "newest matching
+        pages first" without scoring). Spark executes the orderBy+limit
+        as TakeOrderedAndProject: per-partition top-k heaps merged on
+        the driver, never a full sort — the distributed analogue of the
+        reference's cutoff iteration. Columns default to the docs
+        table's (doc_id, dl, extra_doc_cols incl. the sort field)."""
+        docs = self._apply_delete_mask(self.index.docs)
+        if query is not None:
+            m = self._execute(query, k=None, mode="exhaustive")
+            docs = docs.join(m.select("doc_id"), "doc_id", "semi")
+        out = docs.orderBy(F.asc("doc_id")).limit(k)
+        return out.select(*columns) if columns else out
+
     def search_many(
         self,
         queries: dict[str, ast.Node],
