@@ -28,7 +28,9 @@ from iresearch_spark.ops.hashing import hash60_sql, seeded_hash60_sql
 from iresearch_spark.search import (
     And,
     Exists,
+    Field,
     Fuzzy,
+    MultiFieldEngine,
     GranularRange,
     Not,
     NumericRange,
@@ -284,6 +286,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sorted_topk_filtered"] = lambda s, d: _sorted_engine(s, d).top_docs(
         k=25, query=Term(MED1), columns=["orig_id", "n_chars"]
     )
+
+    # multi-field documents (reference per-leaf field names + per-field
+    # stats, field_meta.cpp / bm25.cpp:45-80): text and source are two
+    # indexed FIELDS sharing the doc-id space; the And sums each hit's
+    # field-local BM25 (source's own df/N/avg_dl=1), which the oracle
+    # recomputes from first principles per field.
+    def multifield_and(spark, sf_dir):
+        from iresearch_spark.index.multifield import build_multi_field_index
+
+        key = os.path.abspath(sf_dir) + ":mf"
+        if key not in _INDEX_CACHE:
+            docs = _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id")
+            mfi = build_multi_field_index(
+                docs, ["text", "source"], sort_key="orig_id",
+                bucket_bits=16, extra_doc_cols=["orig_id"],
+            )
+            mfi.cache()
+            _INDEX_CACHE[key] = mfi
+        mfi = _INDEX_CACHE[key]
+        eng = MultiFieldEngine(mfi)
+        m = eng.matches(
+            And([Field("text", Term(HIGH1)), Field("source", Term("src7"))])
+        )
+        return m.join(
+            mfi.indexes["text"].docs.select("doc_id", "orig_id"), "doc_id"
+        ).select("orig_id", F.round("score", 6).alias("score"))
+
+    q["multifield_and"] = multifield_and
 
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
@@ -929,6 +959,26 @@ def oracle_sql() -> dict[str, str]:
     )
     o["nn_analyzer_term"] = _nn_oracle_sql()
     o["classification_label"] = _cls_oracle_sql()
+    o["multifield_and"] = f"""{_CTE},
+src_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  WHERE source IS NOT NULL
+),
+src_df AS (
+  SELECT CAST(count(*) AS BIGINT) AS df FROM documents WHERE source = 'src7'
+)
+SELECT t.doc_id AS orig_id, ROUND(
+  SUM({_score()}) +
+  MAX((({_K}+1.0) * ln(1.0 + (ss.n_docs - sd.df + 0.5)/(sd.df + 0.5)))
+      * 1.0 / ({_K}*(1.0-{_B}) + ({_K}*{_B}/1.0)*1.0 + 1.0)),
+6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s
+JOIN tstats ts ON ts.term = t.term
+JOIN documents doc ON doc.doc_id = t.doc_id
+CROSS JOIN src_stats ss CROSS JOIN src_df sd
+WHERE t.term = '{HIGH1}' AND doc.source = 'src7'
+GROUP BY t.doc_id
+"""
     o["sorted_topk"] = """
 SELECT doc_id AS orig_id, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id ASC LIMIT 50

@@ -4,6 +4,7 @@ from iresearch_spark.search.ast import (  # noqa: F401
     Cached,
     Empty,
     Exists,
+    Field,
     Fuzzy,
     GranularRange,
     Nested,
@@ -20,3 +21,4 @@ from iresearch_spark.search.ast import (  # noqa: F401
     Wildcard,
 )
 from iresearch_spark.search.executor import SearchEngine  # noqa: F401
+from iresearch_spark.search.multifield import MultiFieldEngine  # noqa: F401

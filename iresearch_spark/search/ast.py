@@ -289,6 +289,26 @@ class GranularRange(Node):
 
 
 @dataclass(frozen=True)
+class Field(Node):
+    """Scope a subtree to a named indexed FIELD of a multi-field index
+    (the reference's per-leaf field name: `by_term(field, term)`,
+    filter.hpp `field()` on every term-level filter; per-field term
+    dictionaries, norms and scoring stats come from field_meta /
+    FieldCollector, core/index/field_meta.cpp, bm25.cpp:45-80).
+
+    On Spark each field is its own InvertedIndex sharing the same
+    deterministic doc-id space (index/multifield.py), so the wrapped
+    subtree evaluates against that field's postings + stats and the
+    (doc_id, score) result composes with other fields' results through
+    the ordinary boolean nodes: And([Field("title", Term("a")),
+    Field("body", Term("b"))])."""
+
+    field: str
+    child: Node
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Cached(Node):
     """Caches the wrapped query's materialized (doc_id, score) result
     across repeated executions within one engine (reference

@@ -1251,6 +1251,22 @@ class SearchEngine:
             return cached.select(
                 "doc_id", (F.col("score") * F.lit(b)).alias("score")
             )
+        if isinstance(node, ast.Field):
+            # field-scoped subtree (reference per-leaf field names): the
+            # wrapped query evaluates against THAT field's postings +
+            # stats (its own df/N/avg_dl/norms — the reference's
+            # field_meta / per-field FieldCollector, bm25.cpp:45-80) and
+            # the (doc_id, score) result composes here because every
+            # field index shares the deterministic doc-id space
+            engines = getattr(self, "_field_engines", None) or {}
+            eng = engines.get(node.field)
+            if eng is None:
+                raise ValueError(
+                    f"no indexed field {node.field!r} — query a "
+                    "MultiFieldEngine over indexes built by "
+                    "build_multi_field_index"
+                )
+            return eng._eval(node.child, boost * node.boost)
         if isinstance(node, ast.Nested):
             return self._eval_nested(node, boost)
         if isinstance(node, ast.NgramSimilarity):

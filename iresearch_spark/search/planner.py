@@ -72,7 +72,7 @@ def _rewrite(node: ast.Node) -> ast.Node:
             return ast.And(children, node.boost, node.merge_type)
         return ast.Or(children, mm, node.boost, node.merge_type)
 
-    if isinstance(node, (ast.Nested, ast.Cached)):
+    if isinstance(node, (ast.Nested, ast.Cached, ast.Field)):
         import dataclasses
 
         child = _rewrite(node.child)
