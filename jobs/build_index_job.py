@@ -4,7 +4,8 @@ Usage:
   spark-submit --py-files iresearch_spark.zip jobs/build_index_job.py \
       --input /path/to/pages_parquet --output /path/to/index \
       [--analyzer segmentation] [--text-col text] [--sort-key url] \
-      [--seg-bits 16] [--no-positions] [--incremental --checkpoint DIR]
+      [--seg-bits 16] [--no-positions] [--incremental --checkpoint DIR] \
+      [--sort-field warc_ts --sort-desc]   # sorted index (Comparer)
 
 Package with:  python jobs/package.py   (writes dist/iresearch_spark.zip)
 """
@@ -28,6 +29,10 @@ def main():
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--incremental", action="store_true")
     ap.add_argument("--checkpoint", default=None)
+    # sorted index (Comparer analogue): lay doc ids out in
+    # (--sort-field, --sort-key) order; --sort-desc reverses
+    ap.add_argument("--sort-field", default=None)
+    ap.add_argument("--sort-desc", action="store_true")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("iresearch-build").getOrCreate()
@@ -60,6 +65,8 @@ def main():
         analyzer=args.analyzer,
         with_positions=not args.no_positions,
         seg_bits=args.seg_bits,
+        sort_field=args.sort_field,
+        sort_ascending=not args.sort_desc,
     )
     idx.save(args.output)
     print(
