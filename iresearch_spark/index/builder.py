@@ -86,7 +86,8 @@ def assign_doc_ids(df: DataFrame, key_col: str, n_buckets: int = 1024) -> DataFr
         offsets[bkt] = acc
         acc += counts[bkt]
     offs = spark.createDataFrame(
-        [(int(b), int(o)) for b, o in offsets.items()], "_bkt int, _offset long"
+        [(int(b), int(o)) for b, o in offsets.items()],
+        "_bkt long, _offset long",
     )
     w = Window.partitionBy("_bkt").orderBy(key_col)
     return (
@@ -729,28 +730,86 @@ def _sorted_bucket_layout(
         )
     mn = int(row["mn"] or 0)
     mx = int(row["mx"] or 0)
+    total = int(row["n"] or 0)
     span = mx - mn + 1
-    shift = max(0, span.bit_length() - max(1, n_buckets.bit_length() - 1))
-    if shift == 0:
-        bkt = (sv - F.lit(mn)).cast("int")
-    else:
-        # halved subtraction: span may exceed int64 (double surrogates
-        # run the full sortable range), (sv>>1 - mn>>1) cannot overflow
-        # and stays monotonic non-strict — all bucketing needs
-        bkt = F.shiftright(
-            F.shiftright(sv, 1) - F.lit(mn >> 1), shift - 1
-        ).cast("int")
+
+    # Quantize the VALUE RANGE into ~2^16 uniform cells, then refine:
+    # uniform-width cells skew badly when the data clusters in a narrow
+    # slice of [min, max] (a crawl's warc_ts against one epoch-0
+    # outlier), so cells holding > total/64 rows get ONE deterministic
+    # refinement pass at 4096x finer granularity (a second slim count
+    # restricted to the hot cells — ≤ 64 * 4096 + 65536 count rows
+    # driver-side at ANY corpus size). Final bucket ids are the cell's
+    # interval START in fine units, so integer order == value order and
+    # the adjacent-bucket segment grouping below rebuilds ~equi-depth
+    # segments. Residual bound (documented): rows sharing ONE sort
+    # value always share a bucket and rank by key in one window
+    # partition — the same per-segment single-writer bound the
+    # reference has when segment_writer sorts a segment.
+    # everything runs in the HALVED value domain ((sv>>1) - (mn>>1):
+    # cannot overflow int64 even when the span covers the full sortable
+    # range, monotonic non-strict — all bucketing needs; the final
+    # within-bucket sort uses the real column, so the lost LSB only
+    # merges adjacent values into one bucket)
+    svh = F.shiftright(sv, 1) - F.lit(mn >> 1)
+
+    def _q(shift: int):
+        return F.shiftright(svh, shift).cast("long") if shift else svh.cast("long")
+
+    hot_cap = max(total // 64, seg_target_docs)
+    s = max(0, (span // 2 + 1).bit_length() - 16)
+    counts = {
+        int(r["b"]): int(r["cnt"])
+        for r in df.select(_q(s).alias("b")).groupBy("b")
+        .agg(F.count("*").alias("cnt")).collect()
+    }
+    # final cells keyed by interval START in halved-domain units so
+    # integer order == value order regardless of refinement depth
+    cnt: dict[int, int] = {}
+    hot_chain: list[tuple[int, list[int]]] = []  # (shift, hot ids)
+    while True:
+        hot = sorted(
+            (b for b, c in counts.items() if c > hot_cap),
+            key=lambda b: -counts[b],
+        )[:4096]
+        for b, c in counts.items():
+            if b not in set(hot):
+                cnt[b << s] = c
+        if not hot or s == 0:
+            # shift-0 cells still above cap = runs of (near-)equal sort
+            # values: they stay whole and rank by key in one window
+            # partition — the per-segment single-writer bound the
+            # reference's segment_writer sort equally has
+            for b in hot:
+                cnt[b << s] = counts[b]
+            break
+        hot_chain.append((s, [int(h) for h in hot]))
+        s2 = max(0, s - 12)
+        flt = df
+        for hs, hids in hot_chain:
+            flt = flt.filter(_q(hs).isin(hids))
+        counts = {
+            int(r["b"]): int(r["cnt"])
+            for r in flt.select(_q(s2).alias("b")).groupBy("b")
+            .agg(F.count("*").alias("cnt")).collect()
+        }
+        s = s2
+    # bucket expression: deepest-first CASE down the hot chain, each
+    # branch emitting the row's cell START in halved units
+    bkt = F.shiftleft(_q(s), s) if s else _q(s)
+    for hs, hids in reversed(hot_chain):
+        qh = _q(hs)
+        bkt = F.when(qh.isin(hids), bkt).otherwise(
+            F.shiftleft(qh, hs) if hs else qh
+        )
+    bkt = bkt.cast("long")
     if not ascending:
         # the posting/norm encoders need doc ids ASCENDING in partition
         # order and partitions sort by _bkt ascending — negating the
         # bucket id makes ascending bucket order == descending sort
         # order == ascending doc-id order
-        bkt = (-bkt).cast("int")
-    counts = (
-        df.select(bkt.alias("_bkt")).groupBy("_bkt")
-        .agg(F.count("*").alias("cnt")).collect()
-    )
-    cnt = {r["_bkt"]: r["cnt"] for r in counts}
+        bkt = (-bkt).cast("long")
+        cnt = {-b: c for b, c in cnt.items()}
     offsets: dict[int, int] = {}
     seg_of: dict[int, int] = {}
     acc = id_base
@@ -819,7 +878,9 @@ def _fused_blocks(
     spark = df.sparkSession
     map_df = spark.createDataFrame(
         [(int(b), int(seg_of[b]), int(offsets[b])) for b in offsets],
-        "_bkt int, _seg int, _off long",
+        # long: sorted layouts key buckets by halved-domain interval
+        # starts (builder._sorted_bucket_layout), which exceed int32
+        "_bkt long, _seg int, _off long",
     )
     # sorted indexes (Comparer analogue) ship the sort column through
     # the shuffle (8-byte numeric / short string) so the in-partition
@@ -861,7 +922,8 @@ def fused_doc_map(
     ranking the fused build uses; carries only key + extra_cols."""
     spark = df.sparkSession
     offs = spark.createDataFrame(
-        [(int(b), int(o)) for b, o in offsets.items()], "_bkt int, _offset long"
+        [(int(b), int(o)) for b, o in offsets.items()],
+        "_bkt long, _offset long",
     )
     from pyspark.sql import Window
 

@@ -176,6 +176,45 @@ def test_sorted_save_load_merge_purge(spark, pages, tmp_path):
     assert merged.sort_field is None
 
 
+def test_sorted_layout_skew_resistant(spark):
+    """A dominant cluster 9 orders of magnitude narrower than the value
+    span must still spread across segments (the hot-cell refinement
+    pass), not collapse into one giant segment — the 100 TB skew bound.
+    Order stays exact end-to-end."""
+    rows = [
+        (f"k{i:05d}", int(i % 97) if i % 20 else 10**12, "alpha beta")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "url string, n long, text string")
+    from iresearch_spark.index.builder import _sorted_bucket_layout
+
+    offsets, seg_of, bkt, order = _sorted_bucket_layout(
+        df, "n", "url", 1024, 128
+    )
+    cnts = {
+        r["b"]: r["cnt"]
+        for r in df.select(bkt.alias("b")).groupBy("b")
+        .agg(F.count("*").alias("cnt")).collect()
+    }
+    per_seg: dict = {}
+    for b, c in cnts.items():
+        per_seg[seg_of[b]] = per_seg.get(seg_of[b], 0) + c
+    # the 1900-row cluster spans many buckets (97 distinct values after
+    # refinement), so no segment exceeds target + one bucket's ties
+    assert len(per_seg) >= 10
+    assert max(per_seg.values()) <= 128 + max(cnts.values())
+    # end-to-end order identical to the oracle sort
+    idx = build_index(
+        df, analyzer="simple", id_col=None, sort_key="url",
+        sort_field="n", bucket_bits=8, extra_doc_cols=["url"],
+    )
+    got = [
+        tuple(r)
+        for r in idx.docs.orderBy("doc_id").select("url", "n").collect()
+    ]
+    assert got == _order(df, "n", True)
+
+
 def test_null_sort_value_rejected(spark):
     df = spark.createDataFrame(
         [("a", 1, "x y"), ("b", None, "y z")], "url string, n long, text string"
