@@ -176,6 +176,27 @@ def test_sorted_save_load_merge_purge(spark, pages, tmp_path):
     assert merged.sort_field is None
 
 
+def test_double_sort_field_with_negatives(spark):
+    """Doubles ride the IEEE sortable transform (index/numeric.py) in
+    the layout quantizer: negatives, zeros and wide magnitudes must
+    order exactly; the -0.0/0.0 tie resolves by key like SQL."""
+    vals = [-1e12, -3.5, -0.0, 0.0, 1e-9, 2.25, 7.0, 9e11]
+    rows = [
+        (f"k{i:03d}", float(vals[i % len(vals)]), "alpha beta")
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "url string, x double, text string")
+    idx = build_index(
+        df, analyzer="simple", id_col=None, sort_key="url",
+        sort_field="x", bucket_bits=8, extra_doc_cols=["url"],
+    )
+    got = [
+        tuple(r)
+        for r in idx.docs.orderBy("doc_id").select("url", "x").collect()
+    ]
+    assert got == _order(df, "x", True)
+
+
 def test_sorted_layout_skew_resistant(spark):
     """A dominant cluster 9 orders of magnitude narrower than the value
     span must still spread across segments (the hot-cell refinement
