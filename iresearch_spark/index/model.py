@@ -190,6 +190,10 @@ class InvertedIndex:
     # sort_key) order. None = unsorted (hash-bucket key order).
     sort_field: str | None = None
     sort_ascending: bool = True
+    # SAVED sorted index: per-file [path, min_doc, max_doc, rows] of
+    # the doc-id-range-partitioned docs table, sorted by min_doc —
+    # top_docs reads only the head files covering k rows
+    docs_ranges: list | None = None
     # True on a merged multi-segment view (streaming/incremental.read):
     # dictionary rows (term_stats/rev/gram files) then appear once PER
     # SEGMENT with segment-local df/cf, so every pruned accessor must
@@ -487,6 +491,7 @@ class InvertedIndex:
             if c in postings.columns:
                 postings = postings.drop(c)
         term_buckets = None
+        docs_ranges = None
         if optimize_layout:
             # ~2M block rows per bucket keeps files O(100MB); min 16
             # buckets so exact-term queries prune to <=1/16 of the
@@ -543,9 +548,27 @@ class InvertedIndex:
                 )
 
             def _w_docs():
-                self.docs.coalesce(n_part).write.mode(mode).parquet(
-                    os.path.join(path, "docs")
-                )
+                if self.sort_field is not None:
+                    # SORTED index: docs written in doc-id order across
+                    # disjoint file ranges, so "first k in sort order"
+                    # (top_docs) reads only the head files — the
+                    # distributed analogue of the reference's in-order
+                    # segment iteration stopping at k. Range boundaries
+                    # come from sampling (file SIZES may vary run to
+                    # run) but values/order are already fixed, so
+                    # determinism of results is unaffected.
+                    (
+                        self.docs.repartitionByRange(
+                            max(16, n_part), "doc_id"
+                        )
+                        .sortWithinPartitions("doc_id")
+                        .write.mode(mode)
+                        .parquet(os.path.join(path, "docs"))
+                    )
+                else:
+                    self.docs.coalesce(n_part).write.mode(mode).parquet(
+                        os.path.join(path, "docs")
+                    )
 
             def _w_fwd():
                 (
@@ -631,6 +654,8 @@ class InvertedIndex:
                 term_stats_rev_ranges,
                 term_grams_ranges,
             ) = self._dictionary_file_ranges(path)
+            if self.sort_field is not None:
+                docs_ranges = self._docs_file_ranges(path)
         else:
             postings.write.mode(mode).parquet(os.path.join(path, "postings"))
             self.docs.coalesce(n_part).write.mode(mode).parquet(
@@ -668,6 +693,10 @@ class InvertedIndex:
             "precision_step": self.precision_step,
             "sort_field": self.sort_field,
             "sort_ascending": self.sort_ascending,
+            # per-file [min_doc, max_doc, rows] of the doc-id-range-
+            # partitioned docs table (sorted indexes only): top_docs
+            # reads just the head files covering its k
+            "docs_ranges": docs_ranges,
         }
         tmp = os.path.join(path, "_manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -758,6 +787,58 @@ class InvertedIndex:
             ),
         )
 
+    def _docs_file_ranges(self, path: str):
+        """Per-file [min_doc, max_doc, rows] for the doc-id-range-
+        partitioned docs table of a SORTED index. Footer statistics
+        driver-side (duckdb), Spark-aggregation fallback."""
+        d = os.path.join(path, "docs")
+        try:
+            import duckdb
+
+            n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            rows = duckdb.execute(
+                "SELECT file_name,"
+                " min(CAST(stats_min_value AS BIGINT)),"
+                " max(CAST(stats_max_value AS BIGINT)),"
+                " sum(num_values)"
+                " FROM parquet_metadata(?)"
+                " WHERE path_in_schema = 'doc_id' GROUP BY file_name",
+                [os.path.join(d, "*.parquet")],
+            ).fetchall()
+            if len(rows) != n_files or any(
+                mn is None or mx is None for _, mn, mx, _ in rows
+            ):
+                raise ValueError("parquet stats missing")
+            return sorted(
+                ((os.path.relpath(f, path), int(mn), int(mx), int(n))
+                 for f, mn, mx, n in rows),
+                key=lambda r: r[1],
+            )
+        except Exception:
+            pass
+        franges = (
+            self.docs.sparkSession.read.parquet(d)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("doc_id").alias("mn"),
+                F.max("doc_id").alias("mx"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        prefix = "file:"
+
+        def _rel(f: str) -> str:
+            return os.path.relpath(
+                f[len(prefix):] if f.startswith(prefix) else f, path
+            )
+
+        return sorted(
+            ((_rel(r["f"]), int(r["mn"]), int(r["mx"]), int(r["n"]))
+             for r in franges),
+            key=lambda r: r[1],
+        )
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
         with open(os.path.join(path, "manifest.json")) as f:
@@ -815,6 +896,14 @@ class InvertedIndex:
             precision_step=manifest.get("precision_step", 64),
             sort_field=manifest.get("sort_field"),
             sort_ascending=manifest.get("sort_ascending", True),
+            docs_ranges=(
+                [
+                    (os.path.join(path, f), mn, mx, n)
+                    for f, mn, mx, n in manifest["docs_ranges"]
+                ]
+                if manifest.get("docs_ranges")
+                else None
+            ),
         )
 
     def cache(self) -> "InvertedIndex":

@@ -184,7 +184,24 @@ class SearchEngine:
         reference's cutoff iteration. Columns default to the docs
         table's (doc_id, dl, extra_doc_cols incl. the sort field)."""
         docs = self._apply_delete_mask(self.index.docs)
-        if query is not None:
+        ranges = getattr(self.index, "docs_ranges", None)
+        if query is None and self.index.deleted is None and ranges:
+            # SAVED sorted index: the docs table is doc-id-range
+            # partitioned with per-file [min, max, rows] in the
+            # manifest — read ONLY the head files covering k rows (the
+            # reference's in-order iteration stopping at k; at 10^12
+            # docs this touches O(k / rows-per-file) files, not the
+            # corpus). Deletes disable the shortcut (masked rows make
+            # per-file counts stale); filtered queries keep the
+            # TakeOrderedAndProject full plan (selectivity unknown).
+            acc, sel = 0, []
+            for f, _mn, _mx, n in ranges:  # sorted by min_doc
+                sel.append(f)
+                acc += n
+                if acc >= k:
+                    break
+            docs = self._spark.read.parquet(*sel)
+        elif query is not None:
             m = self._execute(query, k=None, mode="exhaustive")
             docs = docs.join(m.select("doc_id"), "doc_id", "semi")
         out = docs.orderBy(F.asc("doc_id")).limit(k)

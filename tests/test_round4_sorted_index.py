@@ -176,6 +176,29 @@ def test_sorted_save_load_merge_purge(spark, pages, tmp_path):
     assert merged.sort_field is None
 
 
+def test_top_docs_file_pruning_on_saved_index(spark, pages, tmp_path):
+    """A saved sorted index stores per-file doc-id ranges: top_docs(k)
+    must read only the head files covering k rows (in-order iteration
+    stopping at k), and return exactly the unpruned result."""
+    idx = build_index(
+        pages, analyzer="simple", id_col=None, sort_key="url",
+        sort_field="n", sort_ascending=False, bucket_bits=8,
+        extra_doc_cols=["url"],
+    )
+    p = str(tmp_path / "ixp")
+    idx.save(p)
+    loaded = InvertedIndex.load(spark, p)
+    assert loaded.docs_ranges and len(loaded.docs_ranges) >= 2
+    # ranges are disjoint, sorted, and cover every doc
+    ends = [(mn, mx) for _, mn, mx, _ in loaded.docs_ranges]
+    assert all(a[1] < b[0] for a, b in zip(ends, ends[1:]))
+    assert sum(n for *_, n in loaded.docs_ranges) == 120
+    eng = SearchEngine(loaded)
+    out = eng.top_docs(k=5, columns=["url", "n"])
+    assert [tuple(r) for r in out.collect()] == _order(pages, "n", False)[:5]
+    assert len(out.inputFiles()) < len(loaded.docs_ranges)
+
+
 def test_double_sort_field_with_negatives(spark):
     """Doubles ride the IEEE sortable transform (index/numeric.py) in
     the layout quantizer: negatives, zeros and wide magnitudes must
