@@ -190,6 +190,36 @@ def test_save_load_delete_roundtrip(spark, mf, tmp_path):
     assert victim not in aftert
 
 
+def test_search_many_mixes_fields(spark, mf):
+    """Batched queries may target different fields: per-query results
+    must equal the individual search() results, and same-field queries
+    share that field's batch path."""
+    df, idx = mf
+    eng = MultiFieldEngine(idx)
+    queries = {
+        "t_spark": Field("title", Term("spark")),
+        "b_shuffle": Field("body", Term("shuffle")),
+        "b_alpha": Field("body", Term("alpha")),
+        "default_plain": Term("plain"),
+    }
+    batched = eng.search_many(queries, k=5)
+    got = {
+        name: [
+            (r["doc_id"], round(r["score"], 9))
+            for r in batched.filter(F.col("query") == name)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        for name in queries
+    }
+    for name, q in queries.items():
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search(q, k=5).collect()
+        ]
+        assert got[name] == want, name
+
+
 def test_unknown_field_raises(spark, mf):
     df, idx = mf
     eng = MultiFieldEngine(idx)
