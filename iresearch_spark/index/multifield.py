@@ -113,13 +113,16 @@ def build_multi_field_index(
     `analyzers` overrides the analyzer per field (the reference binds
     an analyzer per indexed field through its token_stream); `analyzer`
     is the default for the rest. Remaining kwargs forward to
-    build_index (bucket_bits, with_positions, extra_doc_cols, ...).
-    `id_col`/`sort_field` are not forwardable: the shared doc-id space
-    requires the deterministic sort_key layout, identical per field.
+    build_index (bucket_bits, with_positions, extra_doc_cols, and also
+    sort_field/sort_ascending — a SORTED multi-field index works
+    because the sorted layout is equally a pure function of the data,
+    so every field gets identical ids). `id_col` is not forwardable:
+    the shared doc-id space requires the deterministic sort_key layout,
+    identical per field.
     """
     if not fields:
         raise ValueError("need at least one field")
-    for bad in ("id_col", "sort_field", "text_col"):
+    for bad in ("id_col", "text_col"):
         if bad in build_kwargs:
             raise ValueError(f"{bad} cannot be used with a multi-field build")
     indexes = {

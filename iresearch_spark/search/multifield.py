@@ -85,6 +85,16 @@ class MultiFieldEngine:
             df = df.unionByName(o)
         return df
 
+    def top_docs(self, k: int = 10, query=None, columns=None) -> DataFrame:
+        """First k live docs in index order (on a SORTED multi-field
+        index: sort order). The filter may be field-scoped or a
+        cross-field boolean; the docs table read comes from the
+        default field's index (ids and sort layout are shared)."""
+        if query is not None and isinstance(query, ast.Field):
+            eng, q = self._route(query)
+            return eng.top_docs(k=k, query=q, columns=columns)
+        return self.default.top_docs(k=k, query=query, columns=columns)
+
     def close(self) -> None:
         for e in self.engines.values():
             e.close()

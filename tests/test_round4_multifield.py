@@ -220,6 +220,46 @@ def test_search_many_mixes_fields(spark, mf):
         assert got[name] == want, name
 
 
+def test_sorted_multifield_composition(spark, mf):
+    """sort_field forwards per field: every field index shares the
+    sorted doc-id space, so cross-field queries compose AND top_docs
+    serves first-k-by-sort with a cross-field filter."""
+    df, idx = mf
+    dfn = df.withColumn("n", F.length("body"))
+    s = build_multi_field_index(
+        dfn, ["title", "body"], sort_key="url", bucket_bits=8,
+        extra_doc_cols=["url"], sort_field="n", sort_ascending=False,
+    )
+    a = {r["url"]: r["doc_id"] for r in s.indexes["title"].docs.collect()}
+    b = {r["url"]: r["doc_id"] for r in s.indexes["body"].docs.collect()}
+    assert a == b
+    eng = MultiFieldEngine(s)
+    got = [
+        tuple(r)
+        for r in eng.top_docs(
+            k=6,
+            query=And([Field("title", Term("spark")),
+                       Field("body", Term("shuffle"))]),
+            columns=["url", "n"],
+        ).collect()
+    ]
+    both = (
+        {r["url"] for r in eng.matches(Field("title", Term("spark")))
+         .join(s.indexes["title"].docs.select("doc_id", "url"), "doc_id")
+         .collect()}
+        & {r["url"] for r in eng.matches(Field("body", Term("shuffle")))
+           .join(s.indexes["body"].docs.select("doc_id", "url"), "doc_id")
+           .collect()}
+    )
+    want = [
+        tuple(r)
+        for r in dfn.filter(F.col("url").isin(list(both)))
+        .orderBy(F.desc("n"), F.asc("url")).select("url", "n")
+        .limit(6).collect()
+    ]
+    assert got == want and got
+
+
 def test_unknown_field_raises(spark, mf):
     df, idx = mf
     eng = MultiFieldEngine(idx)
