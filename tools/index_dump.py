@@ -40,6 +40,16 @@ def main() -> None:
     from iresearch_spark.session import get_spark
 
     spark = get_spark("index-dump", cores=args.cores)
+    mf_path = os.path.join(args.index, "multifield.json")
+    if os.path.exists(mf_path):
+        with open(mf_path) as f:
+            mf = json.load(f)
+        print(
+            f"multi-field index: fields={mf['fields']}"
+            f" default={mf['default_field']!r} — dumping the default"
+            f" (re-run with --index {args.index}/field=<name> for others)"
+        )
+        args.index = os.path.join(args.index, f"field={mf['default_field']}")
     with open(os.path.join(args.index, "manifest.json")) as f:
         manifest = json.load(f)
 
@@ -81,6 +91,16 @@ def main() -> None:
             idx.term_buckets,
         )
     )
+    if idx.sort_field is not None:
+        print(
+            "sorted index: sort_field=%r %s, docs files with pruned"
+            " doc-id ranges=%s"
+            % (
+                idx.sort_field,
+                "asc" if idx.sort_ascending else "desc",
+                len(idx.docs_ranges or []) or "-",
+            )
+        )
     if idx.numeric_meta:
         print(
             "numeric dictionary: fields=%s precision_step=%d"
