@@ -259,6 +259,46 @@ def test_sorted_layout_skew_resistant(spark):
     assert got == _order(df, "n", True)
 
 
+_DISTRIBUTIONS = {
+    "all_equal": lambda i: 7,
+    "two_point_outlier": lambda i: 0 if i % 50 else -(2**62),
+    "dense_plus_spread": lambda i: (i % 13) if i % 3 else i * 10**9,
+    "alternating_sign": lambda i: (-1) ** i * (i**3),
+    "full_int64_range": lambda i: (-(2**63) + 1) if i == 0 else (
+        2**63 - 1 if i == 1 else i * 7919
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_DISTRIBUTIONS))
+@pytest.mark.parametrize("ascending", [True, False])
+def test_sorted_layout_monotone_invariant(spark, name, ascending):
+    """The layout's soundness rests on ONE invariant: the bucket id is
+    monotone (non-strict) in the sort value, at any refinement depth,
+    in either direction — checked here against adversarial value
+    distributions (ties, extreme outliers, full int64 span)."""
+    gen = _DISTRIBUTIONS[name]
+    rows = [(f"k{i:04d}", int(gen(i)), "alpha") for i in range(300)]
+    df = spark.createDataFrame(rows, "url string, n long, text string")
+    from iresearch_spark.index.builder import _sorted_bucket_layout
+
+    offsets, seg_of, bkt, order = _sorted_bucket_layout(
+        df, "n", "url", 1024, 64, ascending=ascending
+    )
+    pairs = (
+        df.select(F.col("n"), bkt.alias("b")).orderBy("n").collect()
+    )
+    bs = [r["b"] for r in pairs]
+    if ascending:
+        assert all(a <= b for a, b in zip(bs, bs[1:]))
+    else:
+        # descending layouts negate the id: value asc == id non-increasing
+        assert all(a >= b for a, b in zip(bs, bs[1:]))
+    # offsets cover every bucket once, counts sum to the corpus
+    assert sorted(offsets) == sorted(set(r["b"] for r in pairs))
+    assert len(seg_of) == len(offsets)
+
+
 def test_null_sort_value_rejected(spark):
     df = spark.createDataFrame(
         [("a", 1, "x y"), ("b", None, "y z")], "url string, n long, text string"
