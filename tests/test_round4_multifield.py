@@ -201,6 +201,10 @@ def test_search_many_mixes_fields(spark, mf):
         "b_shuffle": Field("body", Term("shuffle")),
         "b_alpha": Field("body", Term("alpha")),
         "default_plain": Term("plain"),
+        # cross-field boolean rides the default engine's per-query
+        # subplan fallback inside the same batch
+        "cross": And([Field("title", Term("spark")),
+                      Field("body", Term("shuffle"))]),
     }
     batched = eng.search_many(queries, k=5)
     got = {
