@@ -73,6 +73,19 @@ _CLS_DOCS = [
     "quantum flux",
 ]
 
+# repeated-paragraph fixture ('|'-separated paragraphs; the boilerplate
+# line appears in 4 docs, 'twice para' in 2, doc 3 is all boilerplate)
+_PARA_DOCS = [
+    (0, "alpha one|subscribe to our newsletter|beta two"),
+    (1, "subscribe to our newsletter|gamma three"),
+    (2, "delta four|subscribe to our newsletter"),
+    (3, "subscribe to our newsletter"),
+    (4, "unique only"),
+    (5, "twice para|epsilon"),
+    (6, "twice para|zeta"),
+    (7, "a||b"),
+]
+
 # query terms chosen from the synthetic vocabulary's df spectrum
 HIGH1, HIGH2, MED1, LOW1 = "batch", "small", "key", "dup"
 TOPK_TERMS = ["batch", "small", "scan", "join"]
@@ -314,6 +327,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("orig_id", F.round("score", 6).alias("score"))
 
     q["multifield_and"] = multifield_and
+
+    # corpus-wide repeated-paragraph removal (CCNet/RefinedWeb
+    # boilerplate step) on a literal fixture: paragraph df counted
+    # across docs, survivors rebuilt in original order, fully-
+    # boilerplate docs retained with empty text
+    def paragraph_dedup(spark, sf_dir):
+        from iresearch_spark.ops.dedup import drop_repeated_paragraphs
+
+        df = spark.createDataFrame(_PARA_DOCS, "doc_id long, text string")
+        return drop_repeated_paragraphs(df, sep="|").select("doc_id", "text")
+
+    q["paragraph_dedup"] = paragraph_dedup
 
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
@@ -978,6 +1003,27 @@ JOIN documents doc ON doc.doc_id = t.doc_id
 CROSS JOIN src_stats ss CROSS JOIN src_df sd
 WHERE t.term = '{HIGH1}' AND doc.source = 'src7'
 GROUP BY t.doc_id
+"""
+    _para_values = ", ".join(f"({i}, '{t}')" for i, t in _PARA_DOCS)
+    o["paragraph_dedup"] = f"""
+WITH pd(doc_id, text) AS (VALUES {_para_values}),
+arrs AS (SELECT doc_id, string_split(text, '|') AS arr FROM pd),
+parts AS (
+  SELECT doc_id, unnest(arr) AS para, generate_subscripts(arr, 1) AS ord
+  FROM arrs
+),
+ne AS (SELECT * FROM parts WHERE para <> ''),
+pdf AS (
+  SELECT para, count(DISTINCT doc_id) AS pdf FROM ne GROUP BY 1
+),
+kept AS (
+  SELECT ne.doc_id, ne.para, ne.ord FROM ne JOIN pdf USING (para)
+  WHERE pdf <= 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(k.para, '|' ORDER BY k.ord), '') AS text
+FROM pd d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id
 """
     o["sorted_topk"] = """
 SELECT doc_id AS orig_id, n_chars FROM documents

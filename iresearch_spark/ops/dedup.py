@@ -446,3 +446,57 @@ def embedding_dup_pairs(
     else:
         raise ValueError("method must be 'auto', 'lsh', or 'exact'")
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def drop_repeated_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_df: int = 1,
+) -> DataFrame:
+    """Corpus-wide boilerplate removal (the CCNet / RefinedWeb /
+    Gopher-pipeline "remove duplicated lines/paragraphs across
+    documents" step): split each document at `sep`, drop every
+    paragraph whose DOCUMENT frequency across the corpus exceeds
+    `max_df` (default 1 = keep only corpus-unique paragraphs), and
+    rebuild each document's text from the surviving paragraphs in
+    their original order. Empty paragraphs (consecutive separators)
+    are ignored. Documents whose every paragraph is boilerplate come
+    back with empty text, never dropped.
+
+    Scale shape: posexplode + one paragraph-keyed groupBy (map-side
+    partial count) + one doc-keyed regroup — linear, no self-join, no
+    driver-side state. A pathologically hot paragraph is ONE counter
+    row, and the rebuild groups by doc id (uniform by construction).
+    All JVM expressions; no Python UDFs.
+    """
+    import re as _re
+
+    parts = (
+        df.select(
+            id_col,
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep), -1)
+            ).alias("_pos", "_para"),
+        )
+        .filter(F.col("_para") != "")
+    )
+    pdf = parts.groupBy("_para").agg(
+        F.count_distinct(F.col(id_col)).alias("_pdf")
+    )
+    kept = parts.join(pdf, "_para").filter(F.col("_pdf") <= max_df)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .na.fill({text_col: ""})
+    )
