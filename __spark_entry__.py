@@ -86,6 +86,10 @@ _PARA_DOCS = [
     (7, "a||b"),
 ]
 
+# decontamination eval set (trigrams drawn from the synthetic
+# vocabulary so the gate actually drops documents)
+_EVAL_TEXTS = ["batch small scan", "table hash join"]
+
 # query terms chosen from the synthetic vocabulary's df spectrum
 HIGH1, HIGH2, MED1, LOW1 = "batch", "small", "key", "dup"
 TOPK_TERMS = ["batch", "small", "scan", "join"]
@@ -339,6 +343,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return drop_repeated_paragraphs(df, sep="|").select("doc_id", "text")
 
     q["paragraph_dedup"] = paragraph_dedup
+
+    # benchmark decontamination (GPT-3-style n-gram overlap vs an eval
+    # set; n=3 here so the tiny corpus has hits) over the real
+    # documents table — the oracle recomputes gram sets in SQL
+    def decontaminate_gate(spark, sf_dir):
+        from iresearch_spark.ops.dedup import decontaminate
+
+        ev = spark.createDataFrame(
+            [(t,) for t in _EVAL_TEXTS], "text string"
+        )
+        return decontaminate(_docs(spark, sf_dir), ev, n=3).select("doc_id")
+
+    q["decontaminate"] = decontaminate_gate
 
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
@@ -1003,6 +1020,34 @@ JOIN documents doc ON doc.doc_id = t.doc_id
 CROSS JOIN src_stats ss CROSS JOIN src_df sd
 WHERE t.term = '{HIGH1}' AND doc.source = 'src7'
 GROUP BY t.doc_id
+"""
+    _ev_values = ", ".join(f"('{t}')" for t in _EVAL_TEXTS)
+    o["decontaminate"] = f"""
+WITH ev(text) AS (VALUES {_ev_values}),
+etoks AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS arr FROM ev
+),
+eg AS (
+  SELECT DISTINCT array_to_string(arr[i:i+2], ' ') AS gram
+  FROM (
+    SELECT arr, unnest(generate_series(1, len(arr) - 2)) AS i
+    FROM etoks WHERE len(arr) >= 3
+  )
+),
+dtoks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+  FROM documents
+),
+dg AS (
+  SELECT doc_id, array_to_string(arr[i:i+2], ' ') AS gram
+  FROM (
+    SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+    FROM dtoks WHERE len(arr) >= 3
+  )
+),
+bad AS (SELECT DISTINCT doc_id FROM dg JOIN eg USING (gram))
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
     _para_values = ", ".join(f"({i}, '{t}')" for i, t in _PARA_DOCS)
     o["paragraph_dedup"] = f"""

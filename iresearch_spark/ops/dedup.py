@@ -500,3 +500,49 @@ def drop_repeated_paragraphs(
         .join(rebuilt, id_col, "left")
         .na.fill({text_col: ""})
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Llama-style training-data
+    hygiene step): drop every document sharing at least one n-gram of
+    whitespace-lowercased tokens with the evaluation set. Default
+    n=13, the published GPT-3 setting.
+
+    Scale shape: the eval set's distinct n-grams are a small table
+    (benchmarks are tiny next to a crawl) — broadcast-joined against
+    the corpus's exploded n-grams, then one distinct + anti-join on
+    doc ids. Corpus-side grams never shuffle (the join is map-side
+    against the broadcast). Documents shorter than n tokens are never
+    contaminated. All JVM expressions; no Python UDFs.
+    """
+
+    def _grams_col(col: str):
+        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    eval_grams = (
+        eval_df.select(F.explode(_grams_col(eval_text_col)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        id_col, F.explode(_grams_col(text_col)).alias("gram")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(eval_grams), "gram")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
