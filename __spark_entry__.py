@@ -90,6 +90,23 @@ _PARA_DOCS = [
 # vocabulary so the gate actually drops documents)
 _EVAL_TEXTS = ["batch small scan", "table hash join"]
 
+# URL canonicalization fixture (ports, tracking params, fragments,
+# trailing slashes, case, userinfo, non-URL passthrough)
+_URL_FIXTURE = [
+    "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+    "http://example.com/a/b?a=1&b=2",
+    "https://Example.com:443/",
+    "https://example.com",
+    "https://example.com/path/",
+    "not a url",
+    "  ftp://Host.Net:21/file  ",
+    "https://example.com/?fbclid=abc",
+    "https://example.com/x?gclid=1&z=9&y=8",
+    "https://user:p@Host.com/Case/Kept",
+    "http://example.com:8080/a",
+    "https://example.com/a?utm_campaign&x=1",
+]
+
 # query terms chosen from the synthetic vocabulary's df spectrum
 HIGH1, HIGH2, MED1, LOW1 = "batch", "small", "key", "dup"
 TOPK_TERMS = ["batch", "small", "scan", "join"]
@@ -356,6 +373,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decontaminate(_docs(spark, sf_dir), ev, n=3).select("doc_id")
 
     q["decontaminate"] = decontaminate_gate
+
+    # URL canonicalization (crawl-pipeline URL dedup key): literal
+    # fixture; the oracle replays the same regexp grammar in SQL
+    def url_canonicalize(spark, sf_dir):
+        from iresearch_spark.ops.urls import canonicalize_url
+
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(_URL_FIXTURE)], "id long, url string"
+        )
+        return df.select(
+            "id", canonicalize_url(F.col("url")).alias("canon")
+        )
+
+    q["url_canonicalize"] = url_canonicalize
 
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
@@ -1048,6 +1079,42 @@ dg AS (
 bad AS (SELECT DISTINCT doc_id FROM dg JOIN eg USING (gram))
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+    _url_values = ", ".join(
+        "({}, '{}')".format(i, u.replace("'", "''"))
+        for i, u in enumerate(_URL_FIXTURE)
+    )
+    o["url_canonicalize"] = f"""
+WITH u(id, url) AS (VALUES {_url_values}),
+t AS (SELECT id, trim(url) AS s FROM u),
+p AS (
+  SELECT id, s,
+    coalesce(lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)), '') AS scheme,
+    coalesce(lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), '') AS auth0,
+    coalesce(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '') AS path0,
+    coalesce(regexp_extract(s, '\\?([^#]*)', 1), '') AS q0
+  FROM t
+),
+c AS (
+  SELECT id, s, scheme,
+    CASE WHEN scheme = 'http' AND auth0 LIKE '%:80'
+           THEN regexp_replace(auth0, ':80$', '')
+         WHEN scheme = 'https' AND auth0 LIKE '%:443'
+           THEN regexp_replace(auth0, ':443$', '')
+         ELSE auth0 END AS auth,
+    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path0, '/+$', '') END AS path,
+    coalesce(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') AS query
+  FROM p
+)
+SELECT CAST(id AS BIGINT) AS id,
+  CASE WHEN regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+       THEN scheme || '://' || auth || path ||
+            CASE WHEN query = '' THEN '' ELSE '?' || query END
+       ELSE s END AS canon
+FROM c
 """
     _para_values = ", ".join(f"({i}, '{t}')" for i, t in _PARA_DOCS)
     o["paragraph_dedup"] = f"""

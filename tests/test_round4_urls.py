@@ -1,0 +1,55 @@
+"""URL canonicalization + URL-level dedup (ops/urls.py) — the crawl
+pipeline's first dedup pass over its url key."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iresearch_spark.ops.urls import canonicalize_url, dedup_by_canonical_url
+
+CASES = [
+    # (input, canonical)
+    ("HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+     "http://example.com/a/b?a=1&b=2"),
+    ("http://example.com/a/b?a=1&b=2", "http://example.com/a/b?a=1&b=2"),
+    ("https://Example.com:443/", "https://example.com/"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/path/", "https://example.com/path"),
+    ("not a url", "not a url"),
+    ("  ftp://Host.Net:21/file  ", "ftp://host.net:21/file"),
+    ("https://example.com/?fbclid=abc", "https://example.com/"),
+    ("https://example.com/x?gclid=1&z=9&y=8", "https://example.com/x?y=8&z=9"),
+    ("https://user:p@Host.com/Case/Kept", "https://user:p@host.com/Case/Kept"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com/a?utm_campaign&x=1", "https://example.com/a?x=1"),
+]
+
+
+def test_canonical_forms(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_dedup_keeps_smallest_key(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "id long, url string"
+    )
+    kept = sorted(r["id"] for r in dedup_by_canonical_url(df).collect())
+    # groups: {0,1}, {2,3,7}, {4}, {5}, {6}, {8}, {9}, {10}, {11} —
+    # winner = lexicographically smallest original url
+    assert kept == [0, 2, 4, 5, 6, 8, 9, 10, 11]
+
+
+def test_dedup_keep_by_column(spark):
+    df = spark.createDataFrame(
+        [(9, "https://A.com/x"), (1, "https://a.com/x/")],
+        "id long, url string",
+    )
+    kept = [r["id"] for r in dedup_by_canonical_url(df, keep_by="id").collect()]
+    assert kept == [1]
