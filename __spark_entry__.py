@@ -90,6 +90,15 @@ _PARA_DOCS = [
 # vocabulary so the gate actually drops documents)
 _EVAL_TEXTS = ["batch small scan", "table hash join"]
 
+# duplicate-pair fixture: a 5-node chain, a triangle, a 2-cycle, and
+# an 8-hop chain (forces several propagation rounds)
+_DUP_EDGES = (
+    [(1, 2), (2, 3), (3, 4), (4, 5)]
+    + [(10, 11), (11, 12), (12, 10)]
+    + [(20, 21)]
+    + [(i, i + 1) for i in range(30, 38)]
+)
+
 # URL canonicalization fixture (ports, tracking params, fragments,
 # trailing slashes, case, userinfo, non-URL passthrough)
 _URL_FIXTURE = [
@@ -387,6 +396,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["url_canonicalize"] = url_canonicalize
+
+    # duplicate clustering: connected components over near-dup pairs,
+    # min-id representative; the oracle computes the transitive
+    # closure with a recursive CTE on the same literal edge fixture
+    def dedup_clusters(spark, sf_dir):
+        from iresearch_spark.ops.dedup import cluster_duplicates
+
+        pairs = spark.createDataFrame(_DUP_EDGES, "doc_a long, doc_b long")
+        return cluster_duplicates(pairs)
+
+    q["dedup_clusters"] = dedup_clusters
 
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
@@ -1079,6 +1099,21 @@ dg AS (
 bad AS (SELECT DISTINCT doc_id FROM dg JOIN eg USING (gram))
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+    _edge_values = ", ".join(f"({a}, {b})" for a, b in _DUP_EDGES)
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE raw(a, b) AS (VALUES {_edge_values}),
+e(a, b) AS (
+  SELECT a, b FROM raw UNION SELECT b, a FROM raw
+),
+nodes(n) AS (SELECT DISTINCT a FROM e),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, e.b FROM reach JOIN e ON e.a = reach.r
+)
+SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY n
 """
     _url_values = ", ".join(
         "({}, '{}')".format(i, u.replace("'", "''"))

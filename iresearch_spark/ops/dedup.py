@@ -546,3 +546,81 @@ def decontaminate(
         .distinct()
     )
     return df.join(contaminated, id_col, "left_anti")
+
+
+def cluster_duplicates(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS -> duplicate
+    CLUSTERS: (doc_id, cluster_id) with cluster_id = the smallest doc
+    id reachable through the pair graph (deterministic canonical
+    representative). The step every production dedup needs after
+    minhash_lsh_pairs / embedding_dup_pairs — pairs alone can't say
+    "keep one per group" when duplicates chain (a~b, b~c).
+
+    Min-label propagation: each round joins labels across edges and
+    takes the per-node min, localCheckpoint'ed to keep plans flat;
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow (chains longer than a handful of hops are rare), and
+    `max_iterations` caps the worst case with a logged warning. Each
+    round is one join + one groupBy over the EDGE set, never all
+    pairs of docs.
+    """
+    e = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        prop = und.join(labels, und["a"] == labels["node"]).select(
+            und["b"].alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        _log.warning(
+            "cluster_duplicates hit max_iterations=%d before convergence"
+            " — components deeper than that keep per-round labels",
+            max_iterations,
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def drop_duplicate_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Keep ONE document per duplicate cluster (the smallest doc id)
+    plus every unpaired document: cluster the pairs, anti-join the
+    non-representatives."""
+    clusters = cluster_duplicates(pairs, a_col=a_col, b_col=b_col)
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
