@@ -90,6 +90,17 @@ _PARA_DOCS = [
 # vocabulary so the gate actually drops documents)
 _EVAL_TEXTS = ["batch small scan", "table hash join"]
 
+# PII fixture (emails first so phone-shape digits inside addresses
+# never half-redact; dashed ISO dates stay untouched)
+_PII_FIXTURE = [
+    "contact john.doe+spam@example.co.uk for details",
+    "server at 192.168.1.254 responded",
+    "call 555 123-4567 or +1 (800) 555-0199 now",
+    "clean text with numbers 42 and 7",
+    "mail 555-123-4567@digits.example please",
+    "on 2024-01-02 it rained",
+]
+
 # duplicate-pair fixture: a 5-node chain, a triangle, a 2-cycle, and
 # an 8-hop chain (forces several propagation rounds)
 _DUP_EDGES = (
@@ -407,6 +418,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cluster_duplicates(pairs)
 
     q["dedup_clusters"] = dedup_clusters
+
+    # PII scrubbing (email/IPv4/phone redaction; patterns live in the
+    # Java-regex ∩ RE2 subset so the SQL oracle replays them exactly)
+    def pii_scrub(spark, sf_dir):
+        from iresearch_spark.ops.textstats import scrub_pii
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_PII_FIXTURE)],
+            "id long, text string",
+        )
+        return scrub_pii(df)
+
+    q["pii_scrub"] = pii_scrub
 
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
@@ -1099,6 +1123,32 @@ dg AS (
 bad AS (SELECT DISTINCT doc_id FROM dg JOIN eg USING (gram))
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+    from iresearch_spark.ops.textstats import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    _pii_values = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in enumerate(_PII_FIXTURE)
+    )
+
+    def _sqlre(pat: str) -> str:
+        # DuckDB standard string literals don't process backslashes —
+        # only quotes need escaping
+        return pat.replace("'", "''")
+
+    o["pii_scrub"] = f"""
+WITH p(id, text) AS (VALUES {_pii_values})
+SELECT CAST(id AS BIGINT) AS id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{_sqlre(PII_EMAIL_RE)}', '<EMAIL>', 'g'),
+      '{_sqlre(PII_IPV4_RE)}', '<IP>', 'g'),
+    '{_sqlre(PII_PHONE_RE)}', '<PHONE>', 'g') AS text
+FROM p
 """
     _edge_values = ", ".join(f"({a}, {b})" for a, b in _DUP_EDGES)
     o["dedup_clusters"] = f"""

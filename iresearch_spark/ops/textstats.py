@@ -300,3 +300,41 @@ def doc_fingerprint(
             "winnow_hash"
         ),
     )
+
+
+# PII scrubbing patterns — written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB oracle): no lookaround, no backreferences,
+# so both engines replay byte-identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+)
+PII_PHONE_RE = (
+    r"(?:\+?[0-9]{1,3}[ .\-]?)?(?:\([0-9]{2,4}\)[ .\-]?)?"
+    r"[0-9]{3}[ .\-][0-9]{3,4}(?:[ .\-][0-9]{3,4})?"
+)
+
+
+def scrub_pii(
+    df,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
+):
+    """Redact common PII shapes (the training-data hygiene pass: email
+    addresses, IPv4 addresses, phone-like digit runs) with fixed
+    placeholder tokens, applied in a fixed order (emails first — an
+    email's digits must not half-match the phone pattern). One
+    regexp_replace chain, pure JVM, linear; the patterns deliberately
+    avoid lookaround so a SQL oracle (RE2) replays them exactly.
+    Precision bounds are pinned by tests: ISO dates (4-2-2 digit
+    groups) do NOT match the phone shape; callers wanting different
+    recall/precision pass their own patterns via
+    pyspark.sql.functions.regexp_replace directly."""
+    from pyspark.sql import functions as F
+
+    out = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, email_token)
+    out = F.regexp_replace(out, PII_IPV4_RE, ip_token)
+    out = F.regexp_replace(out, PII_PHONE_RE, phone_token)
+    return df.withColumn(text_col, out)
