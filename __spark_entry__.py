@@ -90,6 +90,20 @@ _PARA_DOCS = [
 # vocabulary so the gate actually drops documents)
 _EVAL_TEXTS = ["batch small scan", "table hash join"]
 
+# C4-rules fixture ('|' = line separator; doc 1 too few kept lines,
+# docs 2/4 carry markers, docs 0/3 survive with filtered lines)
+_C4_DOCS = [
+    (0, "This is a good sentence.|Another proper long sentence here!|"
+        "short one.|no punct at all here|Third fine sentence with words?"),
+    (1, "Only one good sentence right here.|bad|bad2"),
+    (2, "Has lorem ipsum placeholder text in it.|This would be fine one.|"
+        "This would be fine sentence two.|This would be fine sentence three."),
+    (3, 'Quoted sentence line number one."|Quoted sentence line number two."'
+        '|Quoted sentence line number three."'),
+    (4, "Contains a { curly brace code marker.|Fine sentence number two "
+        "here.|Fine sentence number three here.|Fine sentence number four."),
+]
+
 # PII fixture (emails first so phone-shape digits inside addresses
 # never half-redact; dashed ISO dates stay untouched)
 _PII_FIXTURE = [
@@ -431,6 +445,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return scrub_pii(df)
 
     q["pii_scrub"] = pii_scrub
+
+    # C4 cleaning rules (Raffel et al. 2020 §2.2): line-level terminal
+    # punctuation + min-words filter, doc-level marker + min-kept-lines
+    def c4_clean_gate(spark, sf_dir):
+        from iresearch_spark.ops.textstats import c4_clean
+
+        df = spark.createDataFrame(_C4_DOCS, "doc_id long, text string")
+        return c4_clean(df, sep="|")
+
+    q["c4_clean"] = c4_clean_gate
 
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
@@ -1123,6 +1147,29 @@ dg AS (
 bad AS (SELECT DISTINCT doc_id FROM dg JOIN eg USING (gram))
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+    _c4_values = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _C4_DOCS
+    )
+    o["c4_clean"] = f"""
+WITH c4(doc_id, text) AS (VALUES {_c4_values}),
+ok AS (
+  SELECT * FROM c4
+  WHERE NOT regexp_matches(lower(text), 'lorem ipsum|\\{{')
+),
+arrs AS (SELECT doc_id, string_split(text, '|') AS arr FROM ok),
+parts AS (
+  SELECT doc_id, unnest(arr) AS line, generate_subscripts(arr, 1) AS ord
+  FROM arrs
+),
+kept AS (
+  SELECT doc_id, line, ord FROM parts
+  WHERE regexp_matches(trim(line), '[.!?"]$')
+    AND len(regexp_split_to_array(trim(line), '\\s+')) >= 5
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(line, '|' ORDER BY ord) AS text
+FROM kept GROUP BY doc_id HAVING count(*) >= 3
 """
     from iresearch_spark.ops.textstats import (
         PII_EMAIL_RE,

@@ -338,3 +338,61 @@ def scrub_pii(
     out = F.regexp_replace(out, PII_IPV4_RE, ip_token)
     out = F.regexp_replace(out, PII_PHONE_RE, phone_token)
     return df.withColumn(text_col, out)
+
+
+def c4_clean(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    markers: tuple = ("lorem ipsum", "{"),
+):
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) as one
+    declarative pass: keep only lines that end in terminal punctuation
+    (. ! ? ") AND have at least `min_words_per_line` words; then drop
+    whole documents that either retain fewer than `min_kept_lines`
+    lines or contain any of `markers` (case-insensitive — the paper's
+    "lorem ipsum" and curly-brace/code checks). Returns the surviving
+    docs with text rebuilt from the kept lines in original order.
+
+    Scale shape: posexplode + one doc-keyed regroup (no corpus-wide
+    state at all — strictly lighter than dedup), pure JVM expressions.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    low = F.lower(F.col(text_col))
+    no_marker = ~low.rlike(
+        "|".join(_re.escape(m.lower()) for m in markers)
+    )
+    lines = df.filter(no_marker).select(
+        id_col,
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("_pos", "_line"),
+    )
+    t = F.trim(F.col("_line"))
+    keep = t.rlike('[.!?"]$') & (
+        F.size(F.split(t, r"\s+")) >= min_words_per_line
+    )
+    kept = lines.filter(keep)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias(text_col),
+    )
+    return (
+        df.drop(text_col)
+        .join(
+            rebuilt.filter(F.col("_n") >= min_kept_lines).drop("_n"),
+            id_col,
+        )
+    )
