@@ -55,6 +55,13 @@ def test_differential_vs_union_find(spark):
     assert got == want
 
 
+def test_empty_pair_set(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert cluster_duplicates(pairs).count() == 0
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    assert drop_duplicate_docs(df, pairs).count() == 2
+
+
 def test_drop_duplicate_docs(spark):
     df = spark.createDataFrame(
         [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
