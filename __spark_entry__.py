@@ -104,6 +104,40 @@ _C4_DOCS = [
         "here.|Fine sentence number three here.|Fine sentence number four."),
 ]
 
+# exact-substring (n=3 token window) span-dedup fixture: 'a b c' in
+# three docs (global first kept), doc 4 repeats its own 3-cycle, doc 3
+# is shorter than the window
+_SPAN_DOCS = [
+    (0, "a b c d e"),
+    (1, "x a b c y"),
+    (2, "a b c"),
+    (3, "short one"),
+    (4, "p q r p q r p q"),
+]
+
+# Gopher-rules fixture: doc 0 clean, every other doc trips exactly one
+# rule (short, symbols, word length, bullets, ellipses, non-alpha,
+# stopwords, long, long words)
+_GOPHER_DOCS = [
+    (0, "the cat sat and most of the dogs slept"),
+    (1, "the of"),
+    (2, "the # cat # and # of"),
+    (3, "an it of be at the me we so no"),
+    (4, "- the first item of all\n- and the second item here"),
+    (5, "the cat sat of it and...\nmore of the same here..."),
+    (6, "the of 11 22 33 44 55 66"),
+    (7, "the cat ran around the block quickly today"),
+    (8, "the of " + " ".join(["word"] * 19)),
+    (9, "the of extraordinarily incomprehensibilities "
+        "antidisestablishmentarian words the of extraordinarily "
+        "incomprehensibilities antidisestablishmentarian words"),
+]
+_GOPHER_KW = dict(min_words=5, max_words=20, min_stop_hits=2)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# SQL literals for the non-ASCII rule characters
+_GQ_HELLIP = "'…'"
+_GQ_BULLET = "'•'"
+
 # PII fixture (emails first so phone-shape digits inside addresses
 # never half-redact; dashed ISO dates stay untouched)
 _PII_FIXTURE = [
@@ -455,6 +489,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c4_clean(df, sep="|")
 
     q["c4_clean"] = c4_clean_gate
+
+    # exact-substring span dedup (Lee et al. 2021 suffix-array
+    # analogue, n-token windows): flagged non-first occurrences, and
+    # the removal pass that cuts covered tokens
+    def span_dedup_gate(spark, sf_dir):
+        from iresearch_spark.ops.dedup import duplicate_span_windows
+
+        df = spark.createDataFrame(_SPAN_DOCS, "doc_id long, text string")
+        return duplicate_span_windows(df, n=3)
+
+    q["span_dedup"] = span_dedup_gate
+
+    def span_dedup_drop_gate(spark, sf_dir):
+        from iresearch_spark.ops.dedup import drop_duplicate_spans
+
+        df = spark.createDataFrame(_SPAN_DOCS, "doc_id long, text string")
+        return drop_duplicate_spans(df, n=3)
+
+    q["span_dedup_drop"] = span_dedup_drop_gate
+
+    # full Gopher quality-rule set (Rae et al. 2021 Table A1): one
+    # flag per rule + the conjunction, every rule replayed in SQL
+    def gopher_quality_gate(spark, sf_dir):
+        from iresearch_spark.ops.textstats import gopher_quality_filter
+
+        df = spark.createDataFrame(_GOPHER_DOCS, "doc_id long, text string")
+        return gopher_quality_filter(df, **_GOPHER_KW)
+
+    q["gopher_quality"] = gopher_quality_gate
 
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
@@ -1268,6 +1331,114 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        coalesce(string_agg(k.para, '|' ORDER BY k.ord), '') AS text
 FROM pd d LEFT JOIN kept k USING (doc_id)
 GROUP BY d.doc_id
+"""
+    _span_values = ", ".join(f"({i}, '{t}')" for i, t in _SPAN_DOCS)
+    _span_cte = f"""
+WITH d(doc_id, text) AS (VALUES {_span_values}),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM d
+),
+w AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(arr) - 2)) AS start,
+         arr
+  FROM toks WHERE len(arr) >= 3
+),
+w2 AS (
+  SELECT doc_id, start,
+         array_to_string(arr[start:start+2], ' ') AS win
+  FROM w
+),
+r AS (
+  SELECT doc_id, start,
+         count(*) OVER (PARTITION BY win) AS c,
+         row_number() OVER (PARTITION BY win ORDER BY doc_id, start) AS rn
+  FROM w2
+),
+flagged AS (
+  SELECT doc_id, start FROM r WHERE c >= 2 AND rn > 1
+)"""
+    o["span_dedup"] = f"""{_span_cte}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(start AS INT) AS start
+FROM flagged
+"""
+    o["span_dedup_drop"] = f"""{_span_cte},
+covered AS (
+  SELECT DISTINCT doc_id, start + unnest(generate_series(0, 2)) AS idx
+  FROM flagged
+),
+tokpos AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS idx
+  FROM toks
+),
+kept AS (
+  SELECT t.* FROM tokpos t ANTI JOIN covered c USING (doc_id, idx)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(r2.text, '') AS text
+FROM d LEFT JOIN rebuilt r2 USING (doc_id)
+"""
+    _gq_values = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _GOPHER_DOCS
+    )
+    _gq_stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    o["gopher_quality"] = f"""
+WITH g(doc_id, text) AS (VALUES {_gq_values}),
+b AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS n,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM g
+),
+m AS (
+  SELECT doc_id, toks, n, lines,
+    CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE)
+      / n AS mean_wl,
+    CAST(len(string_split(text, '#')) - 1
+       + len(string_split(text, '...')) - 1
+       + len(string_split(text, {_GQ_HELLIP})) - 1 AS DOUBLE) AS symbols,
+    CAST(len(lines) AS DOUBLE) AS n_lines,
+    CAST(len(list_filter(lines, x ->
+      substr(trim(x), 1, 1) = {_GQ_BULLET} OR
+      substr(trim(x), 1, 1) = '-' OR
+      substr(trim(x), 1, 1) = '*')) AS DOUBLE) AS bullets,
+    CAST(len(list_filter(lines, x ->
+      ends_with(trim(x), '...') OR
+      ends_with(trim(x), {_GQ_HELLIP}))) AS DOUBLE) AS ellipses,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+      AS DOUBLE) AS alpha_words,
+    len(list_intersect(list_distinct(toks), [{_gq_stops}])) AS stop_hits
+  FROM b
+),
+f AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+    CASE WHEN n >= {_GOPHER_KW['min_words']}
+          AND n <= {_GOPHER_KW['max_words']} THEN 1 ELSE 0 END AS words_ok,
+    CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1 ELSE 0 END
+      AS wordlen_ok,
+    CASE WHEN symbols / n <= 0.1 THEN 1 ELSE 0 END AS symbol_ok,
+    CASE WHEN n_lines = 0
+          OR bullets / greatest(n_lines, 1.0) <= 0.9 THEN 1 ELSE 0 END
+      AS bullet_ok,
+    CASE WHEN n_lines = 0
+          OR ellipses / greatest(n_lines, 1.0) <= 0.3 THEN 1 ELSE 0 END
+      AS ellipsis_ok,
+    CASE WHEN alpha_words / n >= 0.8 THEN 1 ELSE 0 END AS alpha_ok,
+    CASE WHEN stop_hits >= {_GOPHER_KW['min_stop_hits']} THEN 1 ELSE 0 END
+      AS stop_ok
+  FROM m
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, words_ok, wordlen_ok,
+  symbol_ok, bullet_ok, ellipsis_ok, alpha_ok, stop_ok,
+  CASE WHEN words_ok + wordlen_ok + symbol_ok + bullet_ok + ellipsis_ok
+         + alpha_ok + stop_ok = 7 THEN 1 ELSE 0 END AS keep
+FROM f
 """
     o["sorted_topk"] = """
 SELECT doc_id AS orig_id, n_chars FROM documents

@@ -624,3 +624,116 @@ def drop_duplicate_docs(
         F.col("doc_id") != F.col("cluster_id")
     ).select(F.col("doc_id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def duplicate_span_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+) -> DataFrame:
+    """Exact-substring duplicate detection (the Spark-native analogue
+    of Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better": their suffix-array pass finds verbatim repeated
+    spans; here the unit is the n-token sliding window). Returns
+    (doc_id, start) — 1-based token position — for every n-token
+    window whose exact token sequence (case-preserving whitespace
+    tokenization: this is EXACT dedup, not near-dup) occurs >= 2 times
+    corpus-wide, across documents or repeated within one, EXCLUDING
+    the globally first occurrence (smallest (doc_id, start)), which is
+    the canonical copy a remover keeps. Docs shorter than n tokens
+    have no windows and are never flagged.
+
+    Scale shape: windows never leave the executor as strings — each
+    window is hashed to its md5 inside the projection, so the only
+    shuffles are one groupBy on the 128-bit window key (map-side
+    partial count + min) and one equi-join of occurrences against the
+    >=2 keys. A boilerplate span repeated 10^9 times is one counter
+    row; join fan-out is linear in the duplicated volume. md5's 128
+    bits keep the corpus-wide collision probability negligible even at
+    10^12 windows (~T^2/2^129); no verify join needed, unlike a 64-bit
+    key.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+    )
+    win = F.when(
+        F.size("_t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                F.md5(F.concat_ws(" ", F.slice("_t", i, n))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
+    occ = toks.select("doc_id", F.explode(win).alias("w")).select(
+        "doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h")
+    )
+    agg = occ.groupBy("h").agg(
+        F.count("*").alias("_c"),
+        F.min(F.struct(F.col("doc_id"), F.col("start"))).alias("_first"),
+    )
+    return (
+        occ.join(agg.filter(F.col("_c") >= 2), "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("_first.doc_id"))
+                & (F.col("start") == F.col("_first.start"))
+            )
+        )
+        .select("doc_id", "start")
+    )
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+) -> DataFrame:
+    """Exact-substring removal: cut every token covered by a flagged
+    duplicate window (see `duplicate_span_windows`) and rebuild each
+    document's text from the surviving tokens in original order
+    (single-space joined — the op is defined over the token stream,
+    like the published pipeline's post-tokenizer pass). The globally
+    first occurrence of each duplicated window survives unless another
+    flagged window overlaps it. Docs losing every token come back with
+    empty text, never dropped; docs shorter than n tokens pass through
+    with whitespace normalized.
+
+    Scale shape: flagged windows explode to their n covered token
+    indexes (distinct collapses overlaps map-side), one anti-join
+    against the posexploded token table on (doc_id, idx), and one
+    doc-keyed regroup — all linear in corpus size + n * duplicated
+    volume; no corpus-wide sort, no driver state, no Python UDFs.
+    """
+    flagged = duplicate_span_windows(df, id_col=id_col, text_col=text_col, n=n)
+    covered = flagged.select(
+        F.col("doc_id").alias(id_col),
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + (n - 1))
+        ).alias("_idx"),
+    ).distinct()
+    tokpos = df.select(
+        id_col,
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "_p", "_tok"
+        ),
+    ).withColumn("_idx", F.col("_p") + 1)
+    kept = tokpos.join(covered, [id_col, "_idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .na.fill({text_col: ""})
+    )

@@ -396,3 +396,131 @@ def c4_clean(
             id_col,
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    line_sep: str = "\n",
+):
+    """The full Gopher quality-filter rule set (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 Table A1) as one declarative pass.
+    Per doc it emits one 0/1 flag per rule plus the conjunction `keep`:
+
+      words_ok    - word count in [min_words, max_words]
+      wordlen_ok  - mean word length in [min_mean_word_len, max_...]
+      symbol_ok   - (count('#') + count('...') + count('…')) / words
+                    <= max_symbol_ratio
+      bullet_ok   - fraction of non-empty lines starting with a bullet
+                    ('•', '-', '*') <= max_bullet_line_frac
+      ellipsis_ok - fraction of non-empty lines ending with '...' or
+                    '…' <= max_ellipsis_line_frac
+      alpha_ok    - fraction of words containing an alphabetic char
+                    >= min_alpha_word_frac
+      stop_ok     - at least min_stop_hits distinct Gopher stop words
+                    ('the be to of and that have with') present
+
+    Docs with no non-empty lines pass the two line rules vacuously.
+    Pure JVM column expressions over one projection — no shuffle at
+    all, so the pass is embarrassingly parallel at any corpus size and
+    every rule replays verbatim in a SQL oracle (list_filter /
+    regexp_matches have DuckDB equivalents; the '...' counts use
+    non-overlapping literal splits in both engines). Use alongside
+    `repetition_signals` (the paper's other filter family) for the
+    complete Gopher pre-training hygiene pass.
+    """
+    import re as _re
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks).cast("double")
+    mean_wl = (
+        F.length(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", ""))
+    ).cast("double") / n
+
+    def _count_lit(pat: str):
+        return (F.size(F.split(F.col(text_col), _re.escape(pat), -1)) - 1).cast(
+            "double"
+        )
+
+    symbols = _count_lit("#") + _count_lit("...") + _count_lit("…")
+
+    lines = F.filter(
+        F.split(F.col(text_col), _re.escape(line_sep), -1),
+        lambda x: F.trim(x) != "",
+    )
+    n_lines = F.size(lines).cast("double")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.trim(x), 1, 1).isin("•", "-", "*"),
+        )
+    ).cast("double")
+    ellipses = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).endswith("...") | F.trim(x).endswith("…"),
+        )
+    ).cast("double")
+
+    alpha_words = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+
+    def _flag(c):
+        return F.when(c, 1).otherwise(0)
+
+    words_ok = _flag((n >= min_words) & (n <= max_words))
+    wordlen_ok = _flag(
+        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    )
+    symbol_ok = _flag(symbols / n <= max_symbol_ratio)
+    bullet_ok = _flag(
+        (n_lines == 0) | (bullets / F.greatest(n_lines, F.lit(1.0)) <= max_bullet_line_frac)
+    )
+    ellipsis_ok = _flag(
+        (n_lines == 0)
+        | (ellipses / F.greatest(n_lines, F.lit(1.0)) <= max_ellipsis_line_frac)
+    )
+    alpha_ok = _flag(alpha_words / n >= min_alpha_word_frac)
+    stop_ok = _flag(stop_hits >= min_stop_hits)
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_words"),
+        words_ok.alias("words_ok"),
+        wordlen_ok.alias("wordlen_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+    )
+    keep = (
+        (F.col("words_ok") == 1)
+        & (F.col("wordlen_ok") == 1)
+        & (F.col("symbol_ok") == 1)
+        & (F.col("bullet_ok") == 1)
+        & (F.col("ellipsis_ok") == 1)
+        & (F.col("alpha_ok") == 1)
+        & (F.col("stop_ok") == 1)
+    )
+    return out.withColumn("keep", F.when(keep, 1).otherwise(0))
