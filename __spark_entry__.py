@@ -519,6 +519,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_quality"] = gopher_quality_gate
 
+    # CCNet-style LM perplexity scoring: add-one bigram model trained
+    # on a reference slice (doc_id % 5 == 0), every document scored;
+    # the oracle retrains and rescores the same model in SQL
+    def lm_perplexity_gate(spark, sf_dir):
+        from iresearch_spark.ops.lm import lm_cross_entropy, train_bigram_lm
+
+        docs = _docs(spark, sf_dir)
+        ref = docs.filter(F.col("doc_id") % 5 == 0)
+        bigrams, unigrams, v = train_bigram_lm(ref)
+        return lm_cross_entropy(docs, bigrams, unigrams, v)
+
+    q["lm_perplexity"] = lm_perplexity_gate
+
+    # DSIR importance weights (hashed unigram+bigram buckets, add-one
+    # smoothed target/raw distributions; target = doc_id % 7 == 0)
+    def dsir_weights_gate(spark, sf_dir):
+        from iresearch_spark.ops.lm import dsir_log_weights
+
+        docs = _docs(spark, sf_dir)
+        tgt = docs.filter(F.col("doc_id") % 7 == 0)
+        return dsir_log_weights(docs, tgt, n_buckets=512)
+
+    q["dsir_weights"] = dsir_weights_gate
+
+    # DSIR Gumbel top-k resampling with the seeded engine-portable
+    # noise source (hash60-derived uniforms)
+    def dsir_topk_gate(spark, sf_dir):
+        from iresearch_spark.ops.lm import dsir_sample
+
+        docs = _docs(spark, sf_dir)
+        tgt = docs.filter(F.col("doc_id") % 7 == 0)
+        return dsir_sample(docs, tgt, k=50, n_buckets=512, seed=7)
+
+    q["dsir_topk"] = dsir_topk_gate
+
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
     )
@@ -1331,6 +1366,100 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        coalesce(string_agg(k.para, '|' ORDER BY k.ord), '') AS text
 FROM pd d LEFT JOIN kept k USING (doc_id)
 GROUP BY d.doc_id
+"""
+    from iresearch_spark.ops.hashing import hash60_sql as _h60sql
+
+    _LM_TOKS = (
+        "list_filter(regexp_split_to_array(lower({e}), "
+        "'[^\\p{{L}}\\p{{N}}]+'), t -> t <> '')"
+    )
+    o["lm_perplexity"] = f"""
+WITH rt AS (
+  SELECT {_LM_TOKS.format(e='text')} AS arr FROM documents WHERE doc_id % 5 = 0
+),
+uni AS (
+  SELECT w1, count(*) AS c1 FROM (SELECT unnest(arr) AS w1 FROM rt) GROUP BY w1
+),
+v AS (SELECT count(*) AS v FROM uni),
+bi AS (
+  SELECT w1, w2, count(*) AS c2 FROM (
+    SELECT arr[i] AS w1, arr[i+1] AS w2
+    FROM (SELECT arr, unnest(generate_series(1, len(arr)-1)) AS i
+          FROM rt WHERE len(arr) >= 2)
+  ) GROUP BY w1, w2
+),
+dt AS (
+  SELECT doc_id, {_LM_TOKS.format(e='text')} AS arr FROM documents
+),
+dbg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-1)) AS i
+        FROM dt WHERE len(arr) >= 2)
+),
+nll AS (
+  SELECT doc_id,
+    -ln((COALESCE(bi.c2, 0) + 1.0)
+        / (COALESCE(uni.c1, 0) + (SELECT v FROM v) * 1.0)) AS nll
+  FROM dbg LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS ce FROM nll GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(agg.ce, 6) AS cross_entropy,
+       round(exp(agg.ce), 4) AS ppl
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+    _DSIR_FEATS = f"""
+dt AS (SELECT doc_id, {_LM_TOKS.format(e='text')} AS toks FROM documents),
+dfe AS (
+  SELECT doc_id, {_h60sql('f')} % 512 AS bucket FROM (
+    SELECT doc_id, unnest(toks) AS f FROM dt
+    UNION ALL
+    SELECT doc_id, toks[i] || ' ' || toks[i+1] AS f
+    FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+          FROM dt WHERE len(toks) >= 2)
+  )
+),
+tfe AS (SELECT bucket FROM dfe WHERE doc_id % 7 = 0),
+tc AS (SELECT bucket, count(*) AS ct FROM tfe GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS cr FROM dfe GROUP BY bucket),
+tt AS (SELECT count(*) AS t FROM tfe),
+rt2 AS (SELECT count(*) AS r FROM dfe),
+model AS (
+  SELECT bucket,
+    ln((COALESCE(ct, 0) + 1.0) / ((SELECT t FROM tt) + 512.0))
+    - ln((COALESCE(cr, 0) + 1.0) / ((SELECT r FROM rt2) + 512.0)) AS log_ratio
+  FROM tc FULL JOIN rc USING (bucket)
+),
+dsagg AS (
+  SELECT doc_id, count(*) AS n_features, sum(log_ratio) AS lw
+  FROM dfe JOIN model USING (bucket) GROUP BY doc_id
+)"""
+    o["dsir_weights"] = f"""
+WITH {_DSIR_FEATS}
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(n_features, 0) AS BIGINT) AS n_features,
+       round(COALESCE(lw, 0.0), 6) AS log_weight
+FROM documents d LEFT JOIN dsagg USING (doc_id)
+"""
+    o["dsir_topk"] = f"""
+WITH {_DSIR_FEATS},
+w AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         round(COALESCE(lw, 0.0), 6) AS log_weight
+  FROM documents d LEFT JOIN dsagg USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, log_weight,
+    round(log_weight - ln(-ln(
+      (({_h60sql("'7:' || CAST(doc_id AS VARCHAR)")} % 1000000000) * 1.0 + 1.0)
+      / 1000000002.0)), 6) AS gumbel_key
+  FROM w
+)
+SELECT doc_id, log_weight, gumbel_key FROM keyed
+ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50
 """
     _span_values = ", ".join(f"({i}, '{t}')" for i, t in _SPAN_DOCS)
     _span_cte = f"""

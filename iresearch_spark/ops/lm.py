@@ -1,0 +1,298 @@
+"""Statistical language-model scoring for training-data pipelines.
+
+Two published pipeline steps:
+
+1. CCNet-style LM perplexity scoring (Wenzek et al. 2020, "CCNet:
+   Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+   score every document by the perplexity of a language model trained
+   on a clean reference corpus, then keep the low-perplexity head.
+   CCNet uses a 5-gram KenLM trained on Wikipedia; the sandbox-scale
+   analogue here is an add-one-smoothed token BIGRAM model — the same
+   pipeline shape (train on reference -> score corpus -> threshold),
+   with the model held as a DataFrame instead of a binary KenLM file so
+   every step stays a JVM join and is exactly replayable in SQL.
+
+2. DSIR importance weights (Xie et al. 2023, "Data Selection for
+   Language Models via Importance Resampling"): estimate hashed n-gram
+   bag-of-words distributions for a TARGET corpus and the RAW corpus,
+   weight every raw document by its log importance ratio
+   sum_f [ log p_target(bucket(f)) - log p_raw(bucket(f)) ], and sample
+   with seeded Gumbel top-k.
+
+Scale shape (both): model estimation is one or two linear groupBys over
+the reference corpus with map-side partial aggregation; scoring is an
+equi-join of the corpus's exploded features against the model table
+(broadcast when the model is small, shuffle hash join otherwise) plus
+one doc-keyed re-aggregation. No self-joins, no driver-side state, no
+Python UDFs — every expression is JVM-side and portable to the DuckDB
+oracle verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from iresearch_spark.ops.hashing import hash60, hash60_sql
+
+# The shared tokenizer convention for LM ops: lowercase, split on runs
+# of non-alphanumeric characters (Unicode-aware). Both Spark (Java
+# regex) and DuckDB (RE2) support \p{L}/\p{N} with identical semantics
+# on this class.
+TOKEN_SPLIT_RE = r"[^\p{L}\p{N}]+"
+
+
+def _tokens(col) -> "F.Column":
+    toks = F.split(F.lower(col), TOKEN_SPLIT_RE)
+    return F.filter(toks, lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    """DuckDB rendering of the same tokenizer."""
+    return (
+        "list_filter(regexp_split_to_array(lower({e}), "
+        "'[^\\p{{L}}\\p{{N}}]+'), t -> t <> '')".format(e=expr)
+    )
+
+
+def train_bigram_lm(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train an add-one-smoothed bigram LM on a reference corpus.
+
+    Returns (bigrams, unigrams, vocab_size):
+      bigrams:  (w1, w2, c2)  — bigram counts
+      unigrams: (w1, c1)      — context counts
+      vocab_size: |V| distinct tokens, the add-one denominator term.
+
+    P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + |V|); an unseen context w1
+    degrades to the uniform 1/|V|. One explode + two groupBys over the
+    reference — linear, map-side combinable.
+    """
+    toks = ref.select(_tokens(F.col(text_col)).alias("_t"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.zip_with(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    F.slice("_t", 2, F.size("_t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    unis = toks.select(F.explode("_t").alias("w1"))
+    unigrams = unis.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_size = unigrams.count()
+    return bigrams, unigrams, int(vocab_size)
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram cross-entropy (nats/token) and perplexity
+    under the add-one model from `train_bigram_lm`.
+
+    Returns (id_col, n_bigrams, cross_entropy, ppl); documents with
+    fewer than two tokens keep NULL cross_entropy/ppl and n_bigrams=0
+    (never dropped — thresholding is the caller's policy step).
+
+    The two model joins are plain equi-joins: unigram contexts are
+    broadcast-sized for any real vocabulary; the bigram join shuffles
+    on (w1, w2) — uniform keys by construction. Everything after is one
+    doc-keyed aggregation.
+    """
+    toks = df.select(id_col, _tokens(F.col(text_col)).alias("_t"))
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.zip_with(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    F.slice("_t", 2, F.size("_t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    scored = (
+        pairs.join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, "w1", "left")
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(vocab_size)))
+                )
+            ).alias("_nll"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("_nll").alias("cross_entropy"),
+    )
+    out = (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round("cross_entropy", 6).alias("cross_entropy"),
+            F.round(F.exp("cross_entropy"), 4).alias("ppl"),
+        )
+    )
+    return out
+
+
+def perplexity_filter(
+    df: DataFrame,
+    ref: DataFrame,
+    max_ppl: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """CCNet head-bucket selection: keep documents whose bigram-LM
+    perplexity under the reference model is <= max_ppl. Documents too
+    short to score (<2 tokens) are dropped — no evidence of quality.
+    (CCNet buckets by the Wikipedia-KenLM perplexity distribution and
+    keeps head/middle; a fixed threshold is the deterministic analogue
+    — compute corpus quantiles offline if bucket semantics are needed.)
+    """
+    bigrams, unigrams, v = train_bigram_lm(ref, ref_text_col)
+    scores = lm_cross_entropy(df, bigrams, unigrams, v, id_col, text_col)
+    keep = scores.filter(F.col("ppl") <= max_ppl).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def _hashed_feature_buckets(col, n_buckets: int) -> "F.Column":
+    """DSIR hashed bag: unigram + bigram features -> bucket ids via the
+    engine-portable 60-bit md5 hash, modulo n_buckets."""
+    toks = _tokens(col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return F.transform(feats, lambda t: hash60(t) % F.lit(n_buckets))
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023) log importance weights.
+
+    Features are hashed unigrams+bigrams in `n_buckets` buckets; both
+    the target and raw (=df itself, as in the paper) bucket
+    distributions are add-one smoothed. Returns
+    (id_col, n_features, log_weight) with
+    log_weight = sum_f [ ln p_target(b(f)) - ln p_raw(b(f)) ], rounded
+    to 6 decimals. Documents with zero features get log_weight 0.
+
+    Scale: two linear bucket-count groupBys (each at most n_buckets
+    result rows — broadcastable by construction) + one map-side
+    broadcast join + one doc-keyed aggregation.
+    """
+    doc_feats = df.select(
+        id_col,
+        F.explode(_hashed_feature_buckets(F.col(text_col), n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    tgt_feats = target.select(
+        F.explode(
+            _hashed_feature_buckets(F.col(target_text_col), n_buckets)
+        ).alias("bucket")
+    )
+    tgt_counts = tgt_feats.groupBy("bucket").agg(F.count("*").alias("ct"))
+    raw_counts = doc_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_total = tgt_feats.count()
+    raw_total = doc_feats.count()
+    model = (
+        tgt_counts.join(raw_counts, "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(tgt_total + n_buckets))
+                )
+                - F.log(
+                    (F.coalesce("cr", F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(raw_total + n_buckets))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    agg = (
+        doc_feats.join(F.broadcast(model), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            F.round(F.coalesce("log_weight", F.lit(0.0)), 6).alias(
+                "log_weight"
+            ),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str = "text",
+    n_buckets: int = 10_000,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR Gumbel top-k resampling: select k documents without
+    replacement with probability proportional to the importance weight,
+    via the Gumbel-max trick with a SEEDED, engine-portable noise
+    source: u = (hash60(seed:id) % 10^9 + 1) / (10^9 + 2) in (0,1),
+    g = -ln(-ln(u)), key = log_weight + g, take the k largest (ties
+    broken by id). Deterministic for a fixed seed — replayable in SQL.
+
+    The top-k is a TakeOrderedAndProject (per-partition heaps + one
+    k-row merge), never a full sort.
+    """
+    w = dsir_log_weights(df, target, id_col, text_col, target_text_col, n_buckets)
+    u = (
+        (hash60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+         % F.lit(1_000_000_000)).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(1_000_000_002.0)
+    keyed = w.select(
+        id_col,
+        "log_weight",
+        F.round(F.col("log_weight") - F.log(-F.log(u)), 6).alias("gumbel_key"),
+    )
+    return keyed.orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc()
+    ).limit(k)
