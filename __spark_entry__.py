@@ -554,6 +554,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_topk"] = dsir_topk_gate
 
+    # deterministic hash-rate sampling (seeded, partitioning-
+    # independent Bernoulli analogue — pure filter, no shuffle)
+    def hash_sample_gate(spark, sf_dir):
+        from iresearch_spark.ops.sampling import hash_rate_sample
+
+        return hash_rate_sample(
+            _docs(spark, sf_dir), "doc_id", 0.25, seed=3
+        ).select("doc_id")
+
+    q["hash_sample"] = hash_sample_gate
+
+    # stratified quota sampling: at most 30 docs per language by
+    # seeded hash order (language-balancing / per-source caps)
+    def stratified_sample_gate(spark, sf_dir):
+        from iresearch_spark.ops.sampling import stratified_quota_sample
+
+        return stratified_quota_sample(
+            _docs(spark, sf_dir), "lang", quota=30, key_col="doc_id", seed=5
+        ).select("doc_id", "lang")
+
+    q["stratified_sample"] = stratified_sample_gate
+
+    # GPT-style sequence packing plan: (doc, sequence) span assignments
+    # for seq_len=64 over the documents stream in doc_id order
+    def pack_sequences_gate(spark, sf_dir):
+        from iresearch_spark.ops.sampling import pack_sequences
+
+        return pack_sequences(_docs(spark, sf_dir), seq_len=64)
+
+    q["pack_sequences"] = pack_sequences_gate
+
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
     )
@@ -1460,6 +1491,50 @@ keyed AS (
 )
 SELECT doc_id, log_weight, gumbel_key FROM keyed
 ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50
+"""
+    o["hash_sample"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE {_h60sql("'3:' || CAST(doc_id AS VARCHAR)")} % 1000000 < 250000
+"""
+    o["stratified_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+    {_h60sql("'5:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS hh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM r WHERE rk <= 30
+"""
+    o["pack_sequences"] = f"""
+WITH n AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+      AS n_tokens
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b0
+  FROM n
+),
+spans AS (
+  SELECT doc_id, n_tokens, b0,
+    unnest(generate_series(b0 // 64, (b0 + n_tokens - 1) // 64)) AS seq_id
+  FROM laid WHERE n_tokens > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_tokens AS INT) AS n_tokens,
+  CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(GREATEST(seq_id * 64 - b0, 0) AS BIGINT) AS doc_start,
+  CAST(LEAST(seq_id * 64 + 64 - b0, n_tokens) AS BIGINT) AS doc_end,
+  CAST(b0 + GREATEST(seq_id * 64 - b0, 0) - seq_id * 64 AS BIGINT)
+    AS seq_offset
+FROM spans
 """
     _span_values = ", ".join(f"({i}, '{t}')" for i, t in _SPAN_DOCS)
     _span_cte = f"""
