@@ -200,6 +200,24 @@ def main():
     )
     queries["repetition_signals"] = t
 
+    # LM-pipeline rows: bigram-LM perplexity scoring (train on the
+    # doc_id%5 slice, score everything) and sequence-packing layout
+    from iresearch_spark.ops import lm as lm_ops
+    from iresearch_spark.ops import sampling as sampling_ops
+
+    def _lm_run():
+        ref = docs.filter(F.col("doc_id") % 5 == 0)
+        bigrams, unigrams, v = lm_ops.train_bigram_lm(ref)
+        return lm_ops.lm_cross_entropy(docs, bigrams, unigrams, v).count()
+
+    t = min(timed(_lm_run)[0] for _ in range(repeat))
+    queries["lm_perplexity"] = t
+    t = min(
+        timed(lambda: sampling_ops.pack_sequences(docs, seq_len=2048).count())[0]
+        for _ in range(repeat)
+    )
+    queries["pack_sequences"] = t
+
     # default ON: the sf0.1 documents table is only ~5k docs, so the
     # index_build number above is fixed-cost-bound; this run measures
     # the throughput-bound path on a corpus big enough to mean something
