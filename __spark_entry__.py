@@ -585,6 +585,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = pack_sequences_gate
 
+    # SemDeDup (Abbas et al. 2023): within-cell semantic duplicate
+    # pairs over the embeddings table (hash centroids — deterministic)
+    def semantic_dedup_gate(spark, sf_dir):
+        from iresearch_spark.ops.dedup import semantic_dup_pairs
+
+        return semantic_dup_pairs(
+            _emb(spark, sf_dir), threshold=0.3, n_centroids=8
+        )
+
+    q["semantic_dedup"] = semantic_dedup_gate
+
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
     )
@@ -2207,6 +2218,28 @@ FROM cand
 JOIN v va ON va.vec_id = cand.doc_a
 JOIN v vb ON vb.vec_id = cand.doc_b
 WHERE list_cosine_similarity(va.e, vb.e) >= 0.3
+"""
+    _sem_cent_hash = seeded_hash60_sql("CAST(vec_id AS VARCHAR)", 97)
+    o["semantic_dedup"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, e AS ce FROM v
+  ORDER BY {_sem_cent_hash}, vec_id LIMIT 8
+),
+asg AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+      row_number() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid ASC
+      ) AS rn
+    FROM v CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.3
 """
     # IVF is deterministic too: centroids = the n_centroids ids with the
     # lowest seeded md5 hash, assignment/probing by cosine with

@@ -448,6 +448,71 @@ def embedding_dup_pairs(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def semantic_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: str = "hash",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    into coarse cells, then call two documents semantic duplicates when
+    they land in the SAME cell with cosine >= threshold. Returns
+    (doc_a, doc_b, cosine), doc_a < doc_b, cosine rounded to 6.
+
+    The within-cell restriction is the paper's own approximation —
+    near-dups split across a cell boundary are missed (raise
+    n_centroids quality via centroids="kmeans", or lower n_centroids
+    to trade cost for recall). Scale shape: one broadcast centroid
+    join + one equi-self-join ON THE CELL ID — pair work is
+    sum(cell²), never corpus²; a hot cell is visible in the cell-size
+    distribution and is the paper's knob (more centroids)."""
+    from iresearch_spark.ops.similarity import cell_assignments, cosine_expr
+
+    cells = cell_assignments(
+        emb, n_centroids, vec_col=vec_col, id_col=id_col, centroids=centroids
+    )
+    cells = _register_cache(cells.cache())
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        cosine_expr("a", "b").alias("_cos"),
+    )
+    return pairs.filter(F.col("_cos") >= threshold).select(
+        "doc_a", "doc_b", F.round("_cos", 6).alias("cosine")
+    )
+
+
+def drop_semantic_duplicates(
+    df: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "hash",
+) -> DataFrame:
+    """SemDeDup keep-one: cluster the semantic-dup pairs into connected
+    components and keep the smallest id per component (plus every
+    unpaired doc). `df` rows join `emb` rows by id."""
+    pairs = semantic_dup_pairs(
+        emb,
+        threshold=threshold,
+        n_centroids=n_centroids,
+        vec_col=vec_col,
+        id_col=emb_id_col,
+        centroids=centroids,
+    )
+    return drop_duplicate_docs(df, pairs, id_col=id_col)
+
+
 def drop_repeated_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -493,6 +493,62 @@ def _kmeans_centroids(
     )
 
 
+def cell_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: str = "hash",
+    sample_size: int = 4096,
+    kmeans_iters: int = 8,
+) -> DataFrame:
+    """(id, vec, norm, cid): every vector assigned to its nearest
+    coarse centroid by cosine (ties by cid) — the clustering step IVF
+    and SemDeDup share. Centroid selection as in `ivf_topk`: "hash" =
+    the n_centroids vectors with the lowest seeded hash of their id
+    (deterministic, oracle-replayable), "kmeans" = spherical k-means on
+    a bounded driver-side sample. One broadcast join against the
+    centroid table + one per-id window — linear, no self-join."""
+    base = with_norm(emb, vec_col, id_col)
+    if centroids == "kmeans":
+        cents = _kmeans_centroids(base, n_centroids, sample_size, kmeans_iters)
+    elif centroids == "hash":
+        cents = (
+            base.withColumn("_h", seeded_hash60(F.col("id").cast("string"), 97))
+            .orderBy("_h", "id")
+            .limit(n_centroids)
+            .select(
+                F.col("id").alias("cid"),
+                F.col("vec").alias("cvec"),
+                F.col("norm").alias("cnorm"),
+            )
+        )
+    else:
+        raise ValueError("centroids must be 'hash' or 'kmeans'")
+    a = base.alias("a")
+    c = F.broadcast(cents).alias("c")
+    dots = a.join(c).select(
+        "a.id",
+        "a.vec",
+        "a.norm",
+        F.col("c.cid").alias("cid"),
+        (
+            F.aggregate(
+                F.zip_with(F.col("a.vec"), F.col("c.cvec"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("a.norm") * F.col("c.cnorm"))
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        dots.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") == 1)
+        .select("id", "vec", "norm", "cid")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
