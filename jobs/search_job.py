@@ -63,7 +63,12 @@ def parse_task(line: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--tasks", required=True)
+    ap.add_argument("--tasks",
+                    help="task file (one 'Category: query' per line)")
+    ap.add_argument("--query",
+                    help="one Lucene-style query string (alternative to "
+                         "--tasks): 'a AND b', '\"a phrase\"', 'pre*', "
+                         "'fuzzy~1', 'title:x', '+a -b', '[a TO b]'")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", default="exhaustive", choices=["exhaustive", "wand"])
     ap.add_argument("--scorer", default="bm25")
@@ -109,12 +114,19 @@ def main():
         preload_stats=not args.no_preload_stats,
     )
 
+    if not args.tasks and not args.query:
+        raise SystemExit("pass --tasks FILE and/or --query STRING")
     tasks = {}
-    with open(args.tasks) as f:
-        for line in f:
-            category, node = parse_task(line)
-            if node is not None:
-                tasks[category] = node
+    if args.tasks:
+        with open(args.tasks) as f:
+            for line in f:
+                category, node = parse_task(line)
+                if node is not None:
+                    tasks[category] = node
+    if args.query:
+        from iresearch_spark.search.querystring import parse_query
+
+        tasks["Query"] = parse_query(args.query)
 
     timings = {}
     if args.batched:
