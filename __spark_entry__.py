@@ -149,6 +149,16 @@ _PII_FIXTURE = [
     "on 2024-01-02 it rained",
 ]
 
+# text-normalization fixture: composed + decomposed NFC forms, curly
+# quotes, em dash, ellipsis, control chars, NBSP, whitespace runs
+_TEXTNORM_FIXTURE = [
+    "Café …done",
+    "Café “quoted” — yes",
+    "tabs\tand\x00ctrl\x1fchars",
+    "  multi   space nbsp  ",
+    "plain ascii stays.",
+]
+
 # duplicate-pair fixture: a 5-node chain, a triangle, a 2-cycle, and
 # an 8-hop chain (forces several propagation rounds)
 _DUP_EDGES = (
@@ -595,6 +605,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["semantic_dedup"] = semantic_dedup_gate
+
+    # per-stratum corpus statistics (mixture-budgeting table)
+    def corpus_report_gate(spark, sf_dir):
+        from iresearch_spark.ops.textstats import corpus_report
+
+        return corpus_report(_docs(spark, sf_dir))
+
+    q["corpus_report"] = corpus_report_gate
+
+    # unicode/typography normalization on a literal fixture (NFC via
+    # the Arrow-batched pandas UDF; DuckDB replays with nfc_normalize)
+    def normalize_text_gate(spark, sf_dir):
+        from iresearch_spark.ops.textstats import normalize_text
+
+        df = spark.createDataFrame(
+            list(enumerate(_TEXTNORM_FIXTURE)), "id long, text string"
+        )
+        return normalize_text(df)
+
+    q["normalize_text"] = normalize_text_gate
 
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
@@ -2218,6 +2248,52 @@ FROM cand
 JOIN v va ON va.vec_id = cand.doc_a
 JOIN v vb ON vb.vec_id = cand.doc_b
 WHERE list_cosine_similarity(va.e, vb.e) >= 0.3
+"""
+    o["corpus_report"] = r"""
+SELECT lang, source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+    AS total_tokens,
+  round(AVG(len(regexp_split_to_array(trim(lower(text)), '\s+'))), 4)
+    AS mean_tokens,
+  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+  CAST(SUM(CAST(ceil(length(text)/4.0) AS BIGINT)) AS BIGINT)
+    AS total_subwords_est
+FROM documents GROUP BY lang, source
+"""
+
+    from iresearch_spark.ops.textstats import NORMALIZE_CHAR_MAP
+
+    def _sql_chr_str(s: str) -> str:
+        parts, buf = [], []
+        for ch in s:
+            cp = ord(ch)
+            if cp < 32 or cp == 127:
+                if buf:
+                    parts.append("'" + "".join(buf).replace("'", "''") + "'")
+                    buf = []
+                parts.append(f"chr({cp})")
+            else:
+                buf.append(ch)
+        if buf:
+            parts.append("'" + "".join(buf).replace("'", "''") + "'")
+        return " || ".join(parts) if parts else "''"
+
+    _tn_values = ", ".join(
+        f"({i}, {_sql_chr_str(t)})" for i, t in enumerate(_TEXTNORM_FIXTURE)
+    )
+    _tn_expr = "nfc_normalize(text)"
+    for _k, _v in NORMALIZE_CHAR_MAP.items():
+        _tn_expr = (
+            f"replace({_tn_expr}, '{_k}', '{_v.replace(chr(39), chr(39) * 2)}')"
+        )
+    o["normalize_text"] = f"""
+WITH t(id, text) AS (VALUES {_tn_values})
+SELECT CAST(id AS BIGINT) AS id,
+  trim(regexp_replace(regexp_replace({_tn_expr},
+    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+    '\\s+', ' ', 'g')) AS text
+FROM t
 """
     _sem_cent_hash = seeded_hash60_sql("CAST(vec_id AS VARCHAR)", 97)
     o["semantic_dedup"] = f"""

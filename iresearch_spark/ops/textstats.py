@@ -315,6 +315,90 @@ PII_PHONE_RE = (
 )
 
 
+# normalize_text's fixed character map (documented + frozen so the
+# DuckDB oracle replays it verbatim): curly quotes -> straight, dashes
+# -> '-', exotic spaces -> ' ', ellipsis -> '...', C0/C1-ish control
+# chars removed
+NORMALIZE_CHAR_MAP: dict[str, str] = {
+    "‘": "'", "’": "'", "‚": "'",
+    "“": '"', "”": '"', "„": '"',
+    "–": "-", "—": "-", "―": "-",
+    " ": " ", " ": " ", " ": " ", " ": " ",
+    "…": "...",
+}
+_NORMALIZE_DEL = "".join(
+    chr(c) for c in (*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0x7F)
+)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Unicode/typography normalization (the CCNet/C4-style text-fixing
+    pass that runs before any other cleaning): NFC-compose, map curly
+    quotes / long dashes / exotic spaces / ellipsis to ASCII
+    equivalents (NORMALIZE_CHAR_MAP — fixed and oracle-replayable),
+    strip control characters, collapse whitespace runs to single
+    spaces, trim. NULLs pass through.
+
+    NFC has no JVM builtin, so this is the sanctioned Python slow path:
+    an Arrow-batched pandas UDF (never row-at-a-time Python UDF
+    semantics) — same treatment as the analyzer chain's NFC step."""
+    import re as _re
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    table = str.maketrans(
+        {**NORMALIZE_CHAR_MAP, **{c: None for c in _NORMALIZE_DEL}}
+    )
+    ws = _re.compile(r"\s+")
+
+    def _fix(t):
+        if t is None:
+            return None
+        return ws.sub(" ", unicodedata.normalize("NFC", t).translate(table)).strip()
+
+    def _norm_fn(s):
+        return s.map(_fix)
+
+    # the module uses postponed annotations (PEP 563), which
+    # pandas_udf's hint inference can't evaluate — set them directly
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm_udf = pandas_udf(_norm_fn, "string")
+
+    return df.withColumn(text_col, _norm_udf(F.col(text_col)))
+
+
+def corpus_report(
+    df: DataFrame,
+    strata_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum corpus statistics — the mixture-budgeting table every
+    training-data pipeline keeps next to the corpus: document count,
+    total/mean whitespace tokens, total chars, and the subword-estimate
+    total (ceil(chars/4), as in token_counts). One map-side-combinable
+    groupBy; output is one row per stratum combination (tiny at any
+    corpus size). All exact aggregates — no sampling, no quantile
+    sketches — so the table is engine-portable and audit-stable."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (
+        df.groupBy(*strata_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(toks)).alias("total_tokens"),
+            F.round(F.avg(F.size(toks)), 4).alias("mean_tokens"),
+            F.sum(F.length(F.col(text_col))).alias("total_chars"),
+            F.sum(F.ceil(F.length(F.col(text_col)) / 4.0)).alias(
+                "total_subwords_est"
+            ),
+        )
+    )
+
+
 def scrub_pii(
     df,
     text_col: str = "text",
