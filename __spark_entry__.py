@@ -159,6 +159,17 @@ _TEXTNORM_FIXTURE = [
     "plain ascii stays.",
 ]
 
+_DOMAIN_FIXTURE = [
+    "https://www.Example.co.uk:443/page",
+    "http://user:pw@Sub.Blog.example.com:8080/x",
+    "https://192.168.0.1/admin",
+    "http://localhost/dev",
+    "not a url",
+    "https://shop.bad-site.com/promo",
+    "https://bad-site.com/",
+    "https://goodsite.org/a",
+]
+
 # duplicate-pair fixture: a 5-node chain, a triangle, a 2-cycle, and
 # an 8-hop chain (forces several propagation rounds)
 _DUP_EDGES = (
@@ -625,6 +636,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return normalize_text(df)
 
     q["normalize_text"] = normalize_text_gate
+
+    # URL host/registered-domain extraction + blocklist filter
+    def url_domains_gate(spark, sf_dir):
+        from iresearch_spark.ops.urls import registered_domain, url_host
+
+        df = spark.createDataFrame(
+            list(enumerate(_DOMAIN_FIXTURE)), "id long, url string"
+        )
+        return df.select(
+            "id",
+            url_host(F.col("url")).alias("host"),
+            registered_domain(F.col("url")).alias("domain"),
+        )
+
+    q["url_domains"] = url_domains_gate
+
+    def domain_filter_gate(spark, sf_dir):
+        from iresearch_spark.ops.urls import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            list(enumerate(_DOMAIN_FIXTURE)), "id long, url string"
+        )
+        bl = spark.createDataFrame(
+            [("bad-site.com",), ("Example.co.uk",)], "domain string"
+        )
+        return filter_blocked_domains(df, bl).select("id", "url")
+
+    q["domain_filter"] = domain_filter_gate
 
     q["exists_lang"] = lambda s, d: _rounded(
         _meta_engine(s, d).matches(Exists("lang", boost=1.5))
@@ -2294,6 +2333,41 @@ SELECT CAST(id AS BIGINT) AS id,
     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
     '\\s+', ' ', 'g')) AS text
 FROM t
+"""
+    from iresearch_spark.ops.urls import MULTI_LABEL_TLDS
+
+    _dom_values = ", ".join(
+        f"({i}, '{u}')" for i, u in enumerate(_DOMAIN_FIXTURE)
+    )
+    _dom_host = (
+        "regexp_replace(regexp_replace(lower(regexp_extract(trim(url), "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), "
+        "'^[^@]*@', ''), ':[0-9]*$', '')"
+    )
+    _dom_alts = "|".join(t.replace(".", "\\.") for t in MULTI_LABEL_TLDS)
+    _dom_cte = f"""
+WITH u(id, url) AS (VALUES {_dom_values}),
+h AS (SELECT id, url, {_dom_host} AS host FROM u),
+d AS (
+  SELECT id, url, host,
+    CASE
+      WHEN regexp_matches(host, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
+        THEN host
+      WHEN regexp_matches(host, '[^.]+\\.({_dom_alts})$')
+           AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+        THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+      WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+        THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+      ELSE host
+    END AS domain
+  FROM h)"""
+    o["url_domains"] = f"""{_dom_cte}
+SELECT CAST(id AS BIGINT) AS id, host, domain FROM d
+"""
+    o["domain_filter"] = f"""{_dom_cte},
+bl(domain) AS (VALUES ('bad-site.com'), ('Example.co.uk'))
+SELECT CAST(id AS BIGINT) AS id, url FROM d
+WHERE domain NOT IN (SELECT lower(domain) FROM bl)
 """
     _sem_cent_hash = seeded_hash60_sql("CAST(vec_id AS VARCHAR)", 97)
     o["semantic_dedup"] = f"""

@@ -85,3 +85,64 @@ def dedup_by_canonical_url(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# host/domain extraction + blocklist filtering — the crawl-pipeline
+# hygiene step that runs on the URL key before any content work.
+# Registered-domain extraction uses a fixed multi-label-TLD list (the
+# common public-suffix cases; a full PSL is a data file, not logic —
+# callers can pass their own via `multi_tlds`). Everything stays JVM
+# regexp expressions, SQL-replayable.
+MULTI_LABEL_TLDS: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.nz", "co.za",
+)
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL (port and userinfo stripped); non-URLs
+    yield ''."""
+    auth = F.lower(F.regexp_extract(F.trim(col), _AUTH_RE, 1))
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.regexp_replace(no_user, r":[0-9]*$", "")
+
+
+def registered_domain(
+    col: Column, multi_tlds: tuple[str, ...] = MULTI_LABEL_TLDS
+) -> Column:
+    """eTLD+1 approximation: last two host labels, or last THREE when
+    the last two are a known multi-label public suffix (co.uk, com.au,
+    ...). IP hosts pass through whole."""
+    host = url_host(col)
+    is_ip = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    suffix_alt = "|".join(t.replace(".", r"\.") for t in multi_tlds)
+    needs_three = host.rlike(rf"[^.]+\.({suffix_alt})$")
+    dom = F.when(is_ip, host).when(
+        needs_three & (three != ""), three
+    ).otherwise(F.when(two != "", two).otherwise(host))
+    return dom
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop every row whose URL's registered domain appears in
+    `blocklist` (a one-column DataFrame of domains) — subdomains of a
+    blocked domain are blocked with it. Blocklists are small next to a
+    crawl: broadcast anti-join, corpus rows never shuffle."""
+    dom = registered_domain(F.col(url_col)).alias("_dom")
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("_dom")).distinct()
+    )
+    return (
+        df.withColumn("_dom", dom)
+        .join(bl, "_dom", "left_anti")
+        .drop("_dom")
+    )

@@ -53,3 +53,44 @@ def test_dedup_keep_by_column(spark):
     )
     kept = [r["id"] for r in dedup_by_canonical_url(df, keep_by="id").collect()]
     assert kept == [1]
+
+
+def test_host_and_registered_domain(spark):
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.ops.urls import registered_domain, url_host
+
+    rows = [
+        ("https://www.Example.co.uk:443/page", "www.example.co.uk", "example.co.uk"),
+        ("http://user:pw@Sub.Blog.example.com:8080/x", "sub.blog.example.com", "example.com"),
+        ("https://192.168.0.1/admin", "192.168.0.1", "192.168.0.1"),
+        ("http://localhost/dev", "localhost", "localhost"),
+        ("not a url", "", ""),
+        ("https://a.b.co.jp/", "a.b.co.jp", "b.co.jp"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+    got = df.select(
+        "url",
+        url_host(F.col("url")).alias("h"),
+        registered_domain(F.col("url")).alias("d"),
+    ).collect()
+    for r, (_, eh, ed) in zip(sorted(got, key=lambda r: [u for u, _, _ in rows].index(r["url"])), rows):
+        assert r["h"] == eh, r
+        assert r["d"] == ed, r
+
+
+def test_filter_blocked_domains(spark):
+    from iresearch_spark.ops.urls import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://shop.bad.com/x"),
+            (1, "https://bad.com/"),
+            (2, "https://good.org/"),
+            (3, "https://notbad.com/"),
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("BAD.com",)], "domain string")
+    kept = sorted(r["id"] for r in filter_blocked_domains(df, bl).collect())
+    assert kept == [2, 3]  # subdomain blocked with parent; notbad.com kept
