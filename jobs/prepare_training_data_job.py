@@ -4,6 +4,8 @@ chained in the published-pipeline order (CCNet / C4 / Gopher / GPT-3
 decontamination / RefinedWeb), with per-stage row-count metrics.
 
 Stage order (each toggleable):
+  0. text normalization (NFC etc.)     (--normalize)
+  0b. domain blocklist filter          (--url-col + --blocklist-parquet)
   1. URL canonicalization dedup        (--url-col)
   2. exact text dedup                  (default on; --no-exact-dedup)
   3. repeated-paragraph removal        (--drop-repeated-paragraphs)
@@ -52,6 +54,8 @@ def run_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     url_col: str | None = None,
+    normalize: bool = False,
+    blocklist_df: DataFrame | None = None,
     exact_dedup: bool = True,
     drop_repeated_paras: bool = False,
     para_sep: str = "\n",
@@ -93,6 +97,13 @@ def run_pipeline(
         n = m
         return out
 
+    if normalize:
+        df = step("normalize_text", T.normalize_text(df, text_col=text_col))
+    if url_col and blocklist_df is not None:
+        df = step(
+            "domain_blocklist",
+            U.filter_blocked_domains(df, blocklist_df, url_col=url_col),
+        )
     if url_col:
         df = step(
             "url_dedup", U.dedup_by_canonical_url(df, url_col=url_col)
@@ -191,6 +202,14 @@ def main():
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--url-col", default=None)
+    ap.add_argument("--normalize", action="store_true",
+                    help="NFC + typography/control/whitespace cleanup first")
+    ap.add_argument("--blocklist-parquet", default=None,
+                    help="one-column (domain) parquet; rows whose URL's "
+                         "registered domain matches are dropped")
+    ap.add_argument("--report", action="store_true",
+                    help="also write a per-(lang, source) corpus_report "
+                         "table for the surviving docs")
     ap.add_argument("--no-exact-dedup", action="store_true")
     ap.add_argument("--drop-repeated-paragraphs", action="store_true")
     ap.add_argument("--para-sep", default="\n")
@@ -219,6 +238,12 @@ def main():
         id_col=args.id_col,
         text_col=args.text_col,
         url_col=args.url_col,
+        normalize=args.normalize,
+        blocklist_df=(
+            spark.read.parquet(args.blocklist_parquet)
+            if args.blocklist_parquet
+            else None
+        ),
         exact_dedup=not args.no_exact_dedup,
         drop_repeated_paras=args.drop_repeated_paragraphs,
         para_sep=args.para_sep,
@@ -245,6 +270,16 @@ def main():
         pack_seq_len=args.pack_seq_len,
     )
     docs.write.mode("overwrite").parquet(args.output + "/documents")
+    if args.report:
+        from iresearch_spark.ops.textstats import corpus_report
+
+        strata = tuple(
+            c for c in ("lang", "source") if c in docs.columns
+        ) or (args.id_col,)
+        corpus_report(
+            docs, strata_cols=strata, text_col=args.text_col,
+            id_col=args.id_col,
+        ).coalesce(1).write.mode("overwrite").parquet(args.output + "/report")
     if packing is not None:
         packing.write.mode("overwrite").parquet(args.output + "/packing")
     spark.createDataFrame(

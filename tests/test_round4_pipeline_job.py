@@ -113,3 +113,27 @@ def test_pipeline_sampling_stages(spark, corpus):
     names = [m["stage"] for m in metrics]
     assert names == ["hash_sample", "stratified_sample"]
     assert docs.count() == 9  # every url unique -> quota 1 keeps all
+
+
+def test_pipeline_normalize_and_blocklist(spark, corpus):
+    bl = spark.createDataFrame([("d.com",)], "domain string")
+    messy = spark.createDataFrame(
+        [(100, "curly “text” here", "https://sub.d.com/blocked")],
+        "doc_id long, text string, url string",
+    )
+    docs, _, metrics = run_pipeline(
+        spark,
+        corpus.unionByName(messy),
+        url_col="url",
+        normalize=True,
+        blocklist_df=bl,
+        exact_dedup=False,
+    )
+    names = [(m["stage"], m["rows_in"], m["rows_out"]) for m in metrics]
+    assert names == [
+        ("normalize_text", 10, 10),
+        ("domain_blocklist", 10, 8),   # docs 4 + 100 are on d.com
+        ("url_dedup", 8, 7),           # ids 0/1 share a canonical url
+    ]
+    kept = {r["doc_id"] for r in docs.collect()}
+    assert 100 not in kept and 4 not in kept
