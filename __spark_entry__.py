@@ -553,6 +553,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_perplexity"] = lm_perplexity_gate
 
+    # interpolated trigram LM (Jelinek-Mercer over add-one components)
+    def lm_trigram_gate(spark, sf_dir):
+        from iresearch_spark.ops.lm import (
+            train_trigram_lm,
+            trigram_cross_entropy,
+        )
+
+        docs = _docs(spark, sf_dir)
+        ref = docs.filter(F.col("doc_id") % 5 == 0)
+        tri, bi, uni, v, t = train_trigram_lm(ref)
+        return trigram_cross_entropy(docs, tri, bi, uni, v, t)
+
+    q["lm_trigram"] = lm_trigram_gate
+
     # DSIR importance weights (hashed unigram+bigram buckets, add-one
     # smoothed target/raw distributions; target = doc_id % 7 == 0)
     def dsir_weights_gate(spark, sf_dir):
@@ -1518,6 +1532,59 @@ agg AS (
 )
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(agg.ce, 6) AS cross_entropy,
+       round(exp(agg.ce), 4) AS ppl
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+    o["lm_trigram"] = f"""
+WITH rt AS (
+  SELECT {_LM_TOKS.format(e='text')} AS arr FROM documents WHERE doc_id % 5 = 0
+),
+runi AS (SELECT unnest(arr) AS w1 FROM rt),
+uni AS (SELECT w1, count(*) AS c1 FROM runi GROUP BY w1),
+v AS (SELECT count(*) AS v FROM uni),
+tt AS (SELECT count(*) AS t FROM runi),
+bi AS (
+  SELECT w1, w2, count(*) AS c2 FROM (
+    SELECT arr[i] AS w1, arr[i+1] AS w2
+    FROM (SELECT arr, unnest(generate_series(1, len(arr)-1)) AS i
+          FROM rt WHERE len(arr) >= 2)
+  ) GROUP BY w1, w2
+),
+tri AS (
+  SELECT w1, w2, w3, count(*) AS c3 FROM (
+    SELECT arr[i] AS w1, arr[i+1] AS w2, arr[i+2] AS w3
+    FROM (SELECT arr, unnest(generate_series(1, len(arr)-2)) AS i
+          FROM rt WHERE len(arr) >= 3)
+  ) GROUP BY w1, w2, w3
+),
+dt AS (SELECT doc_id, {_LM_TOKS.format(e='text')} AS arr FROM documents),
+dg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2, arr[i+2] AS w3
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-2)) AS i
+        FROM dt WHERE len(arr) >= 3)
+),
+nll AS (
+  SELECT doc_id, -ln(
+    0.5 * (COALESCE(tri.c3, 0) + 1.0)
+        / (COALESCE(b1.c2, 0) + (SELECT v FROM v) * 1.0)
+    + 0.3 * (COALESCE(b2.c2, 0) + 1.0)
+        / (COALESCE(u1.c1, 0) + (SELECT v FROM v) * 1.0)
+    + 0.2 * (COALESCE(u2.c1, 0) + 1.0)
+        / ((SELECT t FROM tt) + (SELECT v FROM v) * 1.0)
+  ) AS nll
+  FROM dg
+  LEFT JOIN tri ON tri.w1 = dg.w1 AND tri.w2 = dg.w2 AND tri.w3 = dg.w3
+  LEFT JOIN bi b1 ON b1.w1 = dg.w1 AND b1.w2 = dg.w2
+  LEFT JOIN bi b2 ON b2.w1 = dg.w2 AND b2.w2 = dg.w3
+  LEFT JOIN uni u1 ON u1.w1 = dg.w2
+  LEFT JOIN uni u2 ON u2.w1 = dg.w3
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_trigrams, avg(nll) AS ce FROM nll GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(agg.n_trigrams, 0) AS BIGINT) AS n_trigrams,
        round(agg.ce, 6) AS cross_entropy,
        round(exp(agg.ce), 4) AS ppl
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id

@@ -296,3 +296,138 @@ def dsir_sample(
     return keyed.orderBy(
         F.col("gumbel_key").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def _ngram_pairs(toks_col, n: int):
+    """Array of n-gram structs (w1..wn) from a token-array column."""
+    size = F.size(toks_col)
+    fields = [
+        F.slice(toks_col, i + 1, size - F.lit(n - 1)) for i in range(n)
+    ]
+    if n == 2:
+        zipped = F.zip_with(
+            fields[0], fields[1],
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    elif n == 3:
+        zipped = F.zip_with(
+            F.zip_with(
+                fields[0], fields[1],
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            fields[2],
+            lambda ab, c: F.struct(
+                ab["w1"].alias("w1"), ab["w2"].alias("w2"), c.alias("w3")
+            ),
+        )
+    else:
+        raise ValueError("n must be 2 or 3")
+    empty = F.array().cast(
+        "array<struct<" + ",".join(f"w{i+1}:string" for i in range(n)) + ">>"
+    )
+    return F.when(size >= n, zipped).otherwise(empty)
+
+
+def train_trigram_lm(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """Count tables for an interpolated trigram LM (the sandbox-scale
+    step up toward CCNet's 5-gram KenLM): returns
+    (trigrams(w1,w2,w3,c3), bigrams(w1,w2,c2), unigrams(w1,c1),
+    vocab_size, total_tokens). Three linear groupBys over the
+    reference corpus, all map-side combinable."""
+    toks = ref.select(_tokens(F.col(text_col)).alias("_t"))
+    tri = (
+        toks.select(F.explode(_ngram_pairs(F.col("_t"), 3)).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"),
+                 F.col("g.w3").alias("w3"))
+        .agg(F.count("*").alias("c3"))
+    )
+    bi = (
+        toks.select(F.explode(_ngram_pairs(F.col("_t"), 2)).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    unis = toks.select(F.explode("_t").alias("w1"))
+    uni = unis.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_size = uni.count()
+    total_tokens = unis.count()
+    return tri, bi, uni, int(vocab_size), int(total_tokens)
+
+
+def trigram_cross_entropy(
+    df: DataFrame,
+    trigrams: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    vocab_size: int,
+    total_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.5, 0.3, 0.2),
+) -> DataFrame:
+    """Per-document cross-entropy under a Jelinek-Mercer-interpolated
+    add-one trigram model:
+
+      P(w3|w1 w2) = l3*(c3+1)/(c2(w1,w2)+V)
+                  + l2*(c2(w2,w3)+1)/(c1(w2)+V)
+                  + l1*(c1(w3)+1)/(T+V)
+
+    Each component is add-one smoothed so every factor is positive and
+    the interpolation needs no backoff bookkeeping — deterministic and
+    exactly replayable in SQL. Returns
+    (id_col, n_trigrams, cross_entropy, ppl); docs with <3 tokens keep
+    NULLs. Five equi-joins against the count tables (context and
+    continuation sides), one doc-keyed aggregation."""
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if abs(l1 + l2 + l3 - 1.0) > 1e-9:
+        raise ValueError("lambdas must sum to 1")
+    toks = df.select(id_col, _tokens(F.col(text_col)).alias("_t"))
+    g = toks.select(
+        id_col, F.explode(_ngram_pairs(F.col("_t"), 3)).alias("g")
+    ).select(id_col, "g.w1", "g.w2", "g.w3")
+    ctx2 = bigrams.select(
+        F.col("w1").alias("w1"), F.col("w2").alias("w2"),
+        F.col("c2").alias("ctx_c2"),
+    )
+    cont2 = bigrams.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c2").alias("cont_c2"),
+    )
+    ctx1 = unigrams.select(F.col("w1").alias("w2"), F.col("c1").alias("ctx_c1"))
+    cont1 = unigrams.select(F.col("w1").alias("w3"), F.col("c1").alias("cont_c1"))
+    v = float(vocab_size)
+    t = float(total_tokens)
+    joined = (
+        g.join(trigrams, ["w1", "w2", "w3"], "left")
+        .join(ctx2, ["w1", "w2"], "left")
+        .join(cont2, ["w2", "w3"], "left")
+        .join(ctx1, ["w2"], "left")
+        .join(cont1, ["w3"], "left")
+    )
+    p = (
+        F.lit(l3)
+        * (F.coalesce("c3", F.lit(0)) + F.lit(1.0))
+        / (F.coalesce("ctx_c2", F.lit(0)) + F.lit(v))
+        + F.lit(l2)
+        * (F.coalesce("cont_c2", F.lit(0)) + F.lit(1.0))
+        / (F.coalesce("ctx_c1", F.lit(0)) + F.lit(v))
+        + F.lit(l1)
+        * (F.coalesce("cont_c1", F.lit(0)) + F.lit(1.0))
+        / F.lit(t + v)
+    )
+    agg = (
+        joined.select(id_col, (-F.log(p)).alias("_nll"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_trigrams"), F.avg("_nll").alias("ce"))
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.round("ce", 6).alias("cross_entropy"),
+            F.round(F.exp("ce"), 4).alias("ppl"),
+        )
+    )

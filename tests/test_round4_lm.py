@@ -156,3 +156,41 @@ def test_dsir_sample_deterministic_and_weighted(spark):
     assert sum(1 for d in got1 if d % 2 == 0) >= 8
     got3 = [r["doc_id"] for r in dsir_sample(docs, tgt, k=10, seed=8).collect()]
     assert got1 != got3  # seed actually feeds the noise
+
+
+def test_trigram_interpolated_closed_form(spark):
+    from iresearch_spark.ops.lm import train_trigram_lm, trigram_cross_entropy
+
+    ref = spark.createDataFrame([Row(text="a b c a b d")])
+    tri, bi, uni, v, t = train_trigram_lm(ref)
+    assert (v, t) == (4, 6)
+    assert {(r["w1"], r["w2"], r["w3"]): r["c3"] for r in tri.collect()} == {
+        ("a", "b", "c"): 1, ("b", "c", "a"): 1,
+        ("c", "a", "b"): 1, ("a", "b", "d"): 1,
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="x y z"),
+         Row(doc_id=3, text="a b")]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in trigram_cross_entropy(docs, tri, bi, uni, v, t).collect()
+    }
+    p1 = 0.5 * 2 / 6 + 0.3 * 2 / 6 + 0.2 * 2 / 10
+    assert out[1]["n_trigrams"] == 1
+    assert out[1]["cross_entropy"] == pytest.approx(-math.log(p1), abs=1e-6)
+    p2 = 0.5 * 1 / 4 + 0.3 * 1 / 4 + 0.2 * 1 / 10
+    assert out[2]["cross_entropy"] == pytest.approx(-math.log(p2), abs=1e-6)
+    assert out[3]["n_trigrams"] == 0 and out[3]["cross_entropy"] is None
+    # in-domain text scores better than OOV text
+    assert out[1]["ppl"] < out[2]["ppl"]
+
+
+def test_trigram_lambda_validation(spark):
+    from iresearch_spark.ops.lm import train_trigram_lm, trigram_cross_entropy
+
+    ref = spark.createDataFrame([Row(text="a b c")])
+    tri, bi, uni, v, t = train_trigram_lm(ref)
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        trigram_cross_entropy(docs, tri, bi, uni, v, t, lambdas=(0.5, 0.5, 0.5))
