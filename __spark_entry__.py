@@ -611,6 +611,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample"] = stratified_sample_gate
 
+    # deterministic train/val/test split labels
+    def hash_split_gate(spark, sf_dir):
+        from iresearch_spark.ops.sampling import hash_split
+
+        return hash_split(
+            _docs(spark, sf_dir),
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=3,
+        ).select("doc_id", "split")
+
+    q["hash_split"] = hash_split_gate
+
     # GPT-style sequence packing plan: (doc, sequence) span assignments
     # for seq_len=64 over the documents stream in doc_id order
     def pack_sequences_gate(spark, sf_dir):
@@ -1655,6 +1668,17 @@ r AS (
   FROM h
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM r WHERE rk <= 30
+"""
+    o["hash_split"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE
+    WHEN {_h60sql("'3:' || CAST(doc_id AS VARCHAR)")} % 1000000 < 100000
+      THEN 'test'
+    WHEN {_h60sql("'3:' || CAST(doc_id AS VARCHAR)")} % 1000000 < 900000
+      THEN 'train'
+    ELSE 'val'
+  END AS split
+FROM documents
 """
     o["pack_sequences"] = f"""
 WITH n AS (

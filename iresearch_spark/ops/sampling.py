@@ -160,3 +160,39 @@ def pack_sequences(
             "seq_offset"
         ),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic dataset split: adds a `split` column assigning each
+    row to one of the named buckets with the given weights (must sum to
+    1), by seeded hash of the key — the train/val/test assignment that
+    stays stable across runs, partitionings and cluster sizes, and
+    never leaks a key between buckets (same key => same split, even
+    across reruns with added data). Buckets are assigned in sorted name
+    order over contiguous hash ranges, so the mapping is reproducible
+    from the weights alone. Pure column expression — no shuffle."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    h = seeded_hash60(F.col(key_col).cast("string"), seed) % _RATE_MOD
+    expr = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        bound = int(acc * _RATE_MOD)
+        expr = (
+            F.when(h < bound, F.lit(name))
+            if expr is None
+            else expr.when(h < bound, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", out)

@@ -129,3 +129,32 @@ def test_pack_sequences_long_doc_spans_many(spark):
         for r in pack_sequences(df, seq_len=10).collect()
     )
     assert out == [(s, s * 10, min((s + 1) * 10, 100)) for s in range(10)]
+
+
+def test_hash_split(spark):
+    from iresearch_spark.ops.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["id"])
+    out = hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    rows = out.collect()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert 0.07 < counts["val"] / 5000 < 0.13
+    # python replay: sorted names over contiguous ranges (test<train<val)
+    expect = {}
+    for i in range(5000):
+        h = _h60(f"3:{i}") % 1_000_000
+        expect[i] = "test" if h < 100_000 else ("train" if h < 900_000 else "val")
+    got = {r["id"]: r["split"] for r in rows}
+    assert got == expect
+    # partitioning + rerun stability
+    out2 = hash_split(
+        df.repartition(9), "id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+    )
+    assert {r["id"]: r["split"] for r in out2.collect()} == got
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(df, "id", {"a": 0.5, "b": 0.6})
