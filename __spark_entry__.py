@@ -157,6 +157,8 @@ _TEXTNORM_FIXTURE = [
     "tabs\tand\x00ctrl\x1fchars",
     "  multi   space nbsp  ",
     "plain ascii stays.",
+    # C1 control, NEL, line separator, ogham + ideographic space
+    "c1\x9dgone nel\x85brk line\u2028sep og\u1680ham cjk\u3000wide",
 ]
 
 _DOMAIN_FIXTURE = [
@@ -2398,7 +2400,7 @@ FROM documents GROUP BY lang, source
         parts, buf = [], []
         for ch in s:
             cp = ord(ch)
-            if cp < 32 or cp == 127:
+            if cp < 32 or 0x7F <= cp <= 0xA0 or cp in (0x2028, 0x2029):
                 if buf:
                     parts.append("'" + "".join(buf).replace("'", "''") + "'")
                     buf = []
@@ -2414,14 +2416,25 @@ FROM documents GROUP BY lang, source
     )
     _tn_expr = "nfc_normalize(text)"
     for _k, _v in NORMALIZE_CHAR_MAP.items():
-        _tn_expr = (
-            f"replace({_tn_expr}, '{_k}', '{_v.replace(chr(39), chr(39) * 2)}')"
+        # control / invisible map keys (NEL, line separators) go in as
+        # chr(cp) so the SQL text itself stays printable
+        _cp = ord(_k)
+        _ksql = (
+            f"chr({_cp})"
+            if _cp < 0x20 or 0x7F <= _cp <= 0xA0 or _cp in (0x2028, 0x2029)
+            else "'" + _k + "'"
         )
+        _tn_expr = (
+            f"replace({_tn_expr}, {_ksql}, "
+            f"'{_v.replace(chr(39), chr(39) * 2)}')"
+        )
+    # deletion class = C0 minus \t\n\r, DEL, and C1 (NEL was already
+    # mapped to ' ' above, so including 0x85 here is a no-op)
     o["normalize_text"] = f"""
 WITH t(id, text) AS (VALUES {_tn_values})
 SELECT CAST(id AS BIGINT) AS id,
   trim(regexp_replace(regexp_replace({_tn_expr},
-    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'),
     '\\s+', ' ', 'g')) AS text
 FROM t
 """

@@ -471,6 +471,7 @@ def semantic_dup_pairs(
     distribution and is the paper's knob (more centroids)."""
     from iresearch_spark.ops.similarity import cell_assignments, cosine_expr
 
+    release_caches()  # module contract: drop the previous op call's caches
     cells = cell_assignments(
         emb, n_centroids, vec_col=vec_col, id_col=id_col, centroids=centroids
     )

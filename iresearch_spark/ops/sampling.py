@@ -39,7 +39,9 @@ def hash_rate_sample(
     No shuffle — the predicate evaluates at the scan."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    bound = int(rate * _RATE_MOD)
+    # round, don't truncate: float repr of e.g. 0.7 is a hair under and
+    # int() would shave one hash value off the nominal bound
+    bound = int(rate * _RATE_MOD + 0.5)
     h = seeded_hash60(F.col(key_col).cast("string"), seed) % _RATE_MOD
     return df.filter(h < F.lit(bound))
 
@@ -176,18 +178,20 @@ def hash_split(
     across reruns with added data). Buckets are assigned in sorted name
     order over contiguous hash ranges, so the mapping is reproducible
     from the weights alone. Pure column expression — no shuffle."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError("weights must sum to 1")
-    if not weights:
-        raise ValueError("weights must be non-empty")
     h = seeded_hash60(F.col(key_col).cast("string"), seed) % _RATE_MOD
     expr = None
     acc = 0.0
     names = sorted(weights)
     for name in names[:-1]:
         acc += weights[name]
-        bound = int(acc * _RATE_MOD)
+        # round, don't truncate: float repr of e.g. 0.7 is a hair under
+        # and int() would shave one hash value off the nominal bound
+        bound = int(acc * _RATE_MOD + 0.5)
         expr = (
             F.when(h < bound, F.lit(name))
             if expr is None

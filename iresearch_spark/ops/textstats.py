@@ -317,17 +317,35 @@ PII_PHONE_RE = (
 
 # normalize_text's fixed character map (documented + frozen so the
 # DuckDB oracle replays it verbatim): curly quotes -> straight, dashes
-# -> '-', exotic spaces -> ' ', ellipsis -> '...', C0/C1-ish control
-# chars removed
+# -> '-', every non-ASCII Unicode whitespace -> ' ' (so the later
+# whitespace collapse behaves identically under Python's Unicode \s
+# and the DuckDB oracle's ASCII RE2 \s), ellipsis -> '...', C0 AND C1
+# control chars removed (NEL U+0085 maps to ' ' instead — it is a
+# line break, not garbage)
 NORMALIZE_CHAR_MAP: dict[str, str] = {
-    "‘": "'", "’": "'", "‚": "'",
-    "“": '"', "”": '"', "„": '"',
-    "–": "-", "—": "-", "―": "-",
-    " ": " ", " ": " ", " ": " ", " ": " ",
-    "…": "...",
+    "\u2018": "'", "\u2019": "'", "\u201a": "'",
+    "\u201c": '"', "\u201d": '"', "\u201e": '"',
+    "\u2013": "-", "\u2014": "-", "\u2015": "-",
+    "\u2026": "...",
+    # NEL + the full non-ASCII Unicode whitespace set (everything
+    # Python's Unicode-aware \s matches beyond ASCII): U+0085,
+    # U+00A0, U+1680, U+2000..U+200A, U+2028, U+2029, U+202F,
+    # U+205F, U+3000
+    **{
+        chr(c): " "
+        for c in (
+            0x85, 0xA0, 0x1680, *range(0x2000, 0x200B),
+            0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+        )
+    },
 }
 _NORMALIZE_DEL = "".join(
-    chr(c) for c in (*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0x7F)
+    chr(c)
+    for c in (
+        *range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0x7F,
+        # C1 controls minus NEL (0x85, mapped to ' ' above)
+        *range(0x80, 0x85), *range(0x86, 0xA0),
+    )
 )
 
 

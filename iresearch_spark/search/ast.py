@@ -233,6 +233,20 @@ class Or(Node):
 
 
 @dataclass(frozen=True)
+class Should(Node):
+    """Optional (score-only) clause inside an And — Lucene
+    BooleanClause.Occur.SHOULD when MUST clauses are present: the
+    wrapped child never constrains the match set, but when it matches
+    a doc its score merges in like any sibling. The reference reaches
+    the same semantics by folding should-scores into a min_match=0
+    disjunction (boolean_filter.cpp:287-312); here a dedicated wrapper
+    keeps And's fused-scan shape. Only valid as a direct child of And."""
+
+    child: Node
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Exists(Node):
     """Docs whose stored column is non-null, constant score = boost
     (reference `by_column_existence`, column_existence_filter.hpp).

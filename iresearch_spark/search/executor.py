@@ -1292,17 +1292,36 @@ class SearchEngine:
             return self._eval_bool(node, boost, postings)
         if isinstance(node, ast.Not):
             raise ValueError("Not is only valid inside And/Or")
+        if isinstance(node, ast.Should):
+            raise ValueError("Should is only valid as a child of And")
         leaf = self._prepare_leaf(node, boost)
         return self._eval_leaf_df(leaf, postings)
 
     def _eval_bool(self, node, boost: float, postings=None) -> DataFrame:
         children = list(node.children)
         boost = boost * node.boost
-        positives = [c for c in children if not isinstance(c, ast.Not)]
+        # Should children (Lucene optional/score-only clauses) unwrap
+        # here: they evaluate and score like any positive but never
+        # count toward `required` — implemented with a per-row _req
+        # flag so the fused-scan fold still applies to them
+        positives: list[ast.Node] = []
+        optional_idx: set[int] = set()
+        for c in children:
+            if isinstance(c, ast.Not):
+                continue
+            if isinstance(c, ast.Should):
+                optional_idx.add(len(positives))
+                positives.append(
+                    c.child
+                    if c.boost == 1.0
+                    else _replace_boost(c.child, c.boost)
+                )
+            else:
+                positives.append(c)
         negatives = [c.child for c in children if isinstance(c, ast.Not)]
         n_pos = len(positives)
         if isinstance(node, ast.And):
-            required = n_pos
+            required = n_pos - len(optional_idx)
         else:
             # exclusions don't count toward min_match — the reference
             # splits incl/excl and passes excl into the disjunction
@@ -1380,9 +1399,19 @@ class SearchEngine:
             score_agg = {"sum": F.sum, "max": F.max, "min": F.min}.get(
                 merge, F.sum
             )("score").alias("score")
+        if optional_idx:
+            # optional (Should) leaves score but don't count toward
+            # `required`: a 0/1 flag per row, summed instead of count
+            cnt_agg = F.sum(
+                F.when(
+                    F.col("_leaf").isin([int(i) for i in optional_idx]), 0
+                ).otherwise(1)
+            ).alias("_cnt")
+        else:
+            cnt_agg = F.count(F.lit(1)).alias("_cnt")
         merged = (
             unioned.groupBy("doc_id")
-            .agg(score_agg, F.count(F.lit(1)).alias("_cnt"))
+            .agg(score_agg, cnt_agg)
             .filter(F.col("_cnt") >= required)
         )
         if merge == "noop":
@@ -1862,7 +1891,7 @@ class SearchEngine:
         elif isinstance(node, (ast.And, ast.Or)):
             for c in node.children:
                 self._plain_terms(c, acc)
-        elif isinstance(node, (ast.Not, ast.Nested)):
+        elif isinstance(node, (ast.Not, ast.Nested, ast.Should)):
             self._plain_terms(node.child, acc)
 
     def _execute(self, query: ast.Node, k: int | None, mode: str) -> DataFrame:
@@ -2025,6 +2054,13 @@ class SearchEngine:
                 "theta": theta,
             }
         return self._eval(query, 1.0, postings=survivors)
+
+
+def _replace_boost(node: ast.Node, mult: float) -> ast.Node:
+    """Copy `node` with boost multiplied by `mult` (Should unwrapping)."""
+    import dataclasses
+
+    return dataclasses.replace(node, boost=node.boost * mult)
 
 
 def _make_score_kernel(params: tuple):

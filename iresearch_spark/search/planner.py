@@ -25,8 +25,26 @@ def _rewrite(node: ast.Node) -> ast.Node:
             return _apply_boost(child.child, node.boost * child.boost)
         return ast.Not(child, node.boost)
 
+    if isinstance(node, ast.Should):
+        child = _rewrite(node.child)
+        # Empty does NOT propagate up through Should — an optional
+        # clause matching nothing just scores nothing; the enclosing
+        # And drops the wrapper below
+        if isinstance(child, ast.Should):  # flatten nested optionals
+            return ast.Should(child.child, node.boost * child.boost)
+        if child is not node.child:
+            return ast.Should(child, node.boost)
+        return node
+
     if isinstance(node, ast.And):
         children = [_rewrite(c) for c in node.children]
+        # a Should whose child rewrote to Empty is simply droppable —
+        # an optional clause matching nothing scores nothing
+        children = [
+            c
+            for c in children
+            if not (isinstance(c, ast.Should) and isinstance(c.child, ast.Empty))
+        ]
         # empty propagation: And(..., Empty) -> Empty (:146-148)
         if any(isinstance(c, ast.Empty) for c in children):
             return ast.Empty()
@@ -42,9 +60,14 @@ def _rewrite(node: ast.Node) -> ast.Node:
         if all(isinstance(c, ast.Not) for c in children):
             children = [ast.AllDocs(boost=0.0)] + children
         # single-child flattening (:153-156; the reference also ignores
-        # merge_type for the single-node case)
+        # merge_type for the single-node case). A lone surviving Should
+        # flattens to its child — Lucene's only-SHOULDs BooleanQuery is
+        # min_match=1 over the shoulds.
         if len(children) == 1 and not isinstance(children[0], ast.Not):
-            return _apply_boost(children[0], node.boost)
+            only = children[0]
+            if isinstance(only, ast.Should):
+                return _apply_boost(only.child, node.boost * only.boost)
+            return _apply_boost(only, node.boost)
         return ast.And(children, node.boost, node.merge_type)
 
     if isinstance(node, ast.Or):

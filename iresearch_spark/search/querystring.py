@@ -13,14 +13,20 @@ Supported syntax:
   "exact phrase"           Phrase
   wild*card / wi?d         Wildcard (*=any run, ?=one char; trailing-*
                            only becomes Prefix)
-  fuzzy~1                  Fuzzy (bare ~ = distance 2, the Lucene default)
+  fuzzy~1                  Fuzzy (bare ~ = distance 2, the Lucene default;
+                           legacy float form term~0.8 maps to an edit
+                           distance like FuzzyQuery#floatToEdits)
   [aaa TO bbb] / {a TO b}  Range (inclusive / exclusive ends, mixable;
                            * = unbounded end)
   term^2.5                 boost (any clause, incl. groups)
   a AND b, a OR b, NOT a   boolean operators (NOT binds tightest, then
                            AND, then OR)
-  +must -must_not          Lucene occurs-flags: any +/- in a group turns
-                           it into And([musts..., Or(shoulds), Not(...)s])
+  +must -must_not          Lucene occurs-flags: musts are required, bare
+                           clauses next to a '+' stay OPTIONAL score-only
+                           shoulds (BooleanQuery semantics — '+apple
+                           banana' matches every apple doc, banana only
+                           boosts); with no musts, shoulds require >=1
+                           match as usual
   title:term title:(a b)   Field scoping (multi-field indexes)
   \\* \\" \\:              backslash-escapes inside terms
 
@@ -47,6 +53,7 @@ from iresearch_spark.search.ast import (
     Phrase,
     Prefix,
     Range,
+    Should,
     Wildcard,
 )
 from iresearch_spark.search.ast import Term as TermNode
@@ -68,7 +75,7 @@ _TOKEN_RE = re.compile(
       (?P<word>(?:\\.|[^\s()^~:"\\])+) |
       (?P<colon>:) |
       (?P<caret>\^(?P<boostval>[0-9]+(?:\.[0-9]+)?)) |
-      (?P<tilde>~(?P<fuzzval>[0-9]+)?)
+      (?P<tilde>~(?P<fuzzval>[0-9]+(?:\.[0-9]+)?)?)
     )""",
     re.VERBOSE,
 )
@@ -178,9 +185,14 @@ class _Parser:
                 raise QueryParseError("pure-negative group")
             children = list(musts)
             if shoulds:
-                children.append(
-                    Or(shoulds) if len(shoulds) > 1 else shoulds[0]
-                )
+                grp = Or(shoulds) if len(shoulds) > 1 else shoulds[0]
+                if musts:
+                    # Lucene BooleanQuery: with MUSTs present, SHOULD
+                    # clauses are optional (score-only) — they never
+                    # constrain the match set ('+apple banana' matches
+                    # every apple doc, banana only boosts)
+                    grp = Should(grp)
+                children.append(grp)
             children.extend(Not(n) for n in must_nots)
             return children[0] if len(children) == 1 else And(children)
         return self._group(shoulds, self.default_op)
@@ -227,6 +239,14 @@ class _Parser:
             return self._suffix(node)
         if kind == "word":
             self.next()
+            if text[0] in "[{":
+                # a well-formed range lexes as its own token; a word
+                # starting with an unescaped bracket is a broken one
+                # ('[b TO' with no closer) — fail loudly, don't silently
+                # index-search for the literal '[b'
+                raise QueryParseError(
+                    f"unclosed range (or unescaped bracket) at {text!r}"
+                )
             # field scoping: word ':' primary
             if self.peek()[0] == "colon":
                 self.next()
@@ -239,8 +259,22 @@ class _Parser:
         kind, val = self.peek()
         if kind == "fuzzy":
             self.next()
-            d = int(val) if val else self.default_fuzzy
-            return Fuzzy(self.an(_unescape(raw)), distance=d)
+            term = self.an(_unescape(raw))
+            if val and "." in val:
+                # legacy Lucene float similarity (apple~0.8): map to an
+                # edit distance like FuzzyQuery#floatToEdits —
+                # (1 - sim) * term_length, capped at 2
+                sim = float(val)
+                if not 0.0 <= sim < 1.0:
+                    raise QueryParseError(
+                        f"fuzzy similarity must be in [0, 1): ~{val}"
+                    )
+                # round at 1e-9 before truncating: (1-0.8)*5 is a hair
+                # under 1.0 in binary floating point
+                d = min(2, int(round((1.0 - sim) * len(term), 9)))
+            else:
+                d = int(val) if val else self.default_fuzzy
+            return Fuzzy(term, distance=d)
         # wildcard detection on the RAW text (escapes protect literals)
         probe = _WILD_ESCAPED.sub("", raw)
         if "*" in probe or "?" in probe:

@@ -16,6 +16,7 @@ from iresearch_spark.search import (
     Prefix,
     Range,
     SearchEngine,
+    Should,
     Term,
     Wildcard,
 )
@@ -48,13 +49,36 @@ def test_boolean_operators_and_precedence():
 
 
 def test_occurs_flags():
+    # Lucene BooleanQuery: with a MUST present, bare clauses stay
+    # OPTIONAL (score-only) — Should wrapper, not a required child
     assert parse_query("+a b -c") == And(
-        (Term("a"), Term("b"), Not(Term("c")))
+        (Term("a"), Should(Term("b")), Not(Term("c")))
     )
+    assert parse_query("+a b c") == And(
+        (Term("a"), Should(Or((Term("b"), Term("c")))))
+    )
+    # no MUSTs: shoulds require >=1 match, as before
     assert parse_query("a b -c") == And(
         (Or((Term("a"), Term("b"))), Not(Term("c")))
     )
     assert parse_query("+a") == Term("a")
+
+
+def test_float_fuzzy_and_unclosed_range():
+    import pytest
+
+    from iresearch_spark.search.querystring import QueryParseError
+
+    # legacy float similarity maps via floatToEdits: (1-0.8)*5 = 1
+    assert parse_query("apple~0.8") == Fuzzy("apple", distance=1)
+    assert parse_query("apple~0.99") == Fuzzy("apple", distance=0)
+    assert parse_query("apple~0.0") == Fuzzy("apple", distance=2)  # capped
+    with pytest.raises(QueryParseError):
+        parse_query("apple~1.5")
+    with pytest.raises(QueryParseError):
+        parse_query("a AND [b TO")
+    with pytest.raises(QueryParseError):
+        parse_query("{open AND more")
 
 
 def test_phrase_wildcard_prefix_fuzzy_range():
@@ -161,3 +185,40 @@ def test_parsed_equals_programmatic(engine, qs, ast):
         (r["doc_id"], round(r["score"], 9)) for r in b
     ]
     assert len(a) > 0
+
+
+def test_should_is_optional_but_scores(engine):
+    # '+quick lazy': match set == Term('quick') alone; docs ALSO
+    # containing 'lazy' score strictly higher than their quick-only
+    # score (Lucene BooleanQuery MUST + SHOULD semantics)
+    must_only = {
+        r["doc_id"]: r["score"]
+        for r in engine.matches(Term("quick")).collect()
+    }
+    both = {
+        r["doc_id"]: r["score"]
+        for r in engine.matches(parse_query("+quick lazy")).collect()
+    }
+    assert set(both) == set(must_only)  # lazy never constrains the match
+    lazy_docs = {
+        r["doc_id"] for r in engine.matches(Term("lazy")).collect()
+    }
+    for d, s in both.items():
+        if d in lazy_docs:
+            assert s > must_only[d] + 1e-12
+        else:
+            assert abs(s - must_only[d]) < 1e-9
+
+
+def test_should_wrapped_equals_sum_when_both_match(engine):
+    # on docs matching both terms the score equals the plain And sum
+    both = {
+        r["doc_id"]: r["score"]
+        for r in engine.matches(parse_query("+quick lazy")).collect()
+    }
+    and_scores = {
+        r["doc_id"]: r["score"]
+        for r in engine.matches(And((Term("quick"), Term("lazy")))).collect()
+    }
+    for d, s in and_scores.items():
+        assert abs(both[d] - s) < 1e-9
