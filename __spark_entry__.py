@@ -161,6 +161,30 @@ _TEXTNORM_FIXTURE = [
     "c1\x9dgone nel\x85brk line\u2028sep og\u1680ham cjk\u3000wide",
 ]
 
+# multilingual analyzer fixtures: simple space-separated words (so the
+# oracle's whitespace split equals the analyzer's word tokenizer) with
+# inflected forms sharing a stem across documents
+_DE_FIXTURE = [
+    "die häuser der stadt sind hier",
+    "ein haus am see",
+    "kinder spielen im haus",
+    "die kategorien der bücher",
+    "das buch über die häuser",
+    "schönheit der stadt",
+    "kinder und bücher überall",
+    "der see und die stadt",
+]
+# hand-traced: surface forms in the fixture stemming to 'haus'
+_DE_HAUS_FORMS = ("häuser", "haus")
+
+_RU_FIXTURE = [
+    "красивые книгами на столе",
+    "новые книги здесь",
+    "пример текста",
+    "книга на полке",
+]
+_RU_KNIGA_FORMS = ("книгами", "книги", "книга")
+
 _DOMAIN_FIXTURE = [
     "https://www.Example.co.uk:443/page",
     "http://user:pw@Sub.Blog.example.com:8080/x",
@@ -844,6 +868,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rounded(eng.matches(Term("sca")))
 
     q["edge_ngram_search"] = edge_ngram_search
+
+    # multilingual text analyzers (text_token_stream.cpp:509 — the
+    # reference instantiates a Snowball stemmer for any locale): index
+    # a fixed German / Russian fixture with text_de / text_ru and
+    # BM25-match one stem. The oracle replays BM25 over the SAME
+    # fixture with a FROZEN hand-traced surface-form table
+    # (_DE_HAUS_FORMS / _RU_KNIGA_FORMS) — the Spark side stems at run
+    # time, so a stemmer regression breaks the gate.
+    def _multilang_engine(spark, lang, fixture):
+        from iresearch_spark.analysis.analyzers import get_analyzer
+
+        key = f"multilang:{lang}"
+        if key not in _INDEX_CACHE:
+            df = spark.createDataFrame(
+                list(enumerate(fixture)), "doc_id long, text string"
+            )
+            idx = build_index(
+                df, analyzer=get_analyzer(f"text_{lang}"), bucket_bits=8
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        return SearchEngine(_INDEX_CACHE[key])
+
+    def text_de_term(spark, sf_dir):
+        eng = _multilang_engine(spark, "de", _DE_FIXTURE)
+        return _rounded(eng.matches(Term("haus")))
+
+    q["text_de_term"] = text_de_term
+
+    def text_ru_term(spark, sf_dir):
+        eng = _multilang_engine(spark, "ru", _RU_FIXTURE)
+        return _rounded(eng.matches(Term("книг")))
+
+    q["text_ru_term"] = text_ru_term
 
     # legacy Norm variant (bm25.hpp:29-46, norm.hpp:46-70): index built
     # with norm="legacy" stores 1/sqrt(dl); BM25 scores with
@@ -2012,6 +2071,37 @@ JOIN tstats ts ON ts.term = t.term
 WHERE t.term IN {_in([HIGH1, HIGH2])}
 GROUP BY t.doc_id HAVING count(DISTINCT t.term) = 2
 """
+
+    # multilingual text analyzer gates: BM25 over the fixed fixture,
+    # with the query stem's surface forms FROZEN as a hand-traced list
+    # (the Spark side stems at run time — a stemmer regression
+    # mismatches). dl counts every token (stemming is 1:1, stopwords
+    # off), so only the matched class needs the equivalence table.
+    def _multilang_sql(fixture, forms) -> str:
+        vals = ", ".join(
+            "({}, '{}')".format(i, t.replace("'", "''"))
+            for i, t in enumerate(fixture)
+        )
+        return f"""
+WITH docs(doc_id, text) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM docs
+),
+tf AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN {_in(forms)} GROUP BY 1
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS ttf FROM dl),
+tstats AS (SELECT CAST(count(*) AS BIGINT) AS df FROM tf)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, ROUND({_score(1.0)}, 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN tstats ts
+"""
+
+    o["text_de_term"] = _multilang_sql(_DE_FIXTURE, _DE_HAUS_FORMS)
+    o["text_ru_term"] = _multilang_sql(_RU_FIXTURE, _RU_KNIGA_FORMS)
     # legacy Norm BM25 (bm25.hpp:29-46): tf = sqrt(freq), |doc| =
     # sqrt(dl); idf and avg_dl unchanged (bm25.cpp:394-401 computes
     # avg_dl from the same field stats in both norm modes)

@@ -213,7 +213,7 @@ _FLAT_STEMMER = MemoStemmer()  # module-level memo: amortized across batches
 
 
 def _make_arrow_flat(
-    kind: str, stem: bool = False
+    kind: str, stem: bool = False, stemmer: Callable[[str], str] | None = None
 ) -> Callable[[Sequence[str]], FlatTokens]:
     """Arrow-compute tokenizer: the whole batch flows through Arrow C++
     (lower/split/trim/dictionary-encode); Python only sees int arrays
@@ -277,9 +277,11 @@ def _make_arrow_flat(
             # remap folds merged terms together
             import pandas as pd
 
+            _stem_fn = stemmer if stemmer is not None else _FLAT_STEMMER
+
             def _xform(u):
                 u = unicodedata.normalize("NFC", u)
-                return _FLAT_STEMMER(u) if stem else u
+                return _stem_fn(u) if stem else u
 
             stemmed = np.asarray(
                 [_xform(u) for u in enc.dictionary.to_pylist()],
@@ -371,9 +373,15 @@ def _make_chain(
     stopwords: frozenset[str] | None = None,
     stemming: bool = False,
     edge_ngram: tuple[int, int | None, bool] | None = None,
+    stem_fn: Callable[[str], str] | None = None,
 ) -> Callable[[Sequence[str]], list[TokensAndPositions]]:
     def run(texts: Sequence[str]) -> list[TokensAndPositions]:
-        stemmer = MemoStemmer() if stemming else None
+        if stem_fn is not None:
+            from iresearch_spark.analysis.snowball import MemoTable
+
+            stemmer = MemoTable(stem_fn)
+        else:
+            stemmer = MemoStemmer() if stemming else None
         out: list[TokensAndPositions] = []
         for text in texts:
             if not text:
@@ -603,6 +611,10 @@ def _text_en(
     # 1082-1149): {"min": int, "max": int, "preserve_original": bool},
     # applied AFTER the stem step, every ngram at the word's position
     edge = _parse_edge(edge_ngram)
+    if stopwords == "default":
+        from iresearch_spark.analysis.stopwords import stopwords_for
+
+        stopwords = stopwords_for("en")
     flat = (
         _make_arrow_flat("text", stem=stemming)
         if not stopwords and not accent and edge is None
@@ -621,6 +633,87 @@ def _text_en(
         ),
         _flat_fn=flat,
     )
+
+
+# multilingual `text` (reference text_token_stream.cpp:509 —
+# make_stemmer_ptr(locale.getLanguage()) instantiates the Snowball
+# stemmer for ANY locale; per-locale stopword lists ride the same
+# options): text_de/text_fr/... aliases plus a generic
+# get_analyzer("text", locale="de"). Same chain as text_en (tokenize +
+# NFC + lower [+ stopwords] + Snowball stem), same Arrow fast path —
+# the stemmer runs over the token DICTIONARY, memoized across batches.
+_FLAT_STEMMERS: dict[str, object] = {}
+
+
+def _locale_flat_stemmer(lang: str):
+    memo = _FLAT_STEMMERS.get(lang)
+    if memo is None:
+        from iresearch_spark.analysis.snowball import MemoTable, get_stemmer
+
+        memo = MemoTable(get_stemmer(lang))
+        _FLAT_STEMMERS[lang] = memo
+    return memo
+
+
+def _make_text_locale(lang: str):
+    def factory(
+        stopwords: Sequence[str] | None = None,
+        stemming: bool = True,
+        accent: bool = False,
+        edge_ngram: dict | None = None,
+        **_opts,
+    ) -> Analyzer:
+        from iresearch_spark.analysis.snowball import get_stemmer
+
+        stem_fn = get_stemmer(lang) if stemming else None
+        if stopwords == "default":
+            from iresearch_spark.analysis.stopwords import stopwords_for
+
+            stopwords = stopwords_for(lang)
+        edge = _parse_edge(edge_ngram)
+        flat = (
+            _make_arrow_flat(
+                "text",
+                stem=stemming,
+                stemmer=_locale_flat_stemmer(lang) if stemming else None,
+            )
+            if not stopwords and not accent and edge is None
+            else None
+        )
+        return Analyzer(
+            f"text_{lang}",
+            _make_chain(
+                _word_tokenize,
+                lowercase=True,
+                nfc=True,
+                accent=accent,
+                stopwords=frozenset(stopwords) if stopwords else None,
+                stem_fn=stem_fn,
+                edge_ngram=edge,
+            ),
+            _flat_fn=flat,
+        )
+
+    return factory
+
+
+for _lang in ("de", "fr", "es", "pt", "it", "nl", "ru", "sv"):
+    _REGISTRY[f"text_{_lang}"] = _make_text_locale(_lang)
+
+
+@_register("text")
+def _text_locale_dispatch(locale: str = "en", **opts) -> Analyzer:
+    """Locale-driven text analyzer — get_analyzer("text", locale="de").
+    `locale` accepts 'de', 'de_DE.UTF-8', 'de-DE' forms (language part
+    is taken), mirroring the reference's locale parsing."""
+    lang = locale.split("_")[0].split("-")[0].split(".")[0].lower() or "en"
+    name = f"text_{lang}"
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"no text analyzer for locale {locale!r}; available: "
+            + ", ".join(sorted(k for k in _REGISTRY if k.startswith("text_")))
+        )
+    return _REGISTRY[name](**opts)
 
 
 @_register("norm")

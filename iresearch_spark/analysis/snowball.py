@@ -51,6 +51,28 @@ def _r1_r2(word: str, vowels: frozenset[str]) -> tuple[int, int]:
     return r1, r2
 
 
+def _longest(word: str, sufs) -> str | None:
+    """Longest suffix of `sufs` (pre-sorted longest-first) that `word`
+    ends with — Snowball's 'search for the longest among' semantics:
+    conditions are tested ONLY against this match, never a shorter one."""
+    for s in sufs:
+        if word.endswith(s):
+            return s
+    return None
+
+
+def _longest_in(word: str, sufs, lim: int) -> str | None:
+    """Longest suffix that lies WHOLLY within the region starting at
+    `lim` — the semantics of Snowball's `setlimit tomark pV for
+    ([substring] among(...))`: suffixes extending beyond the region are
+    invisible to the match (a shorter in-region suffix can then win),
+    but a matched suffix whose CONDITION fails still ends the step."""
+    for s in sufs:
+        if word.endswith(s) and len(word) - len(s) >= lim:
+            return s
+    return None
+
+
 def _rv_romance(word: str, vowels: frozenset[str]) -> int:
     """RV for Spanish/Portuguese/Italian: if the second letter is a
     consonant, RV is after the next following vowel; if the first two
@@ -217,23 +239,15 @@ def stem_sv(word: str) -> str:
             word = word[:-1]
             break
 
-    # Step 3
+    # Step 3: longest among lig/ig/els (delete if in R1), löst -> lös,
+    # fullt -> full (suffix must start in R1)
+    if word.endswith("fullt") and len(word) - 5 >= r1:
+        return word[:-1]
+    if word.endswith("löst") and len(word) - 4 >= r1:
+        return word[:-1]
     for suf in _SV_STEP3:
         if word.endswith(suf) and len(word) - len(suf) >= r1:
-            word = word[: -len(suf)]
-            return word
-    if word.endswith("löst") and len(word) - 4 >= r1 - 3:
-        # löst -> lös: the SUFFIX to match in R1 is "öst"? spec lists
-        # löst->lös with the match "in R1" on the whole ending
-        pass
-    if word.endswith("löst") and len(word) - 4 >= 0 and len(word) - 4 >= r1 - 4:
-        pass
-    if word.endswith("löst") and len(word) - 4 >= r1 - 10_000:
-        pass
-    return word
-
-
-def _sv_finalize(word: str, r1: int) -> str:  # pragma: no cover
+            return word[: -len(suf)]
     return word
 
 
@@ -374,6 +388,939 @@ def stem_nl(word: str) -> str:
     return word.replace("I", "i").replace("Y", "y")
 
 
+# =============================================================== Spanish
+
+_ES_VOWELS = frozenset("aeiouáéíóúü")
+
+_ES_PRON = (
+    "selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+    "me", "se", "la", "le", "lo",
+)
+_ES_PRON_PRE_A = ("iéndo", "ándo", "ár", "ér", "ír")   # remove accent
+_ES_PRON_PRE_B = ("iendo", "ando", "ar", "er", "ir")   # plain
+
+_ES_ACCENT_FIX = str.maketrans("áéíóú", "aeiou")
+
+# step 1: (suffix, action) pairs, ONE longest-match across all groups
+_ES_STEP1 = sorted(
+    [
+        *[
+            (s, "del_r2")
+            for s in (
+                "amientos", "imientos", "amiento", "imiento", "anzas",
+                "ismos", "ables", "ibles", "istas", "anza", "icos",
+                "icas", "ismo", "able", "ible", "ista", "osos", "osas",
+                "ico", "ica", "oso", "osa",
+            )
+        ],
+        *[
+            (s, "ador")
+            for s in (
+                "aciones", "adoras", "adores", "ancias", "adora",
+                "ación", "antes", "ancia", "ador", "ante",
+            )
+        ],
+        ("logías", "log"), ("logía", "log"),
+        ("uciones", "u"), ("ución", "u"),
+        ("encias", "ente"), ("encia", "ente"),
+        ("amente", "amente"), ("mente", "mente"),
+        ("idades", "idad"), ("idad", "idad"),
+        ("ivas", "iv"), ("ivos", "iv"), ("iva", "iv"), ("ivo", "iv"),
+    ],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_ES_STEP2A = sorted(
+    [
+        "yeron", "yendo", "yamos", "yais", "yan", "yen", "yas", "yes",
+        "ya", "ye", "yo", "yó",
+    ],
+    key=len,
+    reverse=True,
+)
+# suffixes whose deletion also strips a preceding gu's u
+_ES_STEP2B_GU = frozenset(["en", "es", "éis", "emos"])
+_ES_STEP2B_ALL = sorted(
+    [
+        "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "aríais",
+        "aremos", "eríais", "eremos", "iríais", "iremos", "ierais",
+        "ieseis", "asteis", "isteis", "ábamos", "áramos", "ásemos",
+        "arían", "arías", "aréis", "erían", "erías", "eréis", "irían",
+        "irías", "iréis", "ieran", "iesen", "ieron", "iendo", "ieras",
+        "ieses", "abais", "arais", "aseis", "íamos", "arán", "arás",
+        "aría", "erán", "erás", "ería", "irán", "irás", "iría", "iera",
+        "iese", "aste", "iste", "aban", "aran", "asen", "aron", "ando",
+        "abas", "adas", "idas", "aras", "ases", "íais", "ados", "idos",
+        "amos", "imos", "ará", "aré", "erá", "eré", "irá", "iré", "aba",
+        "ada", "ida", "ara", "ase", "ían", "ado", "ido", "ías", "áis",
+        "ía", "ad", "ed", "id", "an", "ió", "ar", "er", "ir", "as",
+        "ís", "emos", "éis", "en", "es",
+    ],
+    key=len,
+    reverse=True,
+)
+
+
+def stem_es(word: str) -> str:
+    """Snowball Spanish stemmer (snowballstem.org/algorithms/spanish/)."""
+    r1, r2 = _r1_r2(word, _ES_VOWELS)
+    rv = _rv_romance(word, _ES_VOWELS)
+
+    # Step 0: attached pronoun after a gerund/infinitive, in RV
+    pron = _longest_in(word, _ES_PRON, rv)
+    if pron is not None:
+        base = word[: -len(pron)]
+        pre_a = _longest(base, _ES_PRON_PRE_A)
+        if pre_a is not None and len(base) - len(pre_a) >= rv:
+            # delete pronoun, un-accent the preceding gerund/infinitive
+            word = base[: -len(pre_a)] + pre_a.translate(_ES_ACCENT_FIX)
+        else:
+            pre_b = _longest(base, _ES_PRON_PRE_B)
+            if pre_b is not None and len(base) - len(pre_b) >= rv:
+                word = base
+            elif (
+                base.endswith("yendo")
+                and len(base) - 5 >= rv
+                and base[:-5].endswith("u")
+            ):
+                word = base
+
+    r1, r2 = _r1_r2(word, _ES_VOWELS)
+    rv = _rv_romance(word, _ES_VOWELS)
+    n0 = word
+
+    # Step 1: standard suffix removal — single longest-match table
+    hit1 = None
+    for suf, act in _ES_STEP1:
+        if word.endswith(suf):
+            hit1 = (suf, act)
+            break
+    if hit1 is not None:
+        suf, act = hit1
+        k = len(suf)
+        if len(word) - k >= (r1 if act == "amente" else r2):
+            base = word[:-k]
+            if act == "del_r2":
+                word = base
+            elif act == "ador":
+                word = base
+                if word.endswith("ic") and len(word) - 2 >= r2:
+                    word = word[:-2]
+            elif act == "log":
+                word = base + "log"
+            elif act == "u":
+                word = base + "u"
+            elif act == "ente":
+                word = base + "ente"
+            elif act == "amente":
+                word = base
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if word.endswith(pre) and len(word) - 2 >= r2:
+                            word = word[:-2]
+                            break
+            elif act == "mente":
+                word = base
+                for pre in ("ante", "able", "ible"):
+                    if word.endswith(pre) and len(word) - 4 >= r2:
+                        word = word[:-4]
+                        break
+            elif act == "idad":
+                word = base
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and len(word) - len(pre) >= r2:
+                        word = word[: -len(pre)]
+                        break
+            elif act == "iv":
+                word = base
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+
+    changed1 = word != n0
+
+    # Step 2a: verb suffixes beginning y (only if step 1 removed nothing)
+    if not changed1:
+        rv = _rv_romance(word, _ES_VOWELS)
+        n1 = word
+        suf = _longest_in(word, _ES_STEP2A, rv)
+        if suf is not None and word[: -len(suf)].endswith("u"):
+            word = word[: -len(suf)]
+        # Step 2b: other verb suffixes (only if 2a removed nothing)
+        if word == n1:
+            suf = _longest_in(word, _ES_STEP2B_ALL, rv)
+            if suf is not None:
+                word = word[: -len(suf)]
+                if suf in _ES_STEP2B_GU and word.endswith("gu"):
+                    word = word[:-1]
+
+    # Step 3: residual suffix
+    rv = _rv_romance(word, _ES_VOWELS)
+    suf = _longest_in(word, ("os", "a", "o", "á", "í", "ó", "e", "é"), rv)
+    if suf is not None:
+        if suf in ("e", "é"):
+            word = word[:-1]
+            if word.endswith("gu") and len(word) - 1 >= rv:
+                word = word[:-1]
+        else:
+            word = word[: -len(suf)]
+
+    return word.translate(_ES_ACCENT_FIX)
+
+
+# =============================================================== Italian
+
+_IT_VOWELS = frozenset("aeiouàèìòù")
+_IT_PRON = sorted(
+    [
+        "gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+        "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+        "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela",
+        "vele", "veli", "velo", "vene", "gli", "ci", "la", "le", "li",
+        "lo", "mi", "ne", "si", "ti", "vi",
+    ],
+    key=len,
+    reverse=True,
+)
+_IT_STEP1 = sorted(
+    [
+        *[
+            (s, "del_r2")
+            for s in (
+                "amento", "amenti", "imento", "imenti", "azione",
+                "azioni", "anza", "anze", "ico", "ici", "ica", "ice",
+                "iche", "ichi", "ismo", "ismi", "abile", "abili",
+                "ibile", "ibili", "ista", "iste", "isti", "istà",
+                "istè", "istì", "oso", "osi", "osa", "ose", "atore",
+                "atori",
+            )
+        ],
+        ("logia", "log"), ("logie", "log"),
+        ("uzione", "u"), ("uzioni", "u"), ("usione", "u"), ("usioni", "u"),
+        ("enza", "ente"), ("enze", "ente"),
+        ("amente", "amente"), ("mente", "mente"),
+        ("ità", "ita"),
+        ("ivo", "iv"), ("ivi", "iv"), ("iva", "iv"), ("ive", "iv"),
+    ],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_IT_STEP2 = sorted(
+    [
+        "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+        "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+        "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+        "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+        "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+        "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo",
+        "enda", "ende", "endi", "endo", "erai", "erei", "iamo", "immo",
+        "irai", "irei", "isca", "isce", "isci", "isco", "ano", "are",
+        "ata", "ate", "ati", "ato", "ava", "avi", "avo", "erà", "ere",
+        "erò", "ete", "eva", "evi", "evo", "irà", "ire", "irò", "ita",
+        "ite", "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute",
+        "uti", "uto", "ar", "ir",
+    ],
+    key=len,
+    reverse=True,
+)
+
+
+def stem_it(word: str) -> str:
+    """Snowball Italian stemmer (snowballstem.org/algorithms/italian/)."""
+    # acute accents -> grave; mark u/i between vowels, u after q
+    word = word.translate(str.maketrans("áéíóú", "àèìòù"))
+    chars = list(word)
+    n = len(chars)
+    for i in range(1, n - 1):
+        if chars[i] in "ui" and word[i - 1] in _IT_VOWELS and word[i + 1] in _IT_VOWELS:
+            chars[i] = chars[i].upper()
+    for i in range(1, n):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+    word = "".join(chars)
+
+    r1, r2 = _r1_r2(word, _IT_VOWELS)
+    rv = _rv_romance(word, _IT_VOWELS)
+
+    # Step 0: attached pronoun after ando/endo (delete) or ar/er/ir
+    # (replace with e), in RV
+    pron = _longest_in(word, _IT_PRON, rv)
+    if pron is not None:
+        base = word[: -len(pron)]
+        pre = _longest(base, ("ando", "endo"))
+        if pre is not None and len(base) - len(pre) >= rv:
+            word = base
+        else:
+            pre = _longest(base, ("ar", "er", "ir"))
+            if pre is not None and len(base) - len(pre) >= rv:
+                word = base + "e"
+
+    r1, r2 = _r1_r2(word, _IT_VOWELS)
+    rv = _rv_romance(word, _IT_VOWELS)
+    n0 = word
+
+    # Step 1: standard suffixes
+    hit1 = None
+    for suf, act in _IT_STEP1:
+        if word.endswith(suf):
+            hit1 = (suf, act)
+            break
+    if hit1 is not None:
+        suf, act = hit1
+        k = len(suf)
+        if act == "amente":
+            if len(word) - k >= r1:
+                word = word[:-k]
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "abil"):
+                        if (
+                            word.endswith(pre)
+                            and len(word) - len(pre) >= r2
+                        ):
+                            word = word[: -len(pre)]
+                            break
+        elif len(word) - k >= r2:
+            base = word[:-k]
+            if act == "del_r2":
+                word = base
+                if word.endswith("ic") and len(word) - 2 >= r2 and suf in (
+                    "azione", "azioni", "atore", "atori"
+                ):
+                    word = word[:-2]
+            elif act == "log":
+                word = base + "log"
+            elif act == "u":
+                word = base + "u"
+            elif act == "ente":
+                word = base + "ente"
+            elif act == "mente":
+                word = base
+            elif act == "ita":
+                word = base
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and len(word) - len(pre) >= r2:
+                        word = word[: -len(pre)]
+                        break
+            elif act == "iv":
+                word = base
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("ic") and len(word) - 2 >= r2:
+                        word = word[:-2]
+
+    # Step 2: verb suffixes (only if step 1 removed nothing)
+    if word == n0:
+        rv = _rv_romance(word, _IT_VOWELS)
+        suf = _longest_in(word, _IT_STEP2, rv)
+        if suf is not None:
+            word = word[: -len(suf)]
+
+    # Step 3a: final vowel (a e i o à è ì ò) in RV; then a second final
+    # i in RV
+    rv = _rv_romance(word, _IT_VOWELS)
+    if word and word[-1] in "aeioàèìò" and len(word) - 1 >= rv:
+        word = word[:-1]
+        if word and word[-1] == "i" and len(word) - 1 >= rv:
+            word = word[:-1]
+    # Step 3b: ch -> c, gh -> g (suffix in RV)
+    if (word.endswith("ch") or word.endswith("gh")) and len(word) - 2 >= rv:
+        word = word[:-1]
+
+    return word.replace("U", "u").replace("I", "i")
+
+
+# ============================================================ Portuguese
+
+_PT_VOWELS = frozenset("aeiouáéíóúâêô")
+
+_PT_STEP1 = sorted(
+    [
+        *[
+            (s, "del_r2")
+            for s in (
+                "amentos", "imentos", "amento", "imento", "adoras",
+                "adores", "aço~es", "antes", "ância", "adora", "ador",
+                "aça~o", "ante", "ezas", "icos", "icas", "ismos",
+                "áveis", "íveis", "istas", "eza", "ico", "ica", "ismo",
+                "ável", "ível", "ista", "osos", "osas", "oso", "osa",
+            )
+        ],
+        ("logias", "log"), ("logia", "log"),
+        ("uço~es", "u"), ("uça~o", "u"),
+        ("ências", "ente"), ("ência", "ente"),
+        ("amente", "amente"), ("mente", "mente"),
+        ("idades", "idad"), ("idade", "idad"),
+        ("ivas", "iv"), ("ivos", "iv"), ("iva", "iv"), ("ivo", "iv"),
+        ("iras", "ira"), ("ira", "ira"),
+    ],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_PT_STEP2 = sorted(
+    [
+        "aríamos", "eríamos", "iríamos", "ássemos", "êssemos",
+        "íssemos", "aríeis", "eríeis", "iríeis", "ásseis", "ésseis",
+        "ísseis", "áramos", "éramos", "íramos", "ávamos", "aremos",
+        "eremos", "iremos", "ariam", "eriam", "iriam", "assem",
+        "essem", "issem", "arias", "erias", "irias", "ardes", "erdes",
+        "irdes", "asses", "esses", "isses", "astes", "estes", "istes",
+        "áreis", "areis", "éreis", "ereis", "íreis", "ireis", "áveis",
+        "íamos", "armos", "ermos", "irmos", "aria", "eria", "iria",
+        "asse", "esse", "isse", "aste", "este", "iste", "arei", "erei",
+        "irei", "aram", "eram", "iram", "avam", "arem", "erem", "irem",
+        "ando", "endo", "indo", "adas", "idas", "arás", "aras", "erás",
+        "eras", "irás", "avas", "ares", "eres", "ires", "íeis", "ados",
+        "idos", "ámos", "amos", "emos", "imos", "iras", "ada", "ida",
+        "ará", "ara", "erá", "era", "irá", "ava", "iam", "ado", "ido",
+        "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar", "er",
+        "ir", "as", "es", "is", "eu", "iu", "ou",
+    ],
+    key=len,
+    reverse=True,
+)
+
+
+def stem_pt(word: str) -> str:
+    """Snowball Portuguese stemmer
+    (snowballstem.org/algorithms/portuguese/)."""
+    # nasalized vowels become vowel + consonant marker
+    word = word.replace("ã", "a~").replace("õ", "o~")
+
+    r1, r2 = _r1_r2(word, _PT_VOWELS)
+    rv = _rv_romance(word, _PT_VOWELS)
+    n0 = word
+
+    # Step 1: standard suffix removal
+    hit1 = None
+    for suf, act in _PT_STEP1:
+        if word.endswith(suf):
+            hit1 = (suf, act)
+            break
+    if hit1 is not None:
+        suf, act = hit1
+        k = len(suf)
+        if act == "amente":
+            if len(word) - k >= r1:
+                word = word[:-k]
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if word.endswith(pre) and len(word) - 2 >= r2:
+                            word = word[:-2]
+                            break
+        elif act == "ira":
+            if len(word) - k >= rv and word[: -k].endswith("e"):
+                word = word[:-k] + "ir"
+        elif len(word) - k >= r2:
+            base = word[:-k]
+            if act == "del_r2":
+                word = base
+                if suf in (
+                    "adoras", "adores", "aço~es", "antes", "ância",
+                    "adora", "ador", "aça~o", "ante",
+                ) and word.endswith("ic") and len(word) - 2 >= r2:
+                    word = word[:-2]
+            elif act == "log":
+                word = base + "log"
+            elif act == "u":
+                word = base + "u"
+            elif act == "ente":
+                word = base + "ente"
+            elif act == "mente":
+                word = base
+                for pre in ("ante", "avel", "ível"):
+                    if word.endswith(pre) and len(word) - 4 >= r2:
+                        word = word[:-4]
+                        break
+            elif act == "idad":
+                word = base
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and len(word) - len(pre) >= r2:
+                        word = word[: -len(pre)]
+                        break
+            elif act == "iv":
+                word = base
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+
+    step1_changed = word != n0
+
+    # Step 2: verb suffixes (only if step 1 made no change)
+    step2_changed = False
+    if not step1_changed:
+        rv = _rv_romance(word, _PT_VOWELS)
+        suf = _longest_in(word, _PT_STEP2, rv)
+        if suf is not None:
+            word = word[: -len(suf)]
+            step2_changed = True
+
+    # Step 3: delete final i preceded by c (if steps 1/2 changed)
+    if step1_changed or step2_changed:
+        rv = _rv_romance(word, _PT_VOWELS)
+        if word.endswith("ci") and len(word) - 1 >= rv:
+            word = word[:-1]
+    else:
+        # Step 4: residual suffix
+        rv = _rv_romance(word, _PT_VOWELS)
+        suf = _longest_in(word, ("os", "a", "i", "o", "á", "í", "ó"), rv)
+        if suf is not None:
+            word = word[: -len(suf)]
+
+    # Step 5: residual form
+    rv = _rv_romance(word, _PT_VOWELS)
+    if word and word[-1] in "eéê" and len(word) - 1 >= rv:
+        word = word[:-1]
+        if word.endswith("gu") and len(word) - 1 >= rv:
+            word = word[:-1]
+        elif word.endswith("ci") and len(word) - 1 >= rv:
+            word = word[:-1]
+    elif word.endswith("ç"):
+        word = word[:-1] + "c"
+
+    return word.replace("a~", "ã").replace("o~", "õ")
+
+
+# ================================================================ French
+
+_FR_VOWELS = frozenset("aeiouyâàëéêèïîôûù")
+
+_FR_STEP1 = sorted(
+    [
+        *[
+            (s, "del_r2")
+            for s in (
+                "ances", "iqUes", "ismes", "ables", "istes", "ance",
+                "iqUe", "isme", "able", "iste", "eux",
+            )
+        ],
+        *[
+            (s, "ateur")
+            for s in (
+                "atrices", "ateurs", "ations", "atrice", "ateur",
+                "ation",
+            )
+        ],
+        ("logies", "log"), ("logie", "log"),
+        ("usions", "u"), ("utions", "u"), ("usion", "u"), ("ution", "u"),
+        ("ences", "ent"), ("ence", "ent"),
+        ("ements", "ement"), ("ement", "ement"),
+        ("ités", "ite"), ("ité", "ite"),
+        ("ifs", "if"), ("ives", "if"), ("if", "if"), ("ive", "if"),
+        ("eaux", "eaux"), ("aux", "aux"),
+        ("euses", "euse"), ("euse", "euse"),
+        ("issements", "issement"), ("issement", "issement"),
+        ("amment", "amment"), ("emment", "emment"),
+        ("ments", "ment"), ("ment", "ment"),
+    ],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_FR_STEP2A = sorted(
+    [
+        "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+        "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+        "irions", "irons", "iront", "is", "issaIent", "issais",
+        "issait", "issant", "issante", "issantes", "issants", "isse",
+        "issent", "isses", "issez", "issiez", "issions", "issons", "it",
+    ],
+    key=len,
+    reverse=True,
+)
+_FR_STEP2B_ER = sorted(
+    [
+        "é", "ée", "ées", "és", "èrent", "er", "era", "erai",
+        "eraIent", "erais", "erait", "eras", "erez", "eriez", "erions",
+        "erons", "eront", "ez", "iez",
+    ],
+    key=len,
+    reverse=True,
+)
+_FR_STEP2B_A = sorted(
+    [
+        "âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant",
+        "ante", "antes", "ants", "as", "asse", "assent", "asses",
+        "assiez", "assions",
+    ],
+    key=len,
+    reverse=True,
+)
+_FR_STEP2B_ALL = sorted(
+    ["ions"] + _FR_STEP2B_ER + _FR_STEP2B_A, key=len, reverse=True
+)
+
+
+def stem_fr(word: str) -> str:
+    """Snowball French stemmer (snowballstem.org/algorithms/french/)."""
+    # pre-pass: mark u/i between vowels, y next to a vowel, u after q;
+    # ë -> He, ï -> Hi (the revised spec's hiatus markers)
+    chars = list(word)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        if c in "ui" and 0 < i < n - 1 and (
+            word[i - 1] in _FR_VOWELS and word[i + 1] in _FR_VOWELS
+        ):
+            chars[i] = c.upper()
+        elif c == "y" and (
+            (i > 0 and word[i - 1] in _FR_VOWELS)
+            or (i < n - 1 and word[i + 1] in _FR_VOWELS)
+        ):
+            chars[i] = "Y"
+        elif c == "u" and i > 0 and word[i - 1] == "q":
+            chars[i] = "U"
+    word = "".join(chars).replace("ë", "He").replace("ï", "Hi")
+
+    def _rv_fr(w: str) -> int:
+        m = len(w)
+        if m >= 3 and (
+            (w[0] in _FR_VOWELS and w[1] in _FR_VOWELS)
+            or w[:3] in ("par", "col", "tap")
+        ):
+            return 3
+        for i in range(1, m):
+            if w[i] in _FR_VOWELS:
+                return i + 1
+        return m
+
+    r1, r2 = _r1_r2(word, _FR_VOWELS)
+    rv = _rv_fr(word)
+    n0 = word
+
+    # ---- Step 1: standard suffix removal
+    step1_matched_ment = False  # amment/emment/ment(s) need step 2 too
+    hit1 = None
+    for suf, act in _FR_STEP1:
+        if word.endswith(suf):
+            hit1 = (suf, act)
+            break
+    if hit1 is not None:
+        suf, act = hit1
+        k = len(suf)
+        base = word[:-k]
+        if act == "del_r2":
+            if len(word) - k >= r2:
+                word = base
+        elif act == "ateur":
+            if len(word) - k >= r2:
+                word = base
+                if word.endswith("ic"):
+                    if len(word) - 2 >= r2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+        elif act == "log":
+            if len(word) - k >= r2:
+                word = base + "log"
+        elif act == "u":
+            if len(word) - k >= r2:
+                word = base + "u"
+        elif act == "ent":
+            if len(word) - k >= r2:
+                word = base + "ent"
+        elif act == "ement":
+            if len(word) - k >= rv:
+                word = base
+                if word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("at") and len(word) - 2 >= r2:
+                        word = word[:-2]
+                elif word.endswith("eus"):
+                    if len(word) - 3 >= r2:
+                        word = word[:-3]
+                    elif len(word) - 3 >= r1:
+                        word = word[:-3] + "eux"
+                elif word.endswith("abl") and len(word) - 3 >= r2:
+                    word = word[:-3]
+                elif word.endswith("iqU") and len(word) - 3 >= r2:
+                    word = word[:-3]
+                elif word.endswith("ièr") and len(word) - 3 >= rv:
+                    word = word[:-3] + "i"
+                elif word.endswith("Ièr") and len(word) - 3 >= rv:
+                    word = word[:-3] + "i"
+        elif act == "ite":
+            if len(word) - k >= r2:
+                word = base
+                if word.endswith("abil"):
+                    if len(word) - 4 >= r2:
+                        word = word[:-4]
+                    else:
+                        word = word[:-4] + "abl"
+                elif word.endswith("ic"):
+                    if len(word) - 2 >= r2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+                elif word.endswith("iv") and len(word) - 2 >= r2:
+                    word = word[:-2]
+        elif act == "if":
+            if len(word) - k >= r2:
+                word = base
+                if word.endswith("at") and len(word) - 2 >= r2:
+                    word = word[:-2]
+                    if word.endswith("ic"):
+                        if len(word) - 2 >= r2:
+                            word = word[:-2]
+                        else:
+                            word = word[:-2] + "iqU"
+        elif act == "eaux":
+            word = base + "eau"
+        elif act == "aux":
+            if len(word) - k >= r1:
+                word = base + "al"
+        elif act == "euse":
+            if len(word) - k >= r2:
+                word = base
+            elif len(word) - k >= r1:
+                word = base + "eux"
+        elif act == "issement":
+            if len(word) - k >= r1 and base and base[-1] not in _FR_VOWELS:
+                word = base
+        elif act == "amment":
+            if len(word) - k >= rv:
+                word = base + "ant"
+                step1_matched_ment = True
+        elif act == "emment":
+            if len(word) - k >= rv:
+                word = base + "ent"
+                step1_matched_ment = True
+        elif act == "ment":
+            # delete if preceded by a vowel in RV (the vowel stays)
+            if base and base[-1] in _FR_VOWELS and len(word) - k - 1 >= rv:
+                word = base
+            step1_matched_ment = True
+
+    step1_changed = word != n0
+
+    # ---- Step 2a: verb suffixes beginning i (if step 1 left the word
+    # unchanged, or matched one of the ment suffixes)
+    step2_changed = False
+    if (not step1_changed) or step1_matched_ment:
+        rv = _rv_fr(word)
+        n1 = word
+        suf = _longest_in(word, _FR_STEP2A, rv)
+        if (
+            suf is not None
+            and len(word) - len(suf) - 1 >= rv
+            and word[-len(suf) - 1] not in _FR_VOWELS
+            and word[-len(suf) - 1] != "H"
+        ):
+            word = word[: -len(suf)]
+        # ---- Step 2b (only if 2a removed nothing)
+        if word == n1:
+            suf = _longest_in(word, _FR_STEP2B_ALL, rv)
+            if suf is not None:
+                if suf == "ions":
+                    if len(word) - 4 >= r2:
+                        word = word[:-4]
+                elif suf in _FR_STEP2B_ER:
+                    word = word[: -len(suf)]
+                else:  # the a-group
+                    word = word[: -len(suf)]
+                    if word.endswith("e") and len(word) - 1 >= rv:
+                        word = word[:-1]
+        step2_changed = word != n1
+
+    # ---- Step 3 (if a previous step changed the word) else step 4
+    if step1_changed or step2_changed:
+        if word.endswith("Y"):
+            word = word[:-1] + "i"
+        elif word.endswith("ç"):
+            word = word[:-1] + "c"
+    else:
+        # Step 4
+        rv = _rv_fr(word)
+        # final s falls unless preceded by a i o u è s — but an i that
+        # is itself the i of a Hi marker (original ï) does NOT protect
+        if word.endswith("s") and len(word) >= 2 and (
+            word[-2] not in "aiouès" or word.endswith("His")
+        ):
+            word = word[:-1]
+        rv = _rv_fr(word)
+        suf = _longest_in(
+            word, ("ière", "Ière", "ion", "ier", "Ier", "e"), rv
+        )
+        if suf == "ion":
+            if len(word) - 3 >= r2 and len(word) - 4 >= rv and len(
+                word
+            ) >= 4 and word[-4] in "st":
+                word = word[:-3]
+        elif suf in ("ière", "Ière", "ier", "Ier"):
+            word = word[: -len(suf)] + "i"
+        elif suf == "e":
+            word = word[:-1]
+
+    # ---- Step 5: undouble
+    for suf in ("enn", "onn", "ett", "ell", "eill"):
+        if word.endswith(suf):
+            word = word[:-1]
+            break
+
+    # ---- Step 6: un-accent é/è before a final non-vowel run
+    m = len(word)
+    i = m - 1
+    while i >= 0 and word[i] not in _FR_VOWELS:
+        i -= 1
+    if 0 <= i < m - 1 and word[i] in "éè":
+        word = word[:i] + "e" + word[i + 1 :]
+
+    return (
+        word.replace("I", "i").replace("U", "u").replace("Y", "y")
+        .replace("He", "ë").replace("Hi", "ï").replace("H", "")
+    )
+
+
+# =============================================================== Russian
+
+_RU_VOWELS = frozenset("аеиоуыэюя")
+
+# families merge their а/я-context group (1) and plain group (2) into
+# ONE longest-match list, as the reference among() does; group-1 hits
+# additionally require а/я immediately before (left in place), and a
+# failed context check ENDS the family (no retry of a shorter suffix)
+_RU_PERF_GERUND = sorted(
+    [("вшись", 1), ("вши", 1), ("в", 1)]
+    + [(s, 2) for s in ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_RU_ADJECTIVE = sorted(
+    [
+        "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые",
+        "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их",
+        "ых", "ую", "юю", "ая", "яя", "ою", "ею",
+    ],
+    key=len,
+    reverse=True,
+)
+_RU_PARTICIPLE = sorted(
+    [("ем", 1), ("нн", 1), ("вш", 1), ("ющ", 1), ("щ", 1)]
+    + [(s, 2) for s in ("ивш", "ывш", "ующ")],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_RU_VERB = sorted(
+    [
+        (s, 1)
+        for s in (
+            "ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло",
+            "но", "ет", "ют", "ны", "ть", "ешь", "нно",
+        )
+    ]
+    + [
+        (s, 2)
+        for s in (
+            "ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли",
+            "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло",
+            "ено", "ят", "ует", "уют", "ит", "ыт", "ены", "ить",
+            "ыть", "ишь", "ую", "ю",
+        )
+    ],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_RU_NOUN = sorted(
+    [
+        "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ию", "ья",
+        "ия", "ев", "ов", "ие", "ье", "еи", "ии", "ей", "ой", "ий",
+        "ям", "ем", "ам", "ом", "ах", "ях", "ы", "ь", "ью", "ю", "а",
+        "е", "и", "й", "о", "у", "я",
+    ],
+    key=len,
+    reverse=True,
+)
+
+
+def stem_ru(word: str) -> str:
+    """Snowball Russian stemmer (snowballstem.org/algorithms/russian/);
+    ё is treated as е, as the algorithm prescribes."""
+    word = word.replace("ё", "е")
+    n = len(word)
+    rv = n
+    for i, c in enumerate(word):
+        if c in _RU_VOWELS:
+            rv = i + 1
+            break
+    _, r2 = _r1_r2(word, _RU_VOWELS)
+
+    def ends_in_rv(w: str, suf: str) -> bool:
+        return w.endswith(suf) and len(w) - len(suf) >= rv
+
+    def family(w: str, pairs) -> str | None:
+        """Longest suffix (within RV) over a merged 1/2 family; a
+        group-1 match additionally needs а/я before it (also in RV)."""
+        for suf, grp in pairs:
+            if ends_in_rv(w, suf):
+                if grp == 2:
+                    return w[: -len(suf)]
+                k = len(suf)
+                if len(w) - k - 1 >= rv and w[-k - 1] in "ая":
+                    return w[:-k]
+                return None  # context failed -> family fails
+        return None
+
+    # Step 1: perfective gerund, else [reflexive] + adjectival / verb
+    # / noun
+    out = family(word, _RU_PERF_GERUND)
+    if out is not None:
+        word = out
+    else:
+        for suf in ("ся", "сь"):
+            if ends_in_rv(word, suf):
+                word = word[: -len(suf)]
+                break
+        adj = _longest_in(word, _RU_ADJECTIVE, rv)
+        if adj is not None:
+            word = word[: -len(adj)]
+            out = family(word, _RU_PARTICIPLE)  # optional participle
+            if out is not None:
+                word = out
+        else:
+            out = family(word, _RU_VERB)
+            if out is not None:
+                word = out
+            else:
+                suf = _longest_in(word, _RU_NOUN, rv)
+                if suf is not None:
+                    word = word[: -len(suf)]
+
+    # Step 2: final и
+    if ends_in_rv(word, "и"):
+        word = word[:-1]
+
+    # Step 3: derivational ост/ость in R2
+    for suf in ("ость", "ост"):
+        if word.endswith(suf) and len(word) - len(suf) >= r2:
+            word = word[: -len(suf)]
+            break
+
+    # Step 4: (a) undouble нн; or (b) ейш(е) then undouble нн;
+    # (c) final ь
+    if ends_in_rv(word, "нн"):
+        word = word[:-1]
+    else:
+        for suf in ("ейше", "ейш"):
+            if ends_in_rv(word, suf):
+                word = word[: -len(suf)]
+                if ends_in_rv(word, "нн"):
+                    word = word[:-1]
+                break
+        else:
+            if ends_in_rv(word, "ь"):
+                word = word[:-1]
+
+    return word
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -400,7 +1347,16 @@ def _porter2():
     return stem
 
 
-STEMMERS: dict[str, object] = {}
+STEMMERS: dict[str, object] = {
+    "de": stem_de,
+    "sv": stem_sv,
+    "nl": stem_nl,
+    "fr": stem_fr,
+    "es": stem_es,
+    "pt": stem_pt,
+    "it": stem_it,
+    "ru": stem_ru,
+}
 
 
 def get_stemmer(lang: str):

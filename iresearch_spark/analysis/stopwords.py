@@ -1,0 +1,133 @@
+"""Per-language stopword sets for the `text` analyzer.
+
+The reference resolves stopwords from per-locale word-list files under
+IRS_RESOURCE_ROOT (`core/analysis/text_token_stream.cpp` — the
+`stopwordsPath` option; one file of words per language). Shipping data
+files is the same idea here: these are compact built-in defaults (the
+high-frequency closed-class words of each language); callers with their
+own curated lists pass them via the analyzer's `stopwords=` option,
+which overrides these entirely.
+
+Sets are keyed by ISO 639-1 code and applied AFTER lowercasing and NFC
+normalization, BEFORE stemming — the reference's chain order.
+"""
+
+from __future__ import annotations
+
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        """a an and are as at be but by for if in into is it no not of
+        on or such that the their then there these they this to was
+        will with""".split()
+    ),
+    "de": frozenset(
+        """aber alle als also am an auch auf aus bei bin bis bist da
+        damit dann das dass dein deine dem den der des dessen die dies
+        diese dir doch dort du durch ein eine einem einen einer eines
+        er es euer eure für hat hatte haben hier hinter ich ihr ihre im
+        in ist ja jede jedem jeden jeder jedes jener jenes jetzt kann
+        können mein meine mit muss musste nach nicht nichts noch nun
+        nur ob oder ohne sehr sein seine sich sie sind so über um und
+        uns unser unter vom von vor wann warum was weiter weitere wenn
+        wer werde werden wie wieder will wir wird wirst wo woher wohin
+        zu zum zur""".split()
+    ),
+    "fr": frozenset(
+        """au aux avec ce ces dans de des du elle en et eux il ils je
+        la le les leur lui ma mais me même mes moi mon ne nos notre
+        nous on ou par pas pour qu que qui sa se ses son sur ta te tes
+        toi ton tu un une vos votre vous c d j l à m n s t y été étée
+        étées étés étant suis es est sommes êtes sont serai seras sera
+        serons serez seront serais serait serions seriez seraient
+        étais était étions étiez étaient fus fut fûmes fûtes furent
+        sois soit soyons soyez soient fusse fusses fût fussions
+        fussiez fussent ayant eu eue eues eus ai as avons avez ont
+        aurai auras aura aurons aurez auront aurais aurait aurions
+        auriez auraient avais avait avions aviez avaient eut eûmes
+        eûtes eurent aie aies ait ayons ayez aient eusse eusses eût
+        eussions eussiez eussent""".split()
+    ),
+    "es": frozenset(
+        """de la que el en y a los del se las por un para con no una
+        su al lo como más pero sus le ya o este sí porque esta entre
+        cuando muy sin sobre también me hasta hay donde quien desde
+        todo nos durante todos uno les ni contra otros ese eso ante
+        ellos e esto mí antes algunos qué unos yo otro otras otra él
+        tanto esa estos mucho quienes nada muchos cual poco ella estar
+        estas algunas algo nosotros mi mis tú te ti tu tus ellas
+        nosotras vosotros vosotras os mío mía míos mías tuyo tuya
+        tuyos tuyas suyo suya suyos suyas nuestro nuestra nuestros
+        nuestras vuestro vuestra vuestros vuestras esos esas estoy
+        estás está estamos estáis están ser es soy eres somos sois son
+        tengo tiene tenemos tienen era eran fue fueron ha han he hemos
+        había habían sea sean siendo sido""".split()
+    ),
+    "pt": frozenset(
+        """de a o que e do da em um para é com não uma os no se na por
+        mais as dos como mas foi ao ele das tem à seu sua ou ser
+        quando muito há nos já está eu também só pelo pela até isso
+        ela entre era depois sem mesmo aos ter seus quem nas me esse
+        eles estão você tinha foram essa num nem suas meu às minha têm
+        numa pelos elas havia seja qual será nós tenho lhe deles essas
+        esses pelas este fosse dele tu te vocês vos lhes meus minhas
+        teu tua teus tuas nosso nossa nossos nossas dela delas esta
+        estes estas aquele aquela aqueles aquelas isto aquilo estou
+        estamos estava estivemos sou somos são era éramos eram fui foi
+        fomos ser sendo sido""".split()
+    ),
+    "it": frozenset(
+        """ad al allo ai agli alla alle con col coi da dal dallo dai
+        dagli dalla dalle di del dello dei degli della delle in nel
+        nello nei negli nella nelle su sul sullo sui sugli sulla sulle
+        per tra contro io tu lui lei noi voi loro mio mia miei mie tuo
+        tua tuoi tue suo sua suoi sue nostro nostra nostri nostre
+        vostro vostra vostri vostre mi ti ci vi lo la li le gli ne il
+        un uno una ma ed se perché anche come dov dove che chi cui non
+        più quale quanto quanti quanta quante quello quelli quella
+        quelle questo questi questa queste si tutto tutti a c e i l o
+        ho hai ha abbiamo avete hanno abbia abbiate abbiano avrò sono
+        sei è siamo siete sia siate siano sarò erano era ero fui fu
+        essendo stato stata stati state""".split()
+    ),
+    "nl": frozenset(
+        """de en van ik te dat die in een hij het niet zijn is was op
+        aan met als voor had er maar om hem dan zou of wat mijn men
+        dit zo door over ze zich bij ook tot je mij uit der daar haar
+        naar heb hoe heeft hebben deze u want nog zal me zij nu ge
+        geen omdat iets worden toch al waren veel meer doen toen moet
+        ben zonder kan hun dus alles onder ja eens hier wie werd
+        altijd doch wordt wezen kunnen ons zelf tegen na reeds wil
+        kon niets uw iemand geweest andere""".split()
+    ),
+    "ru": frozenset(
+        """и в во не что он на я с со как а то все она так его но да
+        ты к у же вы за бы по только ее мне было вот от меня еще нет
+        о из ему теперь когда даже ну вдруг ли если уже или ни быть
+        был него до вас нибудь опять уж вам ведь там потом себя ничего
+        ей может они тут где есть надо ней для мы тебя их чем была сам
+        чтоб без будто чего раз тоже себе под будет ж тогда кто этот
+        того потому этого какой совсем ним здесь этом один почти мой
+        тем чтобы нее сейчас были куда зачем всех никогда можно при
+        наконец два об другой хоть после над больше тот через эти нас
+        про всего них какая много разве три эту моя впрочем хорошо
+        свою этой перед иногда лучше чуть том нельзя такой им более
+        всегда конечно всю между это""".split()
+    ),
+    "sv": frozenset(
+        """och det att i en jag hon som han på den med var sig för så
+        till är men ett om hade de av icke mig du henne då sin nu har
+        inte hans honom skulle hennes där min man ej vid kunde något
+        från ut när efter upp vi dem vara vad över än dig kan sina
+        här ha mot alla under någon eller allt mycket sedan ju denna
+        själv detta åt utan varit hur ingen mitt ni bli blev oss din
+        dessa några deras blir mina samma vilken er sådan vår blivit
+        dess inom mellan sådant varför varje vilka ditt vem vilket
+        sitta sådana vart dina vars vårt våra ert era vilkas""".split()
+    ),
+}
+
+
+def stopwords_for(lang: str) -> frozenset[str]:
+    """Built-in stopword set for an ISO 639-1 code; empty set for
+    languages without one (analysis still works, nothing filtered)."""
+    return STOPWORDS.get(lang, frozenset())

@@ -1,0 +1,181 @@
+"""Multilingual text analyzer: Snowball stemmer goldens (hand-traced
+through the published algorithm specs), stopword gaps, Arrow-fast-path
+differential, and an indexed cross-language search."""
+
+import random
+
+import pytest
+
+from iresearch_spark.analysis.analyzers import get_analyzer
+from iresearch_spark.analysis.snowball import (
+    STEMMERS,
+    get_stemmer,
+    stem_de,
+    stem_es,
+    stem_fr,
+    stem_it,
+    stem_nl,
+    stem_pt,
+    stem_ru,
+    stem_sv,
+)
+from iresearch_spark.index.builder import build_index
+from iresearch_spark.search import SearchEngine, Term
+
+
+# ---- goldens: every pair hand-traced through the spec steps ----
+
+DE = [
+    ("kinder", "kind"), ("häuser", "haus"), ("aufeinander", "aufeinand"),
+    ("kategorien", "kategori"), ("schönheit", "schonheit"),
+    ("bücher", "buch"), ("größte", "grosst"), ("verständnisse", "verstandnis"),
+    ("bezeichnung", "bezeichn"), ("freundlich", "freundlich"),
+    ("freundlichkeit", "freundlich"),
+]
+FR = [
+    ("continua", "continu"), ("continuation", "continu"),
+    ("majestueux", "majestu"), ("montagnes", "montagn"),
+    ("nationale", "national"), ("rapidement", "rapid"),
+    ("abandonnera", "abandon"), ("officiellement", "officiel"),
+    ("propagande", "propagand"),
+]
+ES = [
+    ("caminando", "camin"), ("canciones", "cancion"),
+    ("librería", "libr"), ("cantándoselo", "cant"),
+    ("nacionales", "nacional"), ("rápidamente", "rapid"),
+    ("comieron", "com"),
+]
+PT = [
+    ("quinta", "quint"), ("quietas", "quiet"), ("propaganda", "propagand"),
+    ("grandeza", "grandez"), ("felicidade", "felic"),
+]
+IT = [
+    ("abbandonata", "abbandon"), ("pronunciare", "pronunc"),
+    ("propagamento", "propag"), ("dormendo", "dorm"),
+    ("crocchio", "crocc"), ("mangiandolo", "mang"),
+]
+NL = [
+    ("lichamelijk", "licham"), ("opglimpende", "opglimp"),
+    ("vrouwen", "vrouw"), ("huizen", "huiz"), ("koninklijke", "konink"),
+]
+RU = [
+    ("книгами", "книг"), ("работающий", "работа"),
+    ("красивые", "красив"), ("отчаянность", "отчаян"),
+    ("пример", "пример"), ("делавшие", "дела"),
+    ("быстрейший", "быстр"), ("учиться", "уч"),
+]
+SV = [
+    ("jakten", "jakt"), ("stockholmare", "stockholm"),
+    ("väljarnas", "välj"), ("flickorna", "flick"), ("klokaste", "klok"),
+]
+
+
+@pytest.mark.parametrize(
+    "fn,pairs",
+    [
+        (stem_de, DE), (stem_fr, FR), (stem_es, ES), (stem_pt, PT),
+        (stem_it, IT), (stem_nl, NL), (stem_ru, RU), (stem_sv, SV),
+    ],
+    ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv"],
+)
+def test_stemmer_goldens(fn, pairs):
+    for word, want in pairs:
+        assert fn(word) == want, f"{fn.__name__}({word!r})"
+
+
+def test_stemmers_deterministic_and_non_lengthening():
+    rng = random.Random(7)
+    alphabets = {
+        "de": "abcdefghiklmnorstuäöüß", "fr": "abcdefgilmnorstuéèê",
+        "es": "abcdefgilmnorstuáéíóúñ", "pt": "abcdefgilmnorstuãõçá",
+        "it": "abcdefgilmnorstuàè", "nl": "abcdefgijklmnorstu",
+        "ru": "абвгдежзиклмнопрстуыья", "sv": "abcdefghiklmnorstuäåö",
+    }
+    for lang, fn in STEMMERS.items():
+        ab = alphabets[lang]
+        for _ in range(300):
+            w = "".join(rng.choices(ab, k=rng.randint(1, 14)))
+            s1, s2 = fn(w), fn(w)
+            assert s1 == s2  # deterministic
+            # stemming never lengthens beyond small rewrite slack
+            # (German ß -> ss grows one per ß before any stemming)
+            assert len(s1) <= len(w) + w.count("ß") + 2
+
+
+def test_get_stemmer_registry():
+    assert get_stemmer("en")("running") == "run"
+    assert get_stemmer("de")("häuser") == "haus"
+    with pytest.raises(ValueError):
+        get_stemmer("xx")
+
+
+def test_locale_dispatch_and_chain():
+    a = get_analyzer("text", locale="de_DE.UTF-8")
+    assert a.name == "text_de"
+    terms, pos = a.analyze("Die Häuser der Kinder")
+    assert terms == ["die", "haus", "der", "kind"]
+    assert pos == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        get_analyzer("text", locale="zz")
+
+
+def test_default_stopwords_leave_position_gaps():
+    a = get_analyzer("text_fr", stopwords="default")
+    terms, pos = a.analyze("les maisons nationales de la montagne")
+    assert terms == ["maison", "national", "montagn"]
+    assert pos == [1, 2, 5]  # gaps where les/de/la fell
+    b = get_analyzer("text_en", stopwords="default")
+    terms_b, pos_b = b.analyze("the cats and the dogs")
+    assert terms_b == ["cat", "dog"]
+    assert pos_b == [1, 4]
+
+
+@pytest.mark.parametrize("lang", ["de", "fr", "es", "pt", "it", "nl", "ru", "sv"])
+def test_arrow_fast_path_differential(lang):
+    corpus = {
+        "de": ["Die Häuser der Kinder", "Schönheit und Bücher überall"],
+        "fr": ["les maisons nationales", "continuation majestueux rapidement"],
+        "es": ["caminando canciones librería", "rápidamente nacionales"],
+        "pt": ["quinta propaganda grandeza", "felicidade quietas"],
+        "it": ["abbandonata pronunciare", "propagamento dormendo"],
+        "nl": ["lichamelijk vrouwen huizen", "opglimpende koninklijke"],
+        "ru": ["книгами красивые пример", "работающий быстрейший"],
+        "sv": ["jakten stockholmare", "väljarnas flickorna klokaste"],
+    }[lang]
+    a = get_analyzer(f"text_{lang}")
+    texts = corpus * 4 + ["", None]
+    ft = a.analyze_flat([t if t is not None else "" for t in texts])
+    fast = [ft.uniques[c] for c in ft.codes]
+    slow_docs = a.analyze_batch([t if t is not None else "" for t in texts])
+    slow = [t for terms, _ in slow_docs for t in terms]
+    assert fast == slow
+    assert list(ft.n_tokens) == [len(t[0]) for t in slow_docs]
+
+
+def test_multilang_indexed_search(spark):
+    rows = [
+        (0, "die häuser der stadt", "de"),
+        (1, "ein haus am see", "de"),
+        (2, "kinder spielen draußen", "de"),
+        (3, "les maisons du village", "fr"),
+        (4, "une maison près du lac", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    de_idx = build_index(
+        df.filter("lang = 'de'"), id_col="doc_id", text_col="text",
+        analyzer=get_analyzer("text_de"),
+    )
+    fr_idx = build_index(
+        df.filter("lang = 'fr'"), id_col="doc_id", text_col="text",
+        analyzer=get_analyzer("text_fr"),
+    )
+    de_hits = {
+        r["doc_id"]
+        for r in SearchEngine(de_idx).matches(Term("haus")).collect()
+    }
+    assert de_hits == {0, 1}  # häuser and haus both stem to haus
+    fr_hits = {
+        r["doc_id"]
+        for r in SearchEngine(fr_idx).matches(Term("maison")).collect()
+    }
+    assert fr_hits == {3, 4}  # maisons and maison both stem to maison
