@@ -593,6 +593,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_trigram"] = lm_trigram_gate
 
+    def lm_5gram_gate(spark, sf_dir):
+        # CCNet-parity interpolated 5-gram with KenLM-style singleton
+        # pruning on orders >= 3 (ops/lm.py train_ngram_lm)
+        from iresearch_spark.ops.lm import ngram_cross_entropy, train_ngram_lm
+
+        docs = _docs(spark, sf_dir)
+        ref = docs.filter(F.col("doc_id") % 5 == 0)
+        counts, v, t = train_ngram_lm(ref, n=5, min_count=2)
+        return ngram_cross_entropy(docs, counts, v, t)
+
+    q["lm_5gram"] = lm_5gram_gate
+
     # DSIR importance weights (hashed unigram+bigram buckets, add-one
     # smoothed target/raw distributions; target = doc_id % 7 == 0)
     def dsir_weights_gate(spark, sf_dir):
@@ -1663,6 +1675,95 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        round(exp(agg.ce), 4) AS ppl
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
+    # interpolated 5-gram LM (counts pruned at >= 2 for orders 3..5,
+    # the train_ngram_lm defaults); lambdas replicate lm.py's default
+    _L5_BASE = [0.4, 0.25, 0.15, 0.1, 0.06]
+    _L5 = [x / sum(_L5_BASE) for x in reversed(_L5_BASE)]  # l1..l5
+
+    def _lm5_counts(k: int) -> str:
+        cols = ", ".join(
+            f"arr[i+{j}] AS w{j+1}" for j in range(k)
+        )
+        names = ", ".join(f"w{j+1}" for j in range(k))
+        having = " HAVING count(*) >= 2" if k >= 3 else ""
+        return (
+            f"g{k} AS (SELECT {names}, count(*) AS c{k} FROM ("
+            f"SELECT {cols} FROM (SELECT arr, "
+            f"unnest(generate_series(1, len(arr)-{k-1})) AS i FROM rt "
+            f"WHERE len(arr) >= {k})) GROUP BY {names}{having})"
+        )
+
+    _lm5_joins = []
+    _lm5_terms = []
+    for _k in range(1, 6):
+        cont_keys = [f"w{j+1}" for j in range(5)][5 - _k:]
+        if _k == 1:
+            _lm5_joins.append(
+                "LEFT JOIN uni u5 ON u5.w1 = dg.w5"
+            )
+            _lm5_terms.append(
+                f"{_L5[0]!r} * (COALESCE(u5.c1, 0) + 1.0) / "
+                "((SELECT t FROM tt) + (SELECT v FROM v) * 1.0)"
+            )
+            continue
+        on = " AND ".join(
+            f"t{_k}.w{j+1} = dg.{cont_keys[j]}" for j in range(_k)
+        )
+        _lm5_joins.append(f"LEFT JOIN g{_k} t{_k} ON {on}")
+        ctx_keys = cont_keys[:-1]
+        if _k == 2:
+            _lm5_joins.append(
+                f"LEFT JOIN uni x2 ON x2.w1 = dg.{ctx_keys[0]}"
+            )
+            denom = "(COALESCE(x2.c1, 0) + (SELECT v FROM v) * 1.0)"
+        else:
+            on_x = " AND ".join(
+                f"x{_k}.w{j+1} = dg.{ctx_keys[j]}" for j in range(_k - 1)
+            )
+            _lm5_joins.append(f"LEFT JOIN g{_k-1} x{_k} ON {on_x}")
+            denom = (
+                f"(COALESCE(x{_k}.c{_k-1}, 0) + (SELECT v FROM v) * 1.0)"
+            )
+        _lm5_terms.append(
+            f"{_L5[_k-1]!r} * (COALESCE(t{_k}.c{_k}, 0) + 1.0) / {denom}"
+        )
+
+    _lm5_tables = ",\n".join(_lm5_counts(k) for k in range(2, 6))
+    _lm5_sum = " + ".join(_lm5_terms)
+    _lm5_join_sql = " ".join(_lm5_joins)
+    o["lm_5gram"] = f"""
+WITH rt AS (
+  SELECT {_LM_TOKS.format(e='text')} AS arr FROM documents WHERE doc_id % 5 = 0
+),
+runi AS (SELECT unnest(arr) AS w1 FROM rt),
+uni AS (SELECT w1, count(*) AS c1 FROM runi GROUP BY w1),
+v AS (SELECT count(*) AS v FROM uni),
+tt AS (SELECT count(*) AS t FROM runi),
+{_lm5_tables},
+dt AS (SELECT doc_id, {_LM_TOKS.format(e='text')} AS arr FROM documents),
+dg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2, arr[i+2] AS w3,
+         arr[i+3] AS w4, arr[i+4] AS w5
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-4)) AS i
+        FROM dt WHERE len(arr) >= 5)
+),
+nll AS (
+  SELECT doc_id, -ln(
+    {_lm5_sum}
+  ) AS nll
+  FROM dg
+  {_lm5_join_sql}
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_ngrams, avg(nll) AS ce FROM nll GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(agg.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       round(agg.ce, 6) AS cross_entropy,
+       round(exp(agg.ce), 4) AS ppl
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
     _DSIR_FEATS = f"""
 dt AS (SELECT doc_id, {_LM_TOKS.format(e='text')} AS toks FROM documents),
 dfe AS (

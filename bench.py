@@ -243,30 +243,38 @@ def main():
         queries[f"pages_index_build_{pages_n}"] = t
         extra["pages_docs_per_sec"] = round(pages_n / t, 1)
 
-        # WAND pruning payoff at a corpus size where it can pay (the
-        # sf0.1 documents table is too small for pruning to beat its
-        # overhead — that adaptive fallback is the wand_min_postings
-        # setting above): forced block-max WAND vs exhaustive on the
-        # SAME materialized pages index, a boosted Terms disjunction
-        # (the round-4 extended WAND shape). Results are
-        # rank-identical by construction (differential-tested).
-        from iresearch_spark.search import Terms
+        # WAND pruning payoff (round 5): a SITE-SKEWED corpus (topical
+        # sites, site-correlated lengths — the locality real crawls
+        # have) indexed SORTED BY URL, so posting blocks inherit site
+        # locality and block-max impact bounds actually spread. Query =
+        # four co-occurring topical terms (rare globally, dense in
+        # their topic's sites). Cluster path: forced WAND (3 jobs) vs
+        # the 1-job exhaustive scan — at sandbox corpus sizes the job
+        # floor still dominates (recorded honestly; the pruning RATIO
+        # is the scale currency: at 10^9+ docs decode dwarfs the two
+        # extra jobs). Hot path (driver-resident serving segment): no
+        # job floor, so block-max WAND shows up directly as wall-clock
+        # — wand < exhaustive, rank-identical, plus the serving QPS.
+        from iresearch_spark.corpus import build_vocab
+        from iresearch_spark.search.hot import HotEngine
 
+        skew = generate_pages(spark, pages_n, site_skew=True).cache()
+        skew.count()
         pidx = _materialized_index(
-            pages, id_col=None, sort_key="url", analyzer="segmentation",
-            seg_bits=10,
+            skew, id_col=None, sort_field="url", sort_key="url",
+            analyzer="segmentation", seg_bits=10,
         )
-        node = Or(
-            [
-                Terms(
-                    ["ref", "second", "state"], term_boosts={"ref": 2.0}
-                ),
-                Term("south", boost=1.5),
-            ]
-        )
+        vocab = build_vocab(30000)
+        # topic-slice-3 leaders: mid-frequency globally (large
+        # incidental volume at low block bounds) and dense in their
+        # topic's sites (high theta) — the spread profile block-max
+        # pruning exists for
+        topical = [str(vocab[120 + j]) for j in range(4)]
+        node = Or([Term(t) for t in topical])
         eng_exh = SearchEngine(pidx, preload_stats=True)
         eng_wand = SearchEngine(pidx, preload_stats=True)
-        eng_exh.search(Term("ref"), k=1).collect()  # warm workers
+        eng_wand.collect_wand_stats = True
+        eng_exh.search(Term(topical[0]), k=1).collect()  # warm workers
         t_exh = min(
             timed(lambda: eng_exh.search(node, k=10).collect())[0]
             for _ in range(repeat)
@@ -277,9 +285,66 @@ def main():
             )[0]
             for _ in range(repeat)
         )
-        queries["pages_or_terms_exhaustive"] = t_exh
-        queries["pages_or_terms_wand"] = t_wand
+        queries["pages_topical_exhaustive"] = t_exh
+        queries["pages_topical_wand"] = t_wand
+        if eng_wand.last_wand_stats:
+            extra["wand_blocks_total"] = eng_wand.last_wand_stats[
+                "blocks_total"
+            ]
+            extra["wand_blocks_kept"] = eng_wand.last_wand_stats[
+                "blocks_kept"
+            ]
+
+        # hot serving path: pin the same index driver-side; block-max
+        # WAND beats exhaustive HERE because there is no job floor —
+        # only the decode work pruning saves
+        hot = HotEngine(eng_exh)
+        hot.search(node, k=10)  # warm decode cache for the shared terms
+        REP = 30
+
+        def _hot_many(mode, cold=False):
+            for _ in range(REP):
+                if cold:
+                    hot._decoded.clear()
+                hot.search(node, k=10, mode=mode)
+
+        t_h_exh = min(
+            timed(lambda: _hot_many("exhaustive"))[0] for _ in range(repeat)
+        ) / REP
+        t_h_wand = min(
+            timed(lambda: _hot_many("wand"))[0] for _ in range(repeat)
+        ) / REP
+        queries["hot_topical_exhaustive"] = t_h_exh
+        queries["hot_topical_wand"] = t_h_wand
+        # cold = decode cache dropped per query: the first-touch shape,
+        # where pruning saves the most (only surviving blocks decode)
+        t_c_exh = min(
+            timed(lambda: _hot_many("exhaustive", cold=True))[0]
+            for _ in range(repeat)
+        ) / REP
+        t_c_wand = min(
+            timed(lambda: _hot_many("wand", cold=True))[0]
+            for _ in range(repeat)
+        ) / REP
+        queries["hot_topical_exhaustive_cold"] = t_c_exh
+        queries["hot_topical_wand_cold"] = t_c_wand
+        # serving throughput over a mixed servable query set
+        mixed = [
+            Term(topical[0]),
+            Or([Term(t) for t in topical]),
+            And([Term(topical[0]), Term(topical[1])]),
+            Or([Term(t) for t in topical], min_match=2),
+            Or([Term("ref"), Term("second")]),
+        ]
+
+        def _serve():
+            for q in mixed * 10:
+                hot.search(q, k=10)
+
+        t_serve = min(timed(_serve)[0] for _ in range(repeat))
+        extra["hot_qps"] = round(len(mixed) * 10 / t_serve, 1)
         pidx.unpersist()
+        skew.unpersist()
 
     total = sum(queries.values())
     print(

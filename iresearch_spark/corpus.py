@@ -83,17 +83,43 @@ def generate_pages(
     seed: int = 42,
     vocab_size: int = 30000,
     max_tokens: int = 500,
+    site_skew: bool = False,
 ) -> DataFrame:
+    """`site_skew=True` adds the locality real crawls have and the
+    uniform generator lacks: each site (url prefix) draws a TOPIC — a
+    40-word vocabulary slice — and ~45% of its tokens come from that
+    slice; doc length is site-correlated too. After the url-sorted
+    index layout, pages of a site are doc-id-adjacent, so posting
+    blocks of a topical term have high tf inside the topic's sites and
+    tf~1 elsewhere — the block-max spread block-max WAND prunes on
+    (formats_10.cpp:2426-2642 wanderator; a real Common-Crawl index
+    gets this spread for free from crawl/site ordering)."""
     vocab = build_vocab(vocab_size)
     cdf = _zipf_cdf(vocab_size)
+    n_topics = 200
+    slice_w = 40  # topic t owns vocab[t*40:(t+1)*40)
+    slice_cdf = _zipf_cdf(slice_w, s=1.2)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy().astype(np.uint64)
             m = ids.size
-            n_tok = (5 + (_hash2(seed, ids, 1) % np.uint64(max_tokens - 5))).astype(
-                np.int64
-            )
+            if site_skew:
+                site = ids % np.uint64(997)
+                # site-correlated length: short sites (30-60 tokens)
+                # and long sites (120-500), 3:1 mix
+                site_long = (_hash2(seed, site, 8) % np.uint64(4)) == 0
+                base = np.where(site_long, 120, 30).astype(np.int64)
+                span = np.where(
+                    site_long, max_tokens - 120, 30
+                ).astype(np.int64)
+                n_tok = base + (
+                    _hash2(seed, ids, 1) % span.astype(np.uint64)
+                ).astype(np.int64)
+            else:
+                n_tok = (
+                    5 + (_hash2(seed, ids, 1) % np.uint64(max_tokens - 5))
+                ).astype(np.int64)
             total = int(n_tok.sum())
             doc_rep = np.repeat(ids, n_tok)
             tok_idx = np.concatenate(
@@ -105,6 +131,25 @@ def generate_pages(
                 / 2**64
             )
             widx = np.searchsorted(cdf, u, side="left")
+            if site_skew:
+                # ~45% of tokens draw from the site's topic slice
+                tok_h = _splitmix64(
+                    doc_rep * np.uint64(777767777) + tok_idx
+                )
+                topical = (tok_h % np.uint64(100)) < 45
+                topic = (
+                    _hash2(seed, doc_rep % np.uint64(997), 7)
+                    % np.uint64(n_topics)
+                ).astype(np.int64)
+                u2 = (
+                    _splitmix64(tok_h ^ np.uint64(0xABCDEF123))
+                    .astype(np.float64)
+                    / 2**64
+                )
+                slice_idx = topic * slice_w + np.searchsorted(
+                    slice_cdf, u2, side="left"
+                )
+                widx = np.where(topical, slice_idx, widx)
             words = vocab[widx]
             bounds = np.concatenate(([0], np.cumsum(n_tok)))
             texts = [

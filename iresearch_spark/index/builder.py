@@ -180,6 +180,66 @@ def _make_partition_block_builder(
     return build
 
 
+_IMPACT_CLASSES = 24  # power-of-two dl classes (dl < 2^24 per class cap)
+
+_IMPACTS_PA_TYPE = pa.list_(
+    pa.struct([("tf", pa.int32()), ("dl", pa.int32())])
+)
+
+
+def _block_impacts_arrays(freqs, dls, bs, be):
+    """Per-block (tf, dl) impact pairs — one pair per power-of-two dl
+    class present in the block: (max tf of the class, min dl of the
+    class). Sound bound for any scorer monotone in tf and antitone in
+    dl: every posting's class pair dominates it, so
+    max over pairs of g(tf, dl) >= the block's true max partial score
+    (Lucene's block-max impacts, quantized to dl octaves instead of a
+    full pareto skyline — <= ~17 pairs/block at web doc lengths).
+    Blocks tile the row range contiguously (be[i] == bs[i+1]).
+    Vectorized: one argsort + two reduceats; returns
+    (tf_values, dl_values, list_offsets[int32, len B+1])."""
+    B = bs.size
+    block_of = np.repeat(np.arange(B, dtype=np.int64), be - bs)
+    d = dls.astype(np.int64)
+    cls = np.minimum(
+        np.floor(np.log2(np.maximum(d, 1))).astype(np.int64),
+        _IMPACT_CLASSES - 1,
+    )
+    key = block_of * _IMPACT_CLASSES + cls
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    b = np.empty(ks.size, dtype=bool)
+    if ks.size:
+        b[0] = True
+        b[1:] = ks[1:] != ks[:-1]
+    gs = np.flatnonzero(b)
+    g_tf = np.maximum.reduceat(freqs[order], gs).astype(np.int32)
+    g_dl = np.minimum.reduceat(d[order], gs).astype(np.int32)
+    g_block = ks[gs] // _IMPACT_CLASSES
+    counts = np.bincount(g_block, minlength=B)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    return g_tf, g_dl, offsets
+
+
+def _block_impacts_arrow(freqs, dls, bs, be):
+    g_tf, g_dl, offsets = _block_impacts_arrays(freqs, dls, bs, be)
+    struct = pa.StructArray.from_arrays(
+        [pa.array(g_tf), pa.array(g_dl)], ["tf", "dl"]
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets), struct)
+
+
+def _block_impacts_lists(freqs, dls, bs, be):
+    g_tf, g_dl, offsets = _block_impacts_arrays(freqs, dls, bs, be)
+    return [
+        [
+            {"tf": int(g_tf[j]), "dl": int(g_dl[j])}
+            for j in range(offsets[i], offsets[i + 1])
+        ]
+        for i in range(bs.size)
+    ]
+
+
 def _encode_groups(pdf, starts, with_positions, blocks_per_bucket_bits,
                    with_offsets=False, with_payloads=False):
     """Encode every (term,bucket) run of a sorted batch into posting
@@ -274,6 +334,9 @@ def _encode_groups(pdf, starts, with_positions, blocks_per_bucket_bits,
             "off_lens": olen_blobs,
             "pay_lens": plen_blobs,
             "pay_bytes": pbyte_blobs,
+            "block_impacts": _block_impacts_lists(
+                freqs, dls, block_starts, block_ends
+            ),
         }
     )
 
@@ -462,6 +525,7 @@ def _segment_record_batches(
                 pa.nulls(NB, pa.binary()),
                 pa.nulls(NB, pa.binary()),
                 pa.nulls(NB, pa.binary()),
+                pa.nulls(NB, _IMPACTS_PA_TYPE),
             ],
             names=_POSTINGS_COLS,
         )
@@ -576,6 +640,7 @@ def _segment_record_batches(
                 if payload_delim is not None
                 else pa.nulls(B, pa.binary())
             ),
+            _block_impacts_arrow(freqs, row_dl, bs, be),
         ],
         names=_POSTINGS_COLS,
     )
@@ -682,11 +747,30 @@ def _order_surrogate(df: DataFrame, col: str):
     surrogate order == byte order == code-point order. (Java string
     comparison diverges from code-point order only for supplementary-
     plane characters in the first 7 bytes — irrelevant for the URL/tag
-    shaped sort fields this targets, and documented here.)"""
+    shaped sort fields this targets, and documented here.)
+
+    Strings first drop the corpus-wide LONGEST COMMON PREFIX (computed
+    from the driver-collected min/max strings — every value between
+    them shares it): URL sort fields all start with 'https://', which
+    made the raw first-7-bytes surrogate a CONSTANT, collapsing the
+    layout into one bucket and thus one mega-segment (no block
+    alignment, no build parallelism). One extra slim min/max agg, still
+    deterministic."""
     dt = df.schema[col].dataType
     if isinstance(dt, T.StringType):
+        import os as _os
+
+        row = df.select(
+            F.min(F.col(col)).alias("a"), F.max(F.col(col)).alias("b")
+        ).collect()[0]
+        lcp = _os.path.commonprefix([row["a"] or "", row["b"] or ""])
+        skip = len(lcp.encode("utf-8"))
         hx = F.rpad(
-            F.substring(F.hex(F.encode(F.col(col), "UTF-8")), 1, 14), 14, "0"
+            F.substring(
+                F.hex(F.encode(F.col(col), "UTF-8")), skip * 2 + 1, 14
+            ),
+            14,
+            "0",
         )
         return F.conv(hx, 16, 10).cast("long")
     from iresearch_spark.index.numeric import dtype_of, sortable_col

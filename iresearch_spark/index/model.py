@@ -67,6 +67,25 @@ POSTINGS_SCHEMA = T.StructType(
         # the index was built with a payload source
         T.StructField("pay_lens", T.BinaryType(), True),
         T.StructField("pay_bytes", T.BinaryType(), True),
+        # per-block (tf, dl) impact pairs — Lucene-style block-max
+        # impacts (one pair per power-of-two dl class): a per-doc
+        # partial score is bounded by max over pairs of g(tf, dl),
+        # which is far tighter than g(block_max_freq, block_min_dl)
+        # when a block mixes short docs with high-tf docs. Nullable:
+        # pre-round-5 indexes lack it and WAND falls back to the
+        # (max_freq, min_dl) bound.
+        T.StructField(
+            "block_impacts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("tf", T.IntegerType(), False),
+                        T.StructField("dl", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 
@@ -843,8 +862,16 @@ class InvertedIndex:
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        if "block_impacts" not in postings.columns:
+            # pre-round-5 index: no impacts column — null-fill so every
+            # consumer sees one schema (WAND then uses the loose bound)
+            postings = postings.withColumn(
+                "block_impacts",
+                F.lit(None).cast("array<struct<tf:int,dl:int>>"),
+            )
         return cls(
-            postings=spark.read.parquet(os.path.join(path, "postings")),
+            postings=postings,
             docs=spark.read.parquet(os.path.join(path, "docs")),
             term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
             field_stats=FieldStats(

@@ -328,6 +328,154 @@ def _ngram_pairs(toks_col, n: int):
     return F.when(size >= n, zipped).otherwise(empty)
 
 
+def _ngram_structs(toks_col, n: int):
+    """Array of n-gram structs (w1..wn) for ANY n >= 2 — element_at
+    over an index sequence (the zip_with chain of _ngram_pairs only
+    scales to n=3)."""
+    size = F.size(toks_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - F.lit(n - 1)),
+        lambda i: F.struct(
+            *[
+                F.element_at(toks_col, i + F.lit(j)).alias(f"w{j + 1}")
+                for j in range(n)
+            ]
+        ),
+    )
+    empty = F.array().cast(
+        "array<struct<" + ",".join(f"w{i+1}:string" for i in range(n)) + ">>"
+    )
+    return F.when(size >= n, grams).otherwise(empty)
+
+
+def train_ngram_lm(
+    ref: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> tuple[list[DataFrame], int, int]:
+    """Count tables for a Jelinek-Mercer-interpolated n-gram LM — the
+    CCNet-parity step (Wenzek et al. 2020 score with a 5-gram KenLM;
+    KenLM's model is count tables + smoothing, held here as DataFrames
+    so training is n linear groupBys and scoring stays equi-joins).
+
+    Returns (counts, vocab_size, total_tokens) where counts[k-1] is the
+    k-gram count table (w1..wk, ck) for k = 1..n. Orders >= 3 drop
+    rows with ck < min_count (KenLM-style singleton pruning — the
+    model table shrinks ~5-10x on web text; a pruned gram scores
+    through the lower orders, exactly like backoff). Every groupBy is
+    map-side combinable; nothing touches the driver but two scalars."""
+    if not 2 <= n <= 6:
+        raise ValueError("n must be in [2, 6]")
+    toks = ref.select(_tokens(F.col(text_col)).alias("_t"))
+    counts: list[DataFrame] = []
+    unis = toks.select(F.explode("_t").alias("w1"))
+    uni = unis.groupBy("w1").agg(F.count("*").alias("c1"))
+    counts.append(uni)
+    for k in range(2, n + 1):
+        cols = [f"w{i+1}" for i in range(k)]
+        ck = (
+            toks.select(F.explode(_ngram_structs(F.col("_t"), k)).alias("g"))
+            .groupBy(*[F.col(f"g.{c}").alias(c) for c in cols])
+            .agg(F.count("*").alias(f"c{k}"))
+        )
+        if k >= 3 and min_count > 1:
+            ck = ck.filter(F.col(f"c{k}") >= min_count)
+        counts.append(ck)
+    vocab_size = uni.count()
+    total_tokens = unis.count()
+    return counts, int(vocab_size), int(total_tokens)
+
+
+def ngram_cross_entropy(
+    df: DataFrame,
+    counts: list[DataFrame],
+    vocab_size: int,
+    total_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, ...] | None = None,
+) -> DataFrame:
+    """Per-document cross-entropy under the interpolated n-gram model
+    of `train_ngram_lm`:
+
+      P(w_n | w_1..w_{n-1}) = sum_k l_k * (c_k(w_{n-k+1..n}) + 1)
+                                      / (c_{k-1}(w_{n-k+1..n-1}) + V)
+
+    (k = 1 uses total_tokens as the context count). Returns
+    (id_col, n_ngrams, cross_entropy, ppl); docs shorter than n tokens
+    keep NULLs. Scale shape: one posexplode-free explode of n-gram
+    rows, 2(n-1) equi-joins against the count tables (broadcast when
+    the model is small), one doc-keyed aggregation — the same join
+    plan at any corpus size."""
+    n = len(counts)
+    if lambdas is None:
+        # highest orders weighted most, geometric-ish default
+        base = [0.4, 0.25, 0.15, 0.1, 0.06, 0.04][:n]
+        s = sum(base)
+        lambdas = tuple(x / s for x in reversed(base))  # l1..ln
+    if len(lambdas) != n or abs(sum(lambdas) - 1.0) > 1e-9:
+        raise ValueError("lambdas must have one weight per order, sum 1")
+    toks = df.select(id_col, _tokens(F.col(text_col)).alias("_t"))
+    cols = [f"w{i+1}" for i in range(n)]
+    g = toks.select(
+        id_col, F.explode(_ngram_structs(F.col("_t"), n)).alias("g")
+    ).select(id_col, *[F.col(f"g.{c}").alias(c) for c in cols])
+    v = float(vocab_size)
+    t = float(total_tokens)
+    joined = g
+    comp = []
+    for k in range(1, n + 1):
+        # continuation: the k-gram ending at w_n -> columns w_{n-k+1..n}
+        cont_keys = cols[n - k:]
+        ck_cols = [f"w{i+1}" for i in range(k)]
+        cont = counts[k - 1].select(
+            *[
+                F.col(ck_cols[i]).alias(cont_keys[i])
+                for i in range(k)
+            ],
+            F.col(f"c{k}").alias(f"_cont{k}"),
+        )
+        joined = joined.join(cont, cont_keys, "left")
+        if k == 1:
+            denom = F.lit(t + v)
+        else:
+            ctx_keys = cols[n - k : n - 1]
+            ck1_cols = [f"w{i+1}" for i in range(k - 1)]
+            ctx = counts[k - 2].select(
+                *[
+                    F.col(ck1_cols[i]).alias(ctx_keys[i])
+                    for i in range(k - 1)
+                ],
+                F.col(f"c{k-1}").alias(f"_ctx{k}"),
+            )
+            joined = joined.join(ctx, ctx_keys, "left")
+            denom = F.coalesce(f"_ctx{k}", F.lit(0)) + F.lit(v)
+        comp.append(
+            F.lit(float(lambdas[k - 1]))
+            * (F.coalesce(f"_cont{k}", F.lit(0)) + F.lit(1.0))
+            / denom
+        )
+    p = comp[0]
+    for c in comp[1:]:
+        p = p + c
+    agg = (
+        joined.select(id_col, (-F.log(p)).alias("_nll"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_ngrams"), F.avg("_nll").alias("ce"))
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.round("ce", 6).alias("cross_entropy"),
+            F.round(F.exp("ce"), 4).alias("ppl"),
+        )
+    )
+
+
 def train_trigram_lm(
     ref: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:

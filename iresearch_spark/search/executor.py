@@ -116,6 +116,10 @@ class SearchEngine:
         # terms' total df is below this (pruning overhead beats payoff
         # on tiny candidate sets); 0 = always use WAND when requested
         self.wand_min_postings = wand_min_postings
+        # when the estimated per-block meta row count fits this cap,
+        # the WAND bound walk runs driver-side (3 Spark jobs instead of
+        # ~8 — see _wand_driver_path); above it, fully distributed
+        self.wand_driver_meta_cap = 100_000
         self._spark: SparkSession = index.postings.sparkSession
         self._df_cache: dict[str, int] = {}
         self._proxy_cache: dict = {}  # Cached-node materialized results
@@ -785,6 +789,26 @@ class SearchEngine:
         if isinstance(self.scorer, BM25):
             return boost * (self.scorer.k + 1.0) * idf
         return boost * idf
+
+    def _block_g_ub(self):
+        """Per-block upper bound on g(tf, dl) — from the block's
+        impact pairs (Lucene-style block-max impacts: one (max tf,
+        min dl) pair per power-of-two dl class, builder
+        _block_impacts_arrays) when present, else the loose
+        g(block_max_freq, block_min_dl). The impact bound matters when
+        a block mixes short docs with high-tf long docs: pairing the
+        global max tf with the global min dl then wildly overestimates
+        what any single posting can score."""
+        loose = self._score_g(F.col("block_max_freq"), F.col("block_min_dl"))
+        tight = F.array_max(
+            F.transform(
+                F.col("block_impacts"),
+                lambda x: self._score_g(x["tf"], x["dl"]),
+            )
+        )
+        return F.when(F.col("block_impacts").isNotNull(), tight).otherwise(
+            loose
+        )
 
     def _score_g(self, freq, dl):
         """The per-posting factor g(tf, dl) with c0 factored out
@@ -1925,6 +1949,111 @@ class SearchEngine:
             return df
         return df.join(self.index.deleted.select("doc_id"), "doc_id", "left_anti")
 
+    def _wand_driver_path(self, query, weights, ub, k: int):
+        """Driver-side WAND bound walk over collected per-block meta
+        (see _execute_wand; chosen when the estimated block count fits
+        self.wand_driver_meta_cap). Three Spark jobs total: meta
+        collect, theta seed scan, pruned final scan. Returns None when
+        theta cannot prune (falls through to the exhaustive plan)."""
+        G, SPAN_CAP = 13, 64
+        rows = ub.select(
+            "term", "block_id", "_ub", "first_doc", "last_doc"
+        ).collect()
+        if not rows:
+            return self._empty()
+        blocks = [
+            (
+                r["term"], r["block_id"], float(r["_ub"]),
+                int(r["first_doc"]) >> G, int(r["last_doc"]) >> G,
+            )
+            for r in rows
+        ]
+        mx: dict[str, float] = {}
+        wide_of: dict[str, float] = {t: 0.0 for t in weights}
+        by_ts: dict[tuple[str, int], float] = {}
+        for t, bid, u, s0, s1 in blocks:
+            mx[t] = max(mx.get(t, 0.0), u)
+            if s1 - s0 >= SPAN_CAP:
+                wide_of[t] = max(wide_of[t], u)
+            else:
+                for s in range(s0, s1 + 1):
+                    key = (t, s)
+                    if u > by_ts.get(key, 0.0):
+                        by_ts[key] = u
+        total_ub = sum(mx.values())
+        base = sum(wide_of.values())
+        # per-range sums of effective bounds (absent terms contribute
+        # their wide-block global, usually 0)
+        sums: dict[int, float] = {}
+        for (t, s), v in by_ts.items():
+            sums[s] = sums.get(s, base) + max(v - wide_of[t], 0.0)
+        # seed: best-sum ranges (stacked multi-term candidates) plus
+        # the global top blocks as a disjoint-terms safety
+        n_seed_ranges = max(1, (k + 63) // 64)
+        top_ranges = set(
+            s for s, _ in sorted(
+                sums.items(), key=lambda kv: kv[1], reverse=True
+            )[:n_seed_ranges]
+        )
+        by_ub = sorted(blocks, key=lambda b: b[2], reverse=True)
+        seed_ids = {(b[0], b[1]) for b in by_ub[: max(2, (4 * k) // 128 + 1)]}
+        for t, bid, u, s0, s1 in blocks:
+            if s1 - s0 < SPAN_CAP and any(
+                s0 <= s <= s1 for s in top_ranges
+            ):
+                seed_ids.add((t, bid))
+        spark = self._spark
+        seed_df = spark.createDataFrame(
+            [(t, int(b)) for t, b in seed_ids], "term string, block_id long"
+        )
+        seed_postings = self.index.postings_for_terms(list(weights)).join(
+            F.broadcast(seed_df), ["term", "block_id"], "left_semi"
+        )
+        theta = float(
+            self._apply_delete_mask(
+                self._eval(query, 1.0, postings=seed_postings)
+            )
+            .orderBy(F.desc("score"))
+            .limit(k)
+            .agg(
+                F.when(F.count("*") < k, F.lit(0.0))
+                .otherwise(F.min("score"))
+                .alias("_theta")
+            )
+            .collect()[0]["_theta"]
+        )
+        if theta <= 0.0:
+            return self._eval(query, 1.0)
+        theta_eff = theta * (1.0 - 1e-5) if self._f32 else theta
+        keep = []
+        for t, bid, u, s0, s1 in blocks:
+            if s1 - s0 >= SPAN_CAP:
+                rest = total_ub - mx[t]
+            else:
+                rest = 0.0
+                for s in range(s0, s1 + 1):
+                    eff = max(by_ts.get((t, s), 0.0), wide_of[t])
+                    rest = max(rest, sums.get(s, base) - eff)
+            if u + rest >= theta_eff:
+                keep.append((t, int(bid)))
+        if self.collect_wand_stats:
+            self.last_wand_stats = {
+                "blocks_total": len(blocks),
+                "blocks_kept": len(keep),
+                "theta": theta,
+            }
+        if not keep:
+            return self._empty()
+        if len(keep) * 2 >= len(blocks):
+            # pruning didn't engage: the exhaustive single-job plan is
+            # strictly better than scanning through a keep join
+            return self._eval(query, 1.0)
+        keep_df = spark.createDataFrame(keep, "term string, block_id long")
+        survivors = self.index.postings_for_terms(list(weights)).join(
+            F.broadcast(keep_df), ["term", "block_id"], "left_semi"
+        )
+        return self._eval(query, 1.0, postings=survivors)
+
     def _execute_wand(
         self, query: ast.Node, terms: dict[str, float], k: int
     ) -> DataFrame:
@@ -1966,13 +2095,30 @@ class SearchEngine:
             t: self._c0(dfs[t], boost * terms[t]) for t in dfs
         }
         meta = self.index.postings_for_terms(list(weights)).select(
-            "term", "block_id", "n_docs", "block_max_freq", "block_min_dl"
+            "term", "block_id", "n_docs", "first_doc", "last_doc",
+            "block_max_freq", "block_min_dl", "block_impacts",
         )
         w = F.broadcast(self._weights_df(weights))
         ub = meta.join(w, "term").withColumn(
-            "_ub",
-            F.col("w") * self._score_g(F.col("block_max_freq"), F.col("block_min_dl")),
+            "_ub", F.col("w") * self._block_g_ub()
         )
+        # adaptive meta placement (round 5): the whole WAND bound walk
+        # needs only the per-block META rows (term, block_id, bound,
+        # doc range) — ceil(df/128)-ish rows per term. When that is
+        # small enough to collect (the common case far beyond sandbox
+        # scale: 100k blocks covers df ~ 1.3e7 per term), do the seed
+        # ranking, rest-mass and keep computation IN THE DRIVER — the
+        # reference walks exactly this metadata in memory
+        # (formats_10.cpp wanderator skip data). Spark jobs drop from
+        # ~8 to 3 (collect meta, theta, pruned scan), which is the
+        # difference between WAND losing and winning against a 1-job
+        # exhaustive scan. Above the cap, the distributed plan below
+        # runs instead — same math, meta never leaves the executors.
+        n_blocks_est = sum((d + 127) // 128 for d in dfs.values())
+        if n_blocks_est <= self.wand_driver_meta_cap:
+            out = self._wand_driver_path(query, weights, ub, k)
+            if out is not None:
+                return out
         # materialize the per-block bound table ONCE (meta columns only
         # — no posting blobs): the plan below references it from the
         # seed selection, the per-term max aggregate AND the keep
@@ -1982,9 +2128,54 @@ class SearchEngine:
         # rows are per (term, block), which at 10^12 docs is far too
         # big to collect but trivial to hold across executors.
         ub = ub.localCheckpoint(eager=True)
-        # seed = highest-upper-bound blocks; complete blocks => achieved scores
-        seed_blocks = max(2, (4 * k) // 128 + 1)
-        seed = ub.orderBy(F.desc("_ub")).limit(seed_blocks).select("term", "block_id")
+        # seed (round 5): theta must reflect multi-term STACKED scores,
+        # or it never beats any rest mass on a query whose terms
+        # co-occur. Rank coarse doc-id ranges by the SUM over terms of
+        # their best in-range block bound (the same alignment table the
+        # keep filter uses below) and seed every query-term block
+        # overlapping the best few ranges — the aligned analogue of
+        # WAND's document-at-a-time pivot; per-term global best blocks
+        # are added as a safety for disjoint-term queries.
+        G = 13            # 8192-doc alignment ranges
+        SPAN_CAP = 64     # a block overlapping more ranges goes global
+        rng = ub.select(
+            "term", "block_id", "_ub",
+            F.shiftright("first_doc", G).alias("_s0"),
+            F.shiftright("last_doc", G).alias("_s1"),
+        )
+        narrow = rng.filter(F.col("_s1") - F.col("_s0") < SPAN_CAP)
+        wide = rng.filter(F.col("_s1") - F.col("_s0") >= SPAN_CAP)
+        mx_rs = (
+            narrow.withColumn("_s", F.explode(F.sequence("_s0", "_s1")))
+            .groupBy("term", "_s")
+            .agg(F.max("_ub").alias("_mx"))
+        ).localCheckpoint(eager=True)
+        n_seed_ranges = max(1, (k + 63) // 64)
+        top_ranges = [
+            r["_s"]
+            for r in (
+                mx_rs.groupBy("_s")
+                .agg(F.sum("_mx").alias("_sum"))
+                .orderBy(F.desc("_sum"))
+                .limit(n_seed_ranges)
+                .collect()
+            )
+        ]
+        in_top = None
+        for s in top_ranges:
+            c = (F.col("_s0") <= F.lit(s)) & (F.col("_s1") >= F.lit(s))
+            in_top = c if in_top is None else (in_top | c)
+        seed_parts = [
+            ub.orderBy(F.desc("_ub"))
+            .limit(max(2, (4 * k) // 128 + 1))
+            .select("term", "block_id")
+        ]
+        if in_top is not None:
+            seed_parts.append(narrow.filter(in_top).select("term", "block_id"))
+        seed = seed_parts[0]
+        for p in seed_parts[1:]:
+            seed = seed.unionByName(p)
+        seed = seed.distinct()
         seed_postings = self.index.postings_for_terms(list(weights)).join(
             F.broadcast(seed), ["term", "block_id"], "left_semi"
         )
@@ -2018,9 +2209,26 @@ class SearchEngine:
         # columns: no join against the posting blobs (the previous
         # keep-list semi-join shuffled every blob through a sort-merge
         # join — measured 3-10x slower than exhaustive at 100k docs).
-        mx = {
-            r["term"]: r["_mx"]
-            for r in ub.groupBy("term").agg(F.max("_ub").alias("_mx")).collect()
+        # ONE collect: per-term global max bound + max bound over the
+        # term's WIDE blocks (blocks whose 128 postings stretch over
+        # many alignment ranges — see below)
+        _wide_pred = (
+            F.shiftright("last_doc", G) - F.shiftright("first_doc", G)
+            >= SPAN_CAP
+        )
+        agg_rows = (
+            ub.groupBy("term")
+            .agg(
+                F.max("_ub").alias("_mx"),
+                F.max(F.when(_wide_pred, F.col("_ub"))).alias("_wmx"),
+            )
+            .collect()
+        )
+        mx = {r["term"]: r["_mx"] for r in agg_rows}
+        wide_mx = {
+            r["term"]: float(r["_wmx"])
+            for r in agg_rows
+            if r["_wmx"] is not None
         }
         total_ub = sum(mx.values())
         # float32 parity mode: achieved scores round through float32
@@ -2035,24 +2243,94 @@ class SearchEngine:
             F.array(*[F.lit(t) for t in weights]),
             F.array(*[F.lit(float(w)) for w in weights.values()]),
         )
-        bound = F.element_at(c0_map, F.col("term")) * self._score_g(
-            F.col("block_max_freq"), F.col("block_min_dl")
-        ) + F.element_at(rest_map, F.col("term"))
-        survivors = self.index.postings_for_terms(list(weights)).filter(
-            bound >= F.lit(theta_eff)
+        # ---- per-range rest mass (round 5): the global rest (sum of
+        # the OTHER terms' corpus-wide max bounds) almost never prunes
+        # a multi-term disjunction — theta rarely beats it. The real
+        # block-max-WAND lever is ALIGNMENT: what the other terms can
+        # score near THIS block's doc ids. Blocks carry
+        # (first_doc, last_doc); coarse 2^G-doc ranges give each term
+        # a per-range max bound, rest(t, s) = sum over other terms of
+        # their range-s bound (absent term -> 0). A block whose
+        # 128 postings stretch over many ranges (rare terms) falls
+        # back to its global rest. All of this runs on the META table
+        # (no posting blobs); the keep list then prunes the blob scan
+        # through a BROADCAST semi-join — small by construction when
+        # pruning engages, and an adaptive row-count guard falls back
+        # to the row-local global-rest filter when it does not (also
+        # the 10^12-doc safety: a keep list near the full block count
+        # must not be broadcast).
+        wide_of = {t: wide_mx.get(t, 0.0) for t in weights}
+        base = sum(wide_of.values())
+        wide_map = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in wide_of]),
+            F.array(*[F.lit(v) for v in wide_of.values()]),
         )
+        # per (term, range) max bound: mx_rs (checkpointed above, also
+        # the seed-range ranking input)
+        # sum over terms of each range's effective bound
+        # eff(t, s) = max(narrow mx, wide global) ; absent narrow rows
+        # contribute wide_of[t], so sum_s = base + sum(excess)
+        excess = F.greatest(
+            F.col("_mx") - F.element_at(wide_map, F.col("term")), F.lit(0.0)
+        )
+        sums = mx_rs.groupBy("_s").agg(F.sum(excess).alias("_exc"))
+        rest_rs = mx_rs.join(sums, "_s").select(
+            "term",
+            "_s",
+            (
+                F.lit(base)
+                + F.col("_exc")
+                - F.greatest(
+                    F.col("_mx"), F.element_at(wide_map, F.col("term"))
+                )
+            ).alias("_rest"),
+        )
+        # keep decision per narrow block: survives if ANY overlapped
+        # range lets it reach theta (rest of a range with no rest row =
+        # base - wide_of[term], from the other terms' wide blocks only)
+        nb = narrow.withColumn("_s", F.explode(F.sequence("_s0", "_s1")))
+        nb = nb.join(rest_rs, ["term", "_s"], "left").withColumn(
+            "_rest",
+            F.coalesce(
+                F.col("_rest"),
+                F.lit(base) - F.element_at(wide_map, F.col("term")),
+            ),
+        )
+        keep_narrow = (
+            nb.filter(F.col("_ub") + F.col("_rest") >= F.lit(theta_eff))
+            .select("term", "block_id")
+            .distinct()
+        )
+        # wide blocks: global rest (the pre-round-5 bound)
+        keep_wide = wide.filter(
+            F.col("_ub") + F.element_at(rest_map, F.col("term"))
+            >= F.lit(theta_eff)
+        ).select("term", "block_id")
+        keep = keep_narrow.unionByName(keep_wide).localCheckpoint(eager=True)
+        n_keep = keep.count()
+        # ub is checkpointed — counting it is a trivial job (cannot be
+        # estimated from dfs: segment boundaries add partial blocks)
+        n_blocks = ub.count()
         if self.collect_wand_stats:
-            total_blocks = ub.count()
-            kept = ub.filter(
-                F.col("_ub")
-                + F.element_at(rest_map, F.col("term"))
-                >= F.lit(theta_eff)
-            ).count()
             self.last_wand_stats = {
-                "blocks_total": int(total_blocks),
-                "blocks_kept": int(kept),
+                "blocks_total": int(n_blocks),
+                "blocks_kept": int(n_keep),
                 "theta": theta,
             }
+        if n_keep * 2 < n_blocks and n_keep <= 200_000:
+            # pruning engaged: broadcast the keep ids against the blob
+            # scan (hash semi-join, no blob shuffle)
+            survivors = self.index.postings_for_terms(list(weights)).join(
+                F.broadcast(keep), ["term", "block_id"], "left_semi"
+            )
+        else:
+            # pruning does not pay (or keep list too big to broadcast):
+            # row-local global-rest filter, zero join against blobs
+            bound = F.element_at(c0_map, F.col("term")) * self._block_g_ub(
+            ) + F.element_at(rest_map, F.col("term"))
+            survivors = self.index.postings_for_terms(list(weights)).filter(
+                bound >= F.lit(theta_eff)
+            )
         return self._eval(query, 1.0, postings=survivors)
 
 

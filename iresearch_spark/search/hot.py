@@ -1,0 +1,524 @@
+"""Driver-resident low-latency serving path (the "hot segment").
+
+The reference is an EMBEDDED engine answering queries in microseconds
+from mmapped segments (`core/index/directory_reader.hpp`); the Spark
+cluster path pays a ~0.3 s/job scheduling floor per query, which is the
+right trade at 10^12 docs but not for a small, hot index. HotEngine
+pins an index's posting blocks in DRIVER memory (compact codec blobs,
+decoded lazily per term and cached as numpy arrays) and answers
+Term / Terms / And / Or(min_match) / Not / Should queries without
+launching a single Spark job — scoring runs through the SAME
+`_make_score_kernel` the cluster's fused scan uses, so scores are
+bit-identical (float64 and float32 parity modes alike) and top-k order
+matches the cluster path exactly (differential-tested).
+
+mode="wand" here is a REAL block-max WAND: per-block upper bounds from
+the stored (tf, dl) impact pairs, theta seeded from the doc-range with
+the highest stacked bound, surviving blocks decoded only — with no job
+floor the pruning shows up directly as wall-clock (the cluster path's
+two extra driver-synchronized jobs cost more than the decode they
+save below ~10M postings/query; this path has no such overhead).
+
+Scale story: a hot segment is bounded by `max_bytes` (default 1 GiB of
+blobs) — the serving tier for a 10^12-doc corpus is many such replicas
+over index shards (or time-sliced heads), with the cluster path as the
+long-tail fallback; `HotEngine.search` itself falls back to the
+cluster engine for query shapes it does not serve (phrases, ranges,
+fuzzy — anything needing positions or term expansion).
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from iresearch_spark.index import codec
+from iresearch_spark.search import ast, planner
+from iresearch_spark.search.executor import SearchEngine, _make_score_kernel
+
+_G = 13       # doc-range granularity for bound alignment (2^13 docs)
+_SPAN_CAP = 64
+
+
+class HotEngine:
+    """In-driver replica of an index's postings for low-latency
+    serving. Construct from a SearchEngine (one collect); query with
+    `search(node, k, mode)` -> list of (doc_id, score), score desc,
+    doc_id asc — the cluster path's exact output order."""
+
+    def __init__(self, engine: SearchEngine, max_bytes: int = 1 << 30):
+        self.engine = engine
+        self._kernel = _make_score_kernel(engine._scorer_params())
+        index = engine.index
+        size = index.postings.select(
+            (
+                F.sum(F.length("docs") + F.length("dls"))
+            ).alias("bytes")
+        ).collect()[0]["bytes"]
+        if size is not None and size > max_bytes:
+            raise ValueError(
+                f"index blobs ({size >> 20} MiB) exceed the hot budget "
+                f"({max_bytes >> 20} MiB) — serve it sharded, or use "
+                "the cluster path"
+            )
+        slim = index.postings.filter(F.col("term") != "").select(
+            "term", "n_docs", "first_doc", "last_doc",
+            "docs", "dls", "block_impacts", "block_max_freq",
+            "block_min_dl",
+        )
+        # Arrow collect: Row-object conversion of a ~10^5-block index
+        # took ~90 s; the Arrow table lands in ~2 s
+        tbl = slim.toArrow()
+        terms_c = tbl.column("term").to_pylist()
+        nd_c = tbl.column("n_docs").to_pylist()
+        fd_c = tbl.column("first_doc").to_pylist()
+        ld_c = tbl.column("last_doc").to_pylist()
+        docs_c = tbl.column("docs").to_pylist()
+        dls_c = tbl.column("dls").to_pylist()
+        imp_c = tbl.column("block_impacts").to_pylist()
+        mf_c = tbl.column("block_max_freq").to_pylist()
+        md_c = tbl.column("block_min_dl").to_pylist()
+        self._blocks: dict[str, list] = defaultdict(list)
+        self._df: dict[str, int] = defaultdict(int)
+        for t, nd, fd, ld, db, lb, imp, mf, md in zip(
+            terms_c, nd_c, fd_c, ld_c, docs_c, dls_c, imp_c, mf_c, md_c
+        ):
+            self._blocks[t].append(
+                (int(fd), int(ld), int(nd), db, lb, imp, int(mf), int(md))
+            )
+        for t, bl in self._blocks.items():
+            bl.sort(key=lambda b: b[0])
+            self._df[t] = sum(b[2] for b in bl)
+        self._decoded: dict[str, list] = {}
+        self._bounds: dict[str, tuple] = {}
+        self.last_wand_stats: dict | None = None
+        self._deleted: np.ndarray | None = None
+        if index.deleted is not None:
+            self._deleted = np.sort(
+                np.asarray(
+                    [
+                        r["doc_id"]
+                        for r in index.deleted.select("doc_id").collect()
+                    ],
+                    dtype=np.int64,
+                )
+            )
+
+    # ------------------------------------------------------------ decode
+
+    def _decode_blocks(self, term: str, idxs=None):
+        """Decode (and cache) the term's posting blocks — PER BLOCK, so
+        a WAND-pruned read only ever decodes surviving blocks. idxs:
+        iterable of block indices (None = all). Returns concatenated
+        (doc_ids, freqs, dls)."""
+        bl = self._blocks.get(term, [])
+        slots = self._decoded.get(term)
+        if slots is None:
+            slots = [None] * len(bl)
+            self._decoded[term] = slots
+        want = range(len(bl)) if idxs is None else sorted(idxs)
+        parts = []
+        for i in want:
+            if i >= len(bl):
+                continue
+            hit = slots[i]
+            if hit is None:
+                first, last, n, docs_b, dls_b, _imp, _mf, _md = bl[i]
+                d, f = codec.unpack_docs_freqs(docs_b, n, base=0)
+                hit = (
+                    d.astype(np.int64),
+                    f.astype(np.int64),
+                    codec.varint_decode(dls_b).astype(np.int64),
+                )
+                slots[i] = hit
+            parts.append(hit)
+        if not parts:
+            e = np.empty(0, np.int64)
+            return e, e.copy(), e.copy()
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+
+    def _term_bound_arrays(self, term: str):
+        """Query-independent per-block bound data for WAND, cached:
+        (g_ub float64[B], s0 int64[B], s1 int64[B]) — ub = c0 * g_ub."""
+        hit = self._bounds.get(term)
+        if hit is not None:
+            return hit
+        bl = self._blocks.get(term, [])
+        g = np.empty(len(bl), np.float64)
+        s0 = np.empty(len(bl), np.int64)
+        s1 = np.empty(len(bl), np.int64)
+        for i, entry in enumerate(bl):
+            g[i] = self._block_ub(entry, 1.0)
+            s0[i] = entry[0] >> _G
+            s1[i] = entry[1] >> _G
+        out = (g, s0, s1)
+        self._bounds[term] = out
+        return out
+
+    def _g_scalar(self, tf: float, dl: float) -> float:
+        """g(tf, dl) for bounds — same algebra as executor._score_g
+        (float64; bound math never needs the f32 parity chain)."""
+        from iresearch_spark.search.scorers import BM25
+
+        sc = self.engine.scorer
+        if isinstance(sc, BM25):
+            avg = self.engine.index.field_stats.avg_dl
+            if self.engine._norm_mode == "legacy":
+                tf, dl = tf ** 0.5, dl ** 0.5
+            c1 = sc.k * (1.0 - sc.b) + (
+                (sc.k * sc.b) / avg if avg else 0.0
+            ) * dl
+            return tf / (c1 + tf)
+        s = tf ** 0.5
+        if getattr(sc, "with_norms", False):
+            s = s / dl ** 0.5
+        return s
+
+    def _block_ub(self, entry, c0: float) -> float:
+        first, last, n, _docs, _dls, impacts, max_f, min_dl = entry
+        if impacts:
+            return c0 * max(
+                self._g_scalar(p["tf"], p["dl"]) for p in impacts
+            )
+        # pre-impacts index: the loose (max_freq, min_dl) bound
+        return c0 * self._g_scalar(float(max_f), float(min_dl))
+
+    # -------------------------------------------------------------- eval
+
+    _SERVABLE = (ast.Term, ast.Terms, ast.And, ast.Or, ast.Not, ast.Should)
+
+    def _servable(self, node: ast.Node) -> bool:
+        if isinstance(node, (ast.Term, ast.Terms)):
+            return True
+        if isinstance(node, (ast.Not, ast.Should)):
+            return self._servable(node.child)
+        if isinstance(node, (ast.And, ast.Or)):
+            return all(self._servable(c) for c in node.children)
+        return False
+
+    def search(self, query: ast.Node, k: int = 10, mode: str = "exhaustive"):
+        """Top-k [(doc_id, score)], identical to the cluster engine's
+        search() output. Falls back to the cluster path for query
+        shapes the hot segment does not serve."""
+        norm = planner.normalize(query)
+        if not self._servable(norm):
+            return [
+                (r["doc_id"], r["score"])
+                for r in self.engine.search(query, k=k, mode=mode).collect()
+            ]
+        if mode == "wand":
+            terms = self.engine._wand_terms(norm)
+            if terms is not None:
+                out = self._wand(norm, terms, k)
+                if out is not None:
+                    return out
+        doc_ids, scores = self._eval(norm, 1.0, None)
+        return self._topk(doc_ids, scores, k)
+
+    def matches(self, query: ast.Node):
+        """All matching (doc_id, score), unordered (cluster
+        matches() analogue)."""
+        norm = planner.normalize(query)
+        if not self._servable(norm):
+            return [
+                (r["doc_id"], r["score"])
+                for r in self.engine.matches(query).collect()
+            ]
+        doc_ids, scores = self._eval(norm, 1.0, None)
+        return list(zip(doc_ids.tolist(), scores.tolist()))
+
+    def _topk(self, doc_ids, scores, k):
+        if doc_ids.size == 0:
+            return []
+        order = np.lexsort((doc_ids, -scores))
+        top = order[:k]
+        return [
+            (int(doc_ids[i]), float(scores[i])) for i in top
+        ]
+
+    def _apply_deletes(self, doc_ids, scores):
+        if self._deleted is None or doc_ids.size == 0:
+            return doc_ids, scores
+        pos = np.searchsorted(self._deleted, doc_ids)
+        pos = np.minimum(pos, self._deleted.size - 1)
+        live = self._deleted[pos] != doc_ids
+        return doc_ids[live], scores[live]
+
+    def _leaf_postings(self, node, boost, keep=None):
+        """One scored leaf -> (doc_ids, scores). keep: optional
+        per-term set of block indices to decode (WAND survivors)."""
+        if isinstance(node, ast.Term):
+            pairs = [(node.term, node.boost * boost)]
+        else:  # Terms, sum-merge min_match<=1 (planner guarantees)
+            pairs = [
+                (t, boost * node.boost * node.term_boost(t))
+                for t in dict.fromkeys(node.terms)
+            ]
+        parts = []
+        for term, eff_boost in pairs:
+            df_ = self._df.get(term, 0)
+            if df_ == 0:
+                continue
+            c0 = self.engine._c0(df_, eff_boost)
+            sel = keep.get(term) if keep is not None else None
+            if keep is not None and sel is None:
+                continue  # WAND kept no blocks of this term
+            d, f, l = self._decode_blocks(term, sel)
+            if d.size == 0:
+                continue
+            s = self._kernel(c0, f, l)
+            parts.append((d, np.asarray(s, dtype=np.float64)))
+        if not parts:
+            e = np.empty(0, np.int64)
+            return e, np.empty(0, np.float64)
+        if len(parts) == 1:
+            return parts[0]
+        # sum-merge duplicate docs across the term set
+        d = np.concatenate([p[0] for p in parts])
+        s = np.concatenate([p[1] for p in parts])
+        return _sum_by_doc(d, s)
+
+    def _eval(self, node, boost, keep):
+        """(doc_ids, scores) for a normalized servable node — the
+        executor's _eval/_eval_bool semantics in numpy."""
+        if isinstance(node, (ast.Term, ast.Terms)):
+            d, s = self._leaf_postings(node, boost, keep)
+            return self._apply_deletes(d, s)
+        if isinstance(node, (ast.And, ast.Or)):
+            b = boost * node.boost
+            positives, optional_idx = [], set()
+            for c in node.children:
+                if isinstance(c, ast.Not):
+                    continue
+                if isinstance(c, ast.Should):
+                    optional_idx.add(len(positives))
+                    positives.append(
+                        c.child
+                        if c.boost == 1.0
+                        else __import__("dataclasses").replace(
+                            c.child, boost=c.child.boost * c.boost
+                        )
+                    )
+                else:
+                    positives.append(c)
+            negatives = [
+                c.child for c in node.children if isinstance(c, ast.Not)
+            ]
+            required = (
+                len(positives) - len(optional_idx)
+                if isinstance(node, ast.And)
+                else node.min_match
+            )
+            docs_l, score_l, req_l = [], [], []
+            for i, c in enumerate(positives):
+                d, s = self._eval(c, b, keep)
+                docs_l.append(d)
+                score_l.append(s)
+                req_l.append(
+                    np.full(d.size, 0 if i in optional_idx else 1, np.int64)
+                )
+            if not docs_l:
+                e = np.empty(0, np.int64)
+                return e, np.empty(0, np.float64)
+            d = np.concatenate(docs_l)
+            s = np.concatenate(score_l)
+            r = np.concatenate(req_l)
+            merge = node.merge_type
+            ud, us, ur = _merge_by_doc(d, s, r, merge)
+            m = ur >= required
+            ud, us = ud[m], us[m]
+            if merge == "noop":
+                us = np.zeros_like(us)
+            for neg in negatives:
+                nd, _ = self._eval(neg, 1.0, None)
+                if nd.size:
+                    mask = ~np.isin(ud, nd)
+                    ud, us = ud[mask], us[mask]
+            return ud, us
+        raise TypeError(f"unservable node {node!r}")  # pragma: no cover
+
+    # -------------------------------------------------------------- WAND
+
+    def _wand(self, query, terms: dict[str, float], k: int):
+        """In-memory block-max WAND (impact bounds + range-aligned rest
+        mass — the executor's round-5 math without any Spark job).
+        Returns None when pruning cannot engage (caller falls through
+        to the exhaustive in-memory path)."""
+        boost = query.boost if isinstance(query, (ast.And, ast.Or)) else 1.0
+        weights = {
+            t: self.engine._c0(self._df.get(t, 0), boost * m)
+            for t, m in terms.items()
+            if self._df.get(t, 0) > 0
+        }
+        if not weights:
+            return []
+        # per-term numpy bound arrays (query-independent g_ub cached;
+        # scaled here by the query's c0). Most blocks of a url-sorted
+        # index lie inside one alignment range (span 0) — that common
+        # case stays fully vectorized; multi-span blocks take a short
+        # python loop.
+        per_term: dict[str, tuple] = {}
+        mx: dict[str, float] = {}
+        wide_of = {t: 0.0 for t in weights}
+        by_ts: dict[tuple[str, int], float] = {}
+        n_blocks = 0
+        for t, c0 in weights.items():
+            g, s0a, s1a = self._term_bound_arrays(t)
+            ub = c0 * g
+            per_term[t] = (ub, s0a, s1a)
+            n_blocks += ub.size
+            mx[t] = float(ub.max()) if ub.size else 0.0
+            span = s1a - s0a
+            widem = span >= _SPAN_CAP
+            if widem.any():
+                wide_of[t] = float(ub[widem].max())
+            narrow = np.flatnonzero(~widem)
+            single = narrow[span[narrow] == 0]
+            if single.size:
+                # vectorized per-range max for single-range blocks
+                ss = s0a[single]
+                order = np.argsort(ss, kind="stable")
+                ss_s = ss[order]
+                uu_s = ub[single][order]
+                bnd = np.empty(ss_s.size, bool)
+                bnd[0] = True
+                bnd[1:] = ss_s[1:] != ss_s[:-1]
+                starts = np.flatnonzero(bnd)
+                gmax = np.maximum.reduceat(uu_s, starts)
+                for s, v in zip(ss_s[starts].tolist(), gmax.tolist()):
+                    key = (t, int(s))
+                    if v > by_ts.get(key, 0.0):
+                        by_ts[key] = v
+            multi = narrow[span[narrow] > 0]
+            for i in multi.tolist():
+                u = float(ub[i])
+                for s in range(int(s0a[i]), int(s1a[i]) + 1):
+                    if u > by_ts.get((t, s), 0.0):
+                        by_ts[(t, s)] = u
+        total_ub = sum(mx.values())
+        base = sum(wide_of.values())
+        sums: dict[int, float] = {}
+        for (t, s), v in by_ts.items():
+            sums[s] = sums.get(s, base) + max(v - wide_of[t], 0.0)
+        if not sums:
+            return None
+        n_seed = max(1, (k + 63) // 64)
+        top_ranges = sorted(
+            s
+            for s, _ in heapq.nlargest(n_seed, sums.items(), key=lambda kv: kv[1])
+        )
+        tr = np.asarray(top_ranges, dtype=np.int64)
+        seed: dict[str, set] = {}
+        best_global: list[tuple[float, str, int]] = []
+        for t, (ub, s0a, s1a) in per_term.items():
+            span = s1a - s0a
+            # block overlaps some top range: exists r with s0<=r<=s1
+            pos = np.searchsorted(tr, s0a, side="left")
+            hit = (pos < tr.size) & (tr[np.minimum(pos, tr.size - 1)] <= s1a)
+            hit &= span < _SPAN_CAP
+            if hit.any():
+                seed.setdefault(t, set()).update(
+                    np.flatnonzero(hit).tolist()
+                )
+            if ub.size:
+                for i in np.argsort(ub)[::-1][:2].tolist():
+                    best_global.append((float(ub[i]), t, i))
+        for _, t, i in heapq.nlargest(
+            max(2, (4 * k) // 128 + 1), best_global
+        ):
+            seed.setdefault(t, set()).add(i)
+        d, s = self._eval(query, 1.0, seed)
+        if d.size < k:
+            return None  # seed can't fill k -> no theta -> no pruning
+        theta = float(np.partition(s, s.size - k)[s.size - k])
+        if theta <= 0.0:
+            return None
+        theta_eff = (
+            theta * (1.0 - 1e-5) if self.engine._f32 else theta
+        )
+        # dict -> sorted-array lookups so the dominant span-0 case is
+        # one vectorized pass per term
+        sum_keys = np.asarray(sorted(sums), dtype=np.int64)
+        sum_vals = np.asarray([sums[s] for s in sum_keys.tolist()])
+
+        def _lookup(keys, vals, q, default):
+            if keys.size == 0:
+                return np.full(q.size, default)
+            pos = np.searchsorted(keys, q)
+            pos_c = np.minimum(pos, keys.size - 1)
+            out = np.where(keys[pos_c] == q, vals[pos_c], default)
+            return out
+
+        keep: dict[str, set] = {}
+        kept = 0
+        for t, (ub, s0a, s1a) in per_term.items():
+            span = s1a - s0a
+            rest = np.empty(ub.size, np.float64)
+            widem = span >= _SPAN_CAP
+            rest[widem] = total_ub - mx[t]
+            singles = np.flatnonzero(~widem & (span == 0))
+            if singles.size:
+                ts_items = sorted(
+                    (s, v) for (tt, s), v in by_ts.items() if tt == t
+                )
+                tk = np.asarray([s for s, _ in ts_items], dtype=np.int64)
+                tv = np.asarray([v for _, v in ts_items])
+                q = s0a[singles]
+                sv = _lookup(sum_keys, sum_vals, q, base)
+                ev = np.maximum(_lookup(tk, tv, q, 0.0), wide_of[t])
+                rest[singles] = sv - ev
+            for i in np.flatnonzero(~widem & (span > 0)).tolist():
+                r = 0.0
+                for rs in range(int(s0a[i]), int(s1a[i]) + 1):
+                    eff = max(by_ts.get((t, rs), 0.0), wide_of[t])
+                    r = max(r, sums.get(rs, base) - eff)
+                rest[i] = r
+            sel = np.flatnonzero(ub + rest >= theta_eff)
+            if sel.size:
+                keep[t] = set(sel.tolist())
+                kept += int(sel.size)
+        self.last_wand_stats = {
+            "blocks_total": n_blocks,
+            "blocks_kept": kept,
+            "theta": theta,
+        }
+        d, s = self._eval(query, 1.0, keep)
+        return self._topk(d, s, k)
+
+
+def _sum_by_doc(d: np.ndarray, s: np.ndarray):
+    order = np.argsort(d, kind="stable")
+    d, s = d[order], s[order]
+    bound = np.empty(d.size, bool)
+    bound[0] = True
+    bound[1:] = d[1:] != d[:-1]
+    starts = np.flatnonzero(bound)
+    return d[starts], np.add.reduceat(s, starts)
+
+
+def _merge_by_doc(d, s, r, merge: str):
+    order = np.argsort(d, kind="stable")
+    d, s, r = d[order], s[order], r[order]
+    bound = np.empty(d.size, bool)
+    bound[0] = True
+    bound[1:] = d[1:] != d[:-1]
+    starts = np.flatnonzero(bound)
+    ud = d[starts]
+    ur = np.add.reduceat(r, starts)
+    if merge == "max":
+        us = np.maximum.reduceat(s, starts)
+    elif merge == "min":
+        us = np.minimum.reduceat(s, starts)
+    else:  # sum / noop (noop zeroed by caller)
+        us = np.add.reduceat(s, starts)
+    return ud, us, ur

@@ -1,0 +1,122 @@
+"""HotEngine (driver-resident serving path): differential vs the
+cluster engine on every servable shape, WAND rank-identity, fallback
+behavior, deletes, and the budget guard."""
+
+import random
+
+import pytest
+
+from iresearch_spark.index.builder import build_index
+from iresearch_spark.search import (
+    And,
+    Not,
+    Or,
+    Phrase,
+    SearchEngine,
+    Term,
+    Terms,
+)
+from iresearch_spark.search.hot import HotEngine
+from iresearch_spark.search.querystring import parse_query
+
+VOCAB = [
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+    "spark", "index", "search", "engine", "rare1", "rare2",
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    rng = random.Random(17)
+    rows = [
+        (i, " ".join(rng.choices(VOCAB[:12], k=rng.randint(5, 60))))
+        for i in range(2000)
+    ]
+    rows[100] = (100, rows[100][1] + " rare1 rare2")
+    rows[200] = (200, rows[200][1] + " rare1")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(df, id_col="doc_id", text_col="text")
+    eng = SearchEngine(idx)
+    return eng, HotEngine(eng)
+
+
+QUERIES = [
+    Term("quick"),
+    Term("rare1", boost=2.5),
+    Terms(["quick", "lazy", "dog"], term_boosts={"lazy": 2.0}),
+    And([Term("quick"), Term("lazy")]),
+    And([Term("quick"), Not(Term("lazy"))]),
+    Or([Term("quick"), Term("rare1", boost=3.0)]),
+    Or([Term("quick"), Term("lazy"), Term("dog")], min_match=2),
+    Or([Term("quick"), Term("lazy"), Not(Term("dog"))]),
+    Or([Term("quick"), Term("lazy")], merge_type="max"),
+    And([Term("quick"), Term("lazy")], merge_type="min"),
+    parse_query("+quick lazy"),       # Should (optional score-only)
+    parse_query("quick dog -lazy"),
+]
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=[str(i) for i in range(len(QUERIES))])
+def test_hot_matches_cluster(engines, q):
+    eng, hot = engines
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=20).collect()
+    ]
+    got = [(d, round(s, 9)) for d, s in hot.search(q, k=20)]
+    assert got == want
+
+
+def test_hot_matches_unordered(engines):
+    eng, hot = engines
+    want = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.matches(And([Term("quick"), Term("dog")])).collect()
+    }
+    got = {d: round(s, 9) for d, s in hot.matches(And([Term("quick"), Term("dog")]))}
+    assert got == want
+
+
+def test_hot_wand_rank_identical(engines):
+    eng, hot = engines
+    q = Or([Term("quick"), Term("lazy"), Term("dog"), Term("fox")])
+    exh = [(d, round(s, 9)) for d, s in hot.search(q, k=10)]
+    wnd = [(d, round(s, 9)) for d, s in hot.search(q, k=10, mode="wand")]
+    assert exh == wnd
+    cluster = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10, mode="wand").collect()
+    ]
+    assert wnd == cluster
+
+
+def test_hot_fallback_for_phrase(engines):
+    eng, hot = engines
+    q = Phrase(("quick", "brown"))
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10).collect()
+    ]
+    got = [(d, round(s, 9)) for d, s in hot.search(q, k=10)]
+    assert got == want
+
+
+def test_hot_respects_deletes(spark):
+    rows = [(i, "alpha beta" if i % 2 else "alpha") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(df, id_col="doc_id", text_col="text")
+    idx2 = idx.delete_docs(
+        spark.createDataFrame([(1,), (3,), (5,)], "doc_id long")
+    )
+    eng = SearchEngine(idx2)
+    hot = HotEngine(eng)
+    want = {r["doc_id"] for r in eng.matches(Term("beta")).collect()}
+    got = {d for d, _ in hot.matches(Term("beta"))}
+    assert got == want
+    assert not got & {1, 3, 5}
+
+
+def test_hot_budget_guard(engines, spark):
+    eng, _ = engines
+    with pytest.raises(ValueError):
+        HotEngine(eng, max_bytes=10)
