@@ -558,9 +558,71 @@ def _simple(edge_ngram: dict | None = None, **_opts) -> Analyzer:
     )
 
 
+_CJK_RUN_RE = re.compile(
+    "[一-鿿㐀-䶿]+"      # Han (+ ext A)
+    "|[぀-ゟ]+"                   # Hiragana
+    "|[゠-ヿ]+"                   # Katakana (incl. U+30FC mark)
+    "|[฀-๿]+"                   # Thai
+)
+
+
+def _make_cjk_tokenize(words: frozenset[str]):
+    """Word tokenizer with dictionary segmentation for unspaced CJK —
+    the reference's ICU dictionary break
+    (segmentation_token_stream.cpp; ICU ships zh/ja/th frequency
+    dictionaries). Han runs segment by greedy LONGEST MATCH against
+    `words` with single-character fallback (unmatched kanji index as
+    unigrams — searchable, if less precise than a full lexicon); kana
+    and Thai runs stay one token per script run (documented
+    simplification — ICU also consults a dictionary there). Everything
+    non-CJK tokenizes exactly like the plain word tokenizer."""
+    maxlen = max((len(w) for w in words), default=1)
+
+    def _segment_han(run: str) -> list[str]:
+        out: list[str] = []
+        i, n = 0, len(run)
+        while i < n:
+            hit = None
+            for L in range(min(maxlen, n - i), 1, -1):
+                cand = run[i : i + L]
+                if cand in words:
+                    hit = cand
+                    break
+            if hit is not None:
+                out.append(hit)
+                i += len(hit)
+            else:
+                out.append(run[i])
+                i += 1
+        return out
+
+    def tok(text: str) -> list[str]:
+        out: list[str] = []
+        pos = 0
+        for m in _CJK_RUN_RE.finditer(text):
+            if m.start() > pos:
+                out.extend(_word_tokenize(text[pos : m.start()]))
+            run = m.group()
+            c = run[0]
+            if "一" <= c <= "鿿" or "㐀" <= c <= "䶿":
+                out.extend(_segment_han(run))
+            else:  # kana / thai run
+                out.append(run)
+            pos = m.end()
+        if pos < len(text):
+            out.extend(_word_tokenize(text[pos:]))
+        return out
+
+    return tok
+
+
 @_register("segmentation")
 def _segmentation(
-    case: str = "lower", word_break: str = "alpha", **_opts
+    case: str = "lower",
+    word_break: str = "alpha",
+    cjk: bool = False,
+    cjk_dict: Sequence[str] | None = None,
+    **_opts,
 ) -> Analyzer:
     # reference: core/analysis/segmentation_token_stream.cpp (UAX#29 word
     # break + case conversion, no stemming) — the index-benchmark default.
@@ -570,10 +632,30 @@ def _segmentation(
     # "alpha" keeps word segments, "graphic" keeps every non-whitespace
     # run (the reference's GRAPHIC mode; ALL — whitespace segments too —
     # has no indexing use and is not exposed).
+    # `cjk=True` adds dictionary segmentation for unspaced CJK scripts
+    # (the reference gets this from ICU's dictionary break): built-in
+    # word list from cjk_words.py, replaced wholesale by `cjk_dict`.
+    # Opt-in: it routes through the per-doc chain (no Arrow fast path)
+    # and only differs on texts containing CJK runs.
     if case not in ("lower", "none", "upper"):
         raise ValueError("case must be lower|none|upper")
     if word_break not in ("alpha", "graphic"):
         raise ValueError("word_break must be alpha|graphic")
+    if cjk:
+        if word_break != "alpha":
+            raise ValueError("cjk segmentation requires word_break='alpha'")
+        from iresearch_spark.analysis.cjk_words import CJK_WORDS
+
+        words = frozenset(cjk_dict) if cjk_dict is not None else CJK_WORDS
+        tok = _make_cjk_tokenize(words)
+        return Analyzer(
+            "segmentation",
+            _make_chain(
+                tok,
+                lowercase=(case == "lower"),
+                uppercase=(case == "upper"),
+            ),
+        )
     tok = _word_tokenize if word_break == "alpha" else _graphic_tokenize
     default = case == "lower" and word_break == "alpha"
     return Analyzer(

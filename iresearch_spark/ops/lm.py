@@ -159,16 +159,26 @@ def perplexity_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     ref_text_col: str = "text",
+    n: int = 5,
 ) -> DataFrame:
-    """CCNet head-bucket selection: keep documents whose bigram-LM
-    perplexity under the reference model is <= max_ppl. Documents too
-    short to score (<2 tokens) are dropped — no evidence of quality.
-    (CCNet buckets by the Wikipedia-KenLM perplexity distribution and
-    keeps head/middle; a fixed threshold is the deterministic analogue
-    — compute corpus quantiles offline if bucket semantics are needed.)
-    """
-    bigrams, unigrams, v = train_bigram_lm(ref, ref_text_col)
-    scores = lm_cross_entropy(df, bigrams, unigrams, v, id_col, text_col)
+    """CCNet head-bucket selection: keep documents whose LM perplexity
+    under the reference model is <= max_ppl. Documents too short to
+    score (< n tokens) are dropped — no evidence of quality. (CCNet
+    buckets by the Wikipedia-KenLM perplexity distribution and keeps
+    head/middle; a fixed threshold is the deterministic analogue —
+    compute corpus quantiles offline if bucket semantics are needed.)
+
+    Default model is the CCNet-parity interpolated 5-gram with pruned
+    high orders (train_ngram_lm); pass n=2 for the cheaper bigram used
+    through round 4."""
+    if n == 2:
+        bigrams, unigrams, v = train_bigram_lm(ref, ref_text_col)
+        scores = lm_cross_entropy(df, bigrams, unigrams, v, id_col, text_col)
+    else:
+        counts, v, t = train_ngram_lm(ref, n=n, text_col=ref_text_col)
+        scores = ngram_cross_entropy(
+            df, counts, v, t, id_col=id_col, text_col=text_col
+        )
     keep = scores.filter(F.col("ppl") <= max_ppl).select(id_col)
     return df.join(keep, id_col, "left_semi")
 

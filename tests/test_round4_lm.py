@@ -89,9 +89,11 @@ def test_perplexity_filter(spark):
     )
     ce1 = -(math.log(3 / 6) + math.log(2 / 6)) / 2
     cutoff = (math.exp(ce1) + 4.0) / 2  # between doc1's ppl and doc2's
+    # n=2 pins the bigram closed form this test derives (round 5 made
+    # the interpolated 5-gram the default)
     kept = sorted(
         r["doc_id"]
-        for r in perplexity_filter(docs, ref, max_ppl=cutoff).collect()
+        for r in perplexity_filter(docs, ref, max_ppl=cutoff, n=2).collect()
     )
     assert kept == [1]
 

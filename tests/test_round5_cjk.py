@@ -1,0 +1,81 @@
+"""CJK dictionary segmentation (segmentation analyzer, cjk=True):
+longest-match goldens for zh/ja, custom dictionaries, mixed-script
+text, kana/Thai run handling, and an indexed-search round trip."""
+
+import pytest
+
+from iresearch_spark.analysis.analyzers import get_analyzer
+from iresearch_spark.index.builder import build_index
+from iresearch_spark.search import SearchEngine, Term
+
+
+def _an(**kw):
+    return get_analyzer("segmentation", cjk=True, **kw)
+
+
+def test_zh_longest_match():
+    a = _an()
+    terms, pos = a.analyze("我们今天学习中文")
+    assert terms == ["我们", "今天", "学习", "中文"]
+    assert pos == [0, 1, 2, 3]
+
+
+def test_zh_unmatched_falls_to_single_chars():
+    a = _an()
+    terms, _ = a.analyze("我们爱猫")  # 爱/猫 not in the built-in list
+    assert terms == ["我们", "爱", "猫"]
+
+
+def test_ja_kanji_and_kana_runs():
+    a = _an()
+    terms, _ = a.analyze("東京大学の学生です")
+    # kanji compounds via dictionary; hiragana runs stay whole
+    assert terms == ["東京", "大学", "の", "学生", "です"]
+
+
+def test_katakana_run_is_one_token():
+    a = _an()
+    terms, _ = a.analyze("コンピュータを使う")
+    assert terms[0] == "コンピュータ"
+    assert "を" in terms  # hiragana particle run
+
+
+def test_mixed_latin_and_cjk():
+    a = _an()
+    terms, _ = a.analyze("Spark で中国のデータ処理 rocks")
+    assert "spark" in terms and "rocks" in terms
+    assert "中国" in terms and "データ" in terms
+
+
+def test_custom_dictionary_replaces_builtin():
+    a = _an(cjk_dict=["爱猫"])
+    terms, _ = a.analyze("我们爱猫")
+    # custom dict: 爱猫 matches; 我们 no longer does (dict replaced)
+    assert terms == ["我", "们", "爱猫"]
+
+
+def test_thai_run_single_token():
+    a = _an()
+    terms, _ = a.analyze("ภาษาไทย test")
+    assert terms == ["ภาษาไทย", "test"]
+
+
+def test_case_handling_still_applies():
+    a = get_analyzer("segmentation", cjk=True, case="none")
+    terms, _ = a.analyze("Tokyo 東京")
+    assert terms == ["Tokyo", "東京"]
+    with pytest.raises(ValueError):
+        get_analyzer("segmentation", cjk=True, word_break="graphic")
+
+
+def test_indexed_cjk_search(spark):
+    rows = [
+        (0, "我们今天学习中文"),
+        (1, "他们昨天学习日本語"),
+        (2, "no cjk here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(df, id_col="doc_id", text_col="text", analyzer=_an())
+    eng = SearchEngine(idx)
+    assert {r["doc_id"] for r in eng.matches(Term("学习")).collect()} == {0, 1}
+    assert {r["doc_id"] for r in eng.matches(Term("中文")).collect()} == {0}
