@@ -185,6 +185,23 @@ _RU_FIXTURE = [
 ]
 _RU_KNIGA_FORMS = ("книгами", "книги", "книга")
 
+# CJK segmentation fixture + the hand-traced token stream the oracle
+# replays (built-in dictionary, greedy longest match; kana runs whole)
+_CJK_FIXTURE = [
+    "我们今天学习中文",
+    "他们昨天学习历史",
+    "学生在大学学习",
+    "plain english text",
+    "東京大学の学生",
+]
+_CJK_TOKENS = [
+    ["我们", "今天", "学习", "中文"],
+    ["他们", "昨天", "学习", "历史"],
+    ["学生", "在", "大学", "学习"],
+    ["plain", "english", "text"],
+    ["東京", "大学", "の", "学生"],
+]
+
 _DOMAIN_FIXTURE = [
     "https://www.Example.co.uk:443/page",
     "http://user:pw@Sub.Blog.example.com:8080/x",
@@ -915,6 +932,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rounded(eng.matches(Term("книг")))
 
     q["text_ru_term"] = text_ru_term
+
+    # CJK dictionary segmentation (segmentation_token_stream.cpp ICU
+    # dictionary break): index the fixed zh/ja fixture with cjk=True
+    # and BM25-match one dictionary word. The oracle replays BM25 over
+    # a FROZEN hand-traced token stream (_CJK_TOKENS) — a segmenter
+    # regression changes tf/dl/df Spark-side and breaks the gate.
+    def cjk_term(spark, sf_dir):
+        from iresearch_spark.analysis.analyzers import get_analyzer
+
+        key = "multilang:cjk"
+        if key not in _INDEX_CACHE:
+            df = spark.createDataFrame(
+                list(enumerate(_CJK_FIXTURE)), "doc_id long, text string"
+            )
+            idx = build_index(
+                df,
+                analyzer=get_analyzer("segmentation", cjk=True),
+                bucket_bits=8,
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        eng = SearchEngine(_INDEX_CACHE[key])
+        return _rounded(eng.matches(Term("学习")))
+
+    q["cjk_term"] = cjk_term
+
+    # Lucene SHOULD occurs-flag semantics (round 5 querystring fix):
+    # '+batch small' — every batch doc matches, small only boosts
+    def should_clause(spark, sf_dir):
+        from iresearch_spark.search.querystring import parse_query
+
+        eng = _engine(spark, sf_dir)
+        return _rounded(eng.matches(parse_query(f"+{HIGH1} {HIGH2}")))
+
+    q["should_clause"] = should_clause
 
     # legacy Norm variant (bm25.hpp:29-46, norm.hpp:46-70): index built
     # with norm="legacy" stores 1/sqrt(dl); BM25 scores with
@@ -2203,6 +2256,37 @@ FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN tstats ts
 
     o["text_de_term"] = _multilang_sql(_DE_FIXTURE, _DE_HAUS_FORMS)
     o["text_ru_term"] = _multilang_sql(_RU_FIXTURE, _RU_KNIGA_FORMS)
+
+    # CJK gate: BM25 over the FROZEN hand-traced token stream
+    _cjk_vals = ", ".join(
+        f"({i}, '{tok}')"
+        for i, toks in enumerate(_CJK_TOKENS)
+        for tok in toks
+    )
+    o["cjk_term"] = f"""
+WITH toks(doc_id, term) AS (VALUES {_cjk_vals}),
+tf AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term = '学习' GROUP BY 1
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS ttf FROM dl),
+tstats AS (SELECT CAST(count(*) AS BIGINT) AS df FROM tf)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, ROUND({_score(1.0)}, 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN tstats ts
+"""
+
+    # Lucene SHOULD semantics: '+batch small' — match set is the batch
+    # docs, small contributes score only where present
+    o["should_clause"] = f"""{_CTE}
+SELECT t.doc_id, ROUND(SUM({_score(1.0)}), 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s
+JOIN tstats ts ON ts.term = t.term
+WHERE t.term IN {_in([HIGH1, HIGH2])}
+GROUP BY t.doc_id
+HAVING count(DISTINCT CASE WHEN t.term = '{HIGH1}' THEN t.term END) = 1
+"""
     # legacy Norm BM25 (bm25.hpp:29-46): tf = sqrt(freq), |doc| =
     # sqrt(dl); idf and avg_dl unchanged (bm25.cpp:394-401 computes
     # avg_dl from the same field stats in both norm modes)
