@@ -243,9 +243,9 @@ itself.
 **Host-ceiling control experiment**
 (`tools/host_ceiling_control.py` — rerunnable): a trivially parallel
 pure-Python tokenization benchmark (multiprocessing.Pool — no Spark,
-no shuffle, no shared state) measured **0.55** efficiency at 2->8
-processes and **0.37** at 8->32 on this VM same-day as the round-3
-scaling run (10.4M -> 23.0M -> 34.2M tokens/s): the box itself cannot scale even
+no shuffle, no shared state) measured **{os.environ.get("HOST_CEILING_28", "0.55")}** efficiency at 2->8
+processes and **{os.environ.get("HOST_CEILING_832", "0.37")}** at 8->32 on this VM same-day as this
+scaling run ({os.environ.get("HOST_CEILING_TPS", "10.4M -> 23.0M -> 34.2M")} tokens/s): the box itself cannot scale even
 embarrassingly parallel Python near 0.8 between these levels (shared
 Firecracker host; steal bursts, one memory bus, kernel-side fault/TLB
 overhead growing with worker count). The Spark pipeline's measured
