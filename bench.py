@@ -144,6 +144,28 @@ def main():
         n_queries += 1
         t_search_total += t
 
+    # hot serving path over the SAME documents index: driver-resident
+    # blocks, zero Spark jobs per query (see search/hot.py); queries
+    # are the servable subset of the task set above, rank-identity
+    # with the cluster path pinned by test_round5_hot.py
+    from iresearch_spark.search.hot import HotEngine
+
+    hot_docs = HotEngine(engine)
+    hot_tasks = [
+        node
+        for node, _m in search_tasks.values()
+        if isinstance(node, (Term, And, Or))
+        and hot_docs._servable(node)
+    ]
+    hot_docs.search(hot_tasks[0], k=10)  # warm
+
+    def _serve_docs():
+        for qn in hot_tasks * 10:
+            hot_docs.search(qn, k=10)
+
+    t_hot_docs = min(timed(_serve_docs)[0] for _ in range(repeat))
+    extra["hot_docs_qps"] = round(len(hot_tasks) * 10 / t_hot_docs, 1)
+
     # batched task set: ONE job for all queries (search_many) — the
     # scheduling floor is paid once, stages run concurrently; this is
     # the serving-mode throughput number

@@ -195,8 +195,6 @@ class HotEngine:
 
     # -------------------------------------------------------------- eval
 
-    _SERVABLE = (ast.Term, ast.Terms, ast.And, ast.Or, ast.Not, ast.Should)
-
     def _servable(self, node: ast.Node) -> bool:
         if isinstance(node, (ast.Term, ast.Terms)):
             return True
@@ -302,13 +300,16 @@ class HotEngine:
                     continue
                 if isinstance(c, ast.Should):
                     optional_idx.add(len(positives))
-                    positives.append(
-                        c.child
-                        if c.boost == 1.0
-                        else __import__("dataclasses").replace(
-                            c.child, boost=c.child.boost * c.boost
+                    if c.boost == 1.0:
+                        positives.append(c.child)
+                    else:
+                        import dataclasses
+
+                        positives.append(
+                            dataclasses.replace(
+                                c.child, boost=c.child.boost * c.boost
+                            )
                         )
-                    )
                 else:
                     positives.append(c)
             negatives = [
