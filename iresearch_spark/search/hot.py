@@ -6,7 +6,8 @@ cluster path pays a ~0.3 s/job scheduling floor per query, which is the
 right trade at 10^12 docs but not for a small, hot index. HotEngine
 pins an index's posting blocks in DRIVER memory (compact codec blobs,
 decoded lazily per term and cached as numpy arrays) and answers
-Term / Terms / And / Or(min_match) / Not / Should queries without
+Term / Terms / And / Or(min_match) / Not / Should and plain-string
+Phrase / SamePosition queries without
 launching a single Spark job — scoring runs through the SAME
 `_make_score_kernel` the cluster's fused scan uses, so scores are
 bit-identical (float64 and float32 parity modes alike) and top-k order
@@ -23,8 +24,8 @@ Scale story: a hot segment is bounded by `max_bytes` (default 1 GiB of
 blobs) — the serving tier for a 10^12-doc corpus is many such replicas
 over index shards (or time-sliced heads), with the cluster path as the
 long-tail fallback; `HotEngine.search` itself falls back to the
-cluster engine for query shapes it does not serve (phrases, ranges,
-fuzzy — anything needing positions or term expansion).
+cluster engine for query shapes it does not serve (variadic phrase
+slots, ranges, fuzzy, wildcards — anything needing term expansion).
 """
 
 from __future__ import annotations
@@ -65,11 +66,15 @@ class HotEngine:
                 f"({max_bytes >> 20} MiB) — serve it sharded, or use "
                 "the cluster path"
             )
-        slim = index.postings.filter(F.col("term") != "").select(
+        cols = [
             "term", "n_docs", "first_doc", "last_doc",
             "docs", "dls", "block_impacts", "block_max_freq",
             "block_min_dl",
-        )
+        ]
+        self._with_positions = bool(index.with_positions)
+        if self._with_positions:
+            cols.append("positions")
+        slim = index.postings.filter(F.col("term") != "").select(*cols)
         # Arrow collect: Row-object conversion of a ~10^5-block index
         # took ~90 s; the Arrow table lands in ~2 s
         tbl = slim.toArrow()
@@ -82,18 +87,25 @@ class HotEngine:
         imp_c = tbl.column("block_impacts").to_pylist()
         mf_c = tbl.column("block_max_freq").to_pylist()
         md_c = tbl.column("block_min_dl").to_pylist()
+        pos_c = (
+            tbl.column("positions").to_pylist()
+            if self._with_positions
+            else [None] * len(terms_c)
+        )
         self._blocks: dict[str, list] = defaultdict(list)
         self._df: dict[str, int] = defaultdict(int)
-        for t, nd, fd, ld, db, lb, imp, mf, md in zip(
-            terms_c, nd_c, fd_c, ld_c, docs_c, dls_c, imp_c, mf_c, md_c
+        for t, nd, fd, ld, db, lb, imp, mf, md, pb in zip(
+            terms_c, nd_c, fd_c, ld_c, docs_c, dls_c, imp_c, mf_c, md_c,
+            pos_c,
         ):
             self._blocks[t].append(
-                (int(fd), int(ld), int(nd), db, lb, imp, int(mf), int(md))
+                (int(fd), int(ld), int(nd), db, lb, imp, int(mf), int(md), pb)
             )
         for t, bl in self._blocks.items():
             bl.sort(key=lambda b: b[0])
             self._df[t] = sum(b[2] for b in bl)
         self._decoded: dict[str, list] = {}
+        self._decoded_pos: dict[str, tuple] = {}
         self._bounds: dict[str, tuple] = {}
         self.last_wand_stats: dict | None = None
         self._deleted: np.ndarray | None = None
@@ -127,7 +139,7 @@ class HotEngine:
                 continue
             hit = slots[i]
             if hit is None:
-                first, last, n, docs_b, dls_b, _imp, _mf, _md = bl[i]
+                first, last, n, docs_b, dls_b, _imp, _mf, _md, _pb = bl[i]
                 d, f = codec.unpack_docs_freqs(docs_b, n, base=0)
                 hit = (
                     d.astype(np.int64),
@@ -146,6 +158,41 @@ class HotEngine:
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]),
         )
+
+    def _decode_positions(self, term: str):
+        """Concatenated (doc_ids, dls, pos_values, pos_offsets) for ALL
+        of a term's postings — pos_offsets[i]:pos_offsets[i+1] slices
+        the i-th posting's ascending positions. Cached per term."""
+        hit = self._decoded_pos.get(term)
+        if hit is not None:
+            return hit
+        bl = self._blocks.get(term, [])
+        d_parts, l_parts, p_parts, f_parts = [], [], [], []
+        for first, last, n, docs_b, dls_b, _i, _mf, _md, pos_b in bl:
+            if pos_b is None:
+                raise ValueError("index was built without positions")
+            d, f = codec.unpack_docs_freqs(docs_b, n, base=0)
+            f = f.astype(np.int64)
+            d_parts.append(d.astype(np.int64))
+            f_parts.append(f)
+            l_parts.append(codec.varint_decode(dls_b).astype(np.int64))
+            p_parts.append(
+                codec.decode_position_lists(pos_b, f).astype(np.int64)
+            )
+        if d_parts:
+            doc_ids = np.concatenate(d_parts)
+            dls = np.concatenate(l_parts)
+            freqs = np.concatenate(f_parts)
+            pos = np.concatenate(p_parts)
+        else:
+            doc_ids = np.empty(0, np.int64)
+            dls = doc_ids.copy()
+            freqs = doc_ids.copy()
+            pos = doc_ids.copy()
+        offsets = np.concatenate(([0], np.cumsum(freqs)))
+        out = (doc_ids, dls, pos, offsets)
+        self._decoded_pos[term] = out
+        return out
 
     def _term_bound_arrays(self, term: str):
         """Query-independent per-block bound data for WAND, cached:
@@ -185,7 +232,7 @@ class HotEngine:
         return s
 
     def _block_ub(self, entry, c0: float) -> float:
-        first, last, n, _docs, _dls, impacts, max_f, min_dl = entry
+        first, last, n, _docs, _dls, impacts, max_f, min_dl, _pb = entry
         if impacts:
             return c0 * max(
                 self._g_scalar(p["tf"], p["dl"]) for p in impacts
@@ -198,6 +245,11 @@ class HotEngine:
     def _servable(self, node: ast.Node) -> bool:
         if isinstance(node, (ast.Term, ast.Terms)):
             return True
+        if isinstance(node, (ast.Phrase, ast.SamePosition)):
+            # plain-string slots only; variadic slots need expansion
+            return self._with_positions and all(
+                isinstance(t, str) for t in node.terms
+            )
         if isinstance(node, (ast.Not, ast.Should)):
             return self._servable(node.child)
         if isinstance(node, (ast.And, ast.Or)):
@@ -292,6 +344,9 @@ class HotEngine:
         if isinstance(node, (ast.Term, ast.Terms)):
             d, s = self._leaf_postings(node, boost, keep)
             return self._apply_deletes(d, s)
+        if isinstance(node, (ast.Phrase, ast.SamePosition)):
+            d, s = self._eval_positional(node, boost)
+            return self._apply_deletes(d, s)
         if isinstance(node, (ast.And, ast.Or)):
             b = boost * node.boost
             positives, optional_idx = [], set()
@@ -347,6 +402,57 @@ class HotEngine:
                     ud, us = ud[mask], us[mask]
             return ud, us
         raise TypeError(f"unservable node {node!r}")  # pragma: no cover
+
+    def _eval_positional(self, node, boost):
+        """Plain-string Phrase / SamePosition — the cluster
+        _eval_positional semantics in numpy: per doc, phrase freq =
+        |intersection over slots of (positions_i − offset_i)|, scored
+        with the SUMMED per-slot c0 (phrase_query.cpp composes per-part
+        scorers over the shared phrase frequency)."""
+        terms = [str(t) for t in node.terms]
+        offsets = (
+            list(range(len(terms)))
+            if isinstance(node, ast.Phrase)
+            else [0] * len(terms)
+        )
+        eff = boost * node.boost
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        dfs = [self._df.get(t, 0) for t in terms]
+        if any(df == 0 for df in dfs):
+            return empty
+        # duplicate (term, offset) slots collapse like the cluster's
+        # per-slot dict; distinct slots of the same term keep their own
+        # c0 contribution
+        c0_sum = sum(self.engine._c0(df, 1.0) for df in dfs) * eff
+        per = [self._decode_positions(t) for t in terms]
+        common = per[0][0]
+        for p in per[1:]:
+            common = np.intersect1d(common, p[0], assume_unique=True)
+        if common.size == 0:
+            return empty
+        freqs = np.empty(common.size, np.int64)
+        dls = np.empty(common.size, np.int64)
+        d0, l0 = per[0][0], per[0][1]
+        for j in range(common.size):
+            doc = common[j]
+            inter = None
+            for (d_ids, _dl, pos, offs), off in zip(per, offsets):
+                i = int(np.searchsorted(d_ids, doc))
+                p = pos[offs[i] : offs[i + 1]] - off
+                inter = (
+                    p
+                    if inter is None
+                    else np.intersect1d(inter, p, assume_unique=True)
+                )
+                if inter.size == 0:
+                    break
+            freqs[j] = inter.size
+            dls[j] = l0[int(np.searchsorted(d0, doc))]
+        m = freqs > 0
+        if not m.any():
+            return empty
+        s = self._kernel(c0_sum, freqs[m], dls[m])
+        return common[m], np.asarray(s, dtype=np.float64)
 
     # -------------------------------------------------------------- WAND
 

@@ -90,9 +90,45 @@ def test_hot_wand_rank_identical(engines):
     assert wnd == cluster
 
 
-def test_hot_fallback_for_phrase(engines):
+def test_hot_phrase_served_in_memory(engines):
     eng, hot = engines
-    q = Phrase(("quick", "brown"))
+    for q in (
+        Phrase(("quick", "brown")),
+        Phrase(("the", "quick", "brown")),
+        Phrase(("quick", "quick")),  # repeated term, distinct slots
+    ):
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search(q, k=15).collect()
+        ]
+        got = [(d, round(s, 9)) for d, s in hot.search(q, k=15)]
+        assert got == want, q
+    # phrase inside a boolean rides the same in-memory path
+    q = And([Phrase(("quick", "brown")), Term("dog")])
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10).collect()
+    ]
+    assert [(d, round(s, 9)) for d, s in hot.search(q, k=10)] == want
+
+
+def test_hot_same_position(engines):
+    eng, hot = engines
+    from iresearch_spark.search import SamePosition
+
+    q = SamePosition(("quick", "quick"))
+    want = {
+        r["doc_id"]: round(r["score"], 9) for r in eng.matches(q).collect()
+    }
+    got = {d: round(s, 9) for d, s in hot.matches(q)}
+    assert got == want
+
+
+def test_hot_fallback_for_prefix(engines):
+    eng, hot = engines
+    from iresearch_spark.search import Prefix
+
+    q = Prefix("qui")
     want = [
         (r["doc_id"], round(r["score"], 9))
         for r in eng.search(q, k=10).collect()
