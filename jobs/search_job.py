@@ -80,6 +80,17 @@ def main():
         "(shared fused scans; the serving-throughput mode) instead of "
         "one job per task",
     )
+    ap.add_argument(
+        "--hot",
+        action="store_true",
+        help="serve from a driver-resident hot segment (search/hot.py: "
+        "zero Spark jobs per query, ms latency; servable shapes only — "
+        "others fall back to the cluster path transparently)",
+    )
+    ap.add_argument(
+        "--hot-max-bytes", type=int, default=1 << 30,
+        help="hot-segment blob budget; a larger index refuses to pin",
+    )
     ap.add_argument("--no-preload-stats", action="store_true",
                     help="skip driver-side term-dictionary preload "
                     "(use for one-shot queries on huge vocabularies)")
@@ -129,6 +140,28 @@ def main():
         tasks["Query"] = parse_query(args.query)
 
     timings = {}
+    if args.hot:
+        from iresearch_spark.search.hot import HotEngine
+
+        t0 = time.perf_counter()
+        hot = HotEngine(engine, max_bytes=args.hot_max_bytes)
+        timings["hot_pin_sec"] = round(time.perf_counter() - t0, 4)
+        for category, node in tasks.items():
+            best, rows = None, None
+            for _ in range(max(args.repeat, 2)):
+                t0 = time.perf_counter()
+                rows = hot.search(node, k=args.k, mode=args.mode)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[category] = round(best, 6)
+            print(
+                f"{category}: {best*1000:.2f}ms top1="
+                f"{(rows[0][0], round(rows[0][1], 4)) if rows else None}"
+            )
+        total = sum(v for k, v in timings.items() if k != "hot_pin_sec")
+        timings["hot_qps"] = round(len(tasks) / total, 1) if total else None
+        print(json.dumps(timings))
+        return
     if args.batched:
         best, rows = None, None
         for _ in range(args.repeat):
