@@ -779,7 +779,7 @@ def _make_text_locale(lang: str):
     return factory
 
 
-for _lang in ("de", "fr", "es", "pt", "it", "nl", "ru", "sv"):
+for _lang in ("de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no"):
     _REGISTRY[f"text_{_lang}"] = _make_text_locale(_lang)
 
 

@@ -1,6 +1,7 @@
 """Snowball stemmers beyond English, pure Python, from the published
 algorithm descriptions (snowballstem.org/algorithms/): German, Swedish,
-Dutch, French, Spanish, Portuguese, Italian, Russian.
+Dutch, French, Spanish, Portuguese, Italian, Russian, Danish,
+Norwegian.
 
 Capability parity with the reference's locale-driven stemmer selection
 (`core/analysis/text_token_stream.cpp:509` — `make_stemmer_ptr(
@@ -27,7 +28,7 @@ from __future__ import annotations
 __all__ = [
     "STEMMERS", "MemoTable", "get_stemmer",
     "stem_de", "stem_sv", "stem_nl", "stem_fr", "stem_es", "stem_pt",
-    "stem_it", "stem_ru",
+    "stem_it", "stem_ru", "stem_da", "stem_no",
 ]
 
 
@@ -248,6 +249,118 @@ def stem_sv(word: str) -> str:
     for suf in _SV_STEP3:
         if word.endswith(suf) and len(word) - len(suf) >= r1:
             return word[: -len(suf)]
+    return word
+
+
+# ================================================================ Danish
+
+_DA_VOWELS = frozenset("aeiouyæåø")
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+_DA_STEP1 = sorted(
+    [
+        "erendes", "erende", "hedens", "ethed", "erede", "heden",
+        "heder", "endes", "ernes", "erens", "erets", "ered", "ende",
+        "erne", "eren", "erer", "heds", "enes", "eres", "eret", "hed",
+        "ene", "ere", "ens", "ers", "ets", "en", "er", "es", "et",
+        "e",
+    ],
+    key=len,
+    reverse=True,
+)
+
+
+def stem_da(word: str) -> str:
+    """Snowball Danish stemmer (snowballstem.org/algorithms/danish/)."""
+    r1, _ = _r1_r2(word, _DA_VOWELS)
+    r1 = min(max(3, r1), len(word))
+
+    # Step 1 (matching limited to R1, as the reference setlimit does)
+    suf = _longest_in(word, _DA_STEP1, r1)
+    if suf is not None:
+        word = word[: -len(suf)]
+    elif (
+        word.endswith("s")
+        and len(word) - 1 >= r1
+        and len(word) >= 2
+        and word[-2] in _DA_S_END
+    ):
+        word = word[:-1]
+
+    # Step 2: gd dt gt kt -> drop last letter (suffix in R1)
+    for s2 in ("gd", "dt", "gt", "kt"):
+        if word.endswith(s2) and len(word) - 2 >= r1:
+            word = word[:-1]
+            break
+
+    # Step 3: igst -> drop the st (unrestricted); then, in R1:
+    # (a) elig lig els ig delete + repeat step 2; (b) løst -> løs
+    if word.endswith("igst"):
+        word = word[:-2]
+    suf = _longest_in(word, ("løst", "elig", "lig", "els", "ig"), r1)
+    if suf == "løst":
+        word = word[:-1]
+    elif suf is not None:
+        word = word[: -len(suf)]
+        for s2 in ("gd", "dt", "gt", "kt"):
+            if word.endswith(s2) and len(word) - 2 >= r1:
+                word = word[:-1]
+                break
+    return word
+
+
+# ============================================================= Norwegian
+
+_NO_VOWELS = frozenset("aeiouyæåø")
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+_NO_STEP1 = sorted(
+    [
+        "hetenes", "hetene", "hetens", "heten", "heter", "endes",
+        "ande", "ende", "edes", "enes", "erte", "ede",
+        "ane", "ene", "ens", "ers", "ets", "het", "ast", "ert", "en",
+        "ar", "er", "as", "es", "et", "a", "e",
+    ],
+    key=len,
+    reverse=True,
+)
+_NO_STEP3 = sorted(
+    ["hetslov", "eleg", "elov", "slov", "elig", "leg", "eig", "lig",
+     "els", "lov", "ig"],
+    key=len,
+    reverse=True,
+)
+
+
+def stem_no(word: str) -> str:
+    """Snowball Norwegian stemmer
+    (snowballstem.org/algorithms/norwegian/)."""
+    r1, _ = _r1_r2(word, _NO_VOWELS)
+    r1 = min(max(3, r1), len(word))
+
+    # Step 1 (R1-limited matching): longest suffix; erte/ert -> er;
+    # s needs a valid s-ending (or k not preceded by a vowel)
+    suf = _longest_in(word, _NO_STEP1, r1)
+    if suf is not None:
+        if suf in ("erte", "ert"):
+            word = word[: -len(suf)] + "er"
+        else:
+            word = word[: -len(suf)]
+    elif word.endswith("s") and len(word) - 1 >= r1 and len(word) >= 2:
+        prev = word[-2]
+        ok = prev in _NO_S_END or (
+            prev == "k"
+            and (len(word) < 3 or word[-3] not in _NO_VOWELS)
+        )
+        if ok:
+            word = word[:-1]
+
+    # Step 2: dt / vt -> drop t (suffix in R1)
+    if (word.endswith("dt") or word.endswith("vt")) and len(word) - 2 >= r1:
+        word = word[:-1]
+
+    # Step 3: delete in R1
+    suf = _longest_in(word, _NO_STEP3, r1)
+    if suf is not None:
+        word = word[: -len(suf)]
     return word
 
 
@@ -1356,6 +1469,8 @@ STEMMERS: dict[str, object] = {
     "pt": stem_pt,
     "it": stem_it,
     "ru": stem_ru,
+    "da": stem_da,
+    "no": stem_no,
 }
 
 

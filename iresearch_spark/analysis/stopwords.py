@@ -113,6 +113,26 @@ STOPWORDS: dict[str, frozenset[str]] = {
         свою этой перед иногда лучше чуть том нельзя такой им более
         всегда конечно всю между это""".split()
     ),
+    "da": frozenset(
+        """og i jeg det at en den til er som på de med han af for ikke
+        der var mig sig men et har om vi min havde ham hun nu over da
+        fra du ud sin dem os op man hans hvor eller hvad skal selv her
+        alle vil blev kunne ind når være dog noget ville jo deres
+        efter ned skulle denne end dette mit også under have dig anden
+        hende mine alt meget sit sine vor mod disse hvis din nogle hos
+        blive mange ad bliver hendes været thi jer sådan""".split()
+    ),
+    "no": frozenset(
+        """og i jeg det at en et den til er som på de med han av ikke
+        der så var meg seg men ett har om vi min mitt ha hadde hun nå
+        over da ved fra du ut sin dem oss opp man kan hans hvor eller
+        hva skal selv sjøl her alle vil bli ble blitt kunne inn når
+        være kom noen noe ville dere som deres kun ja etter ned skulle
+        denne for deg si sine sitt mot å meget hvorfor dette disse
+        uten hvordan ingen din ditt blir samme hvilken hvilke sånn
+        inni mellom vår hver hvem vors hvis både bare enn fordi før
+        mange også slik vært""".split()
+    ),
     "sv": frozenset(
         """och det att i en jag hon som han på den med var sig för så
         till är men ett om hade de av icke mig du henne då sin nu har

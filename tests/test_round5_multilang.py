@@ -10,11 +10,13 @@ from iresearch_spark.analysis.analyzers import get_analyzer
 from iresearch_spark.analysis.snowball import (
     STEMMERS,
     get_stemmer,
+    stem_da,
     stem_de,
     stem_es,
     stem_fr,
     stem_it,
     stem_nl,
+    stem_no,
     stem_pt,
     stem_ru,
     stem_sv,
@@ -68,6 +70,16 @@ SV = [
     ("jakten", "jakt"), ("stockholmare", "stockholm"),
     ("väljarnas", "välj"), ("flickorna", "flick"), ("klokaste", "klok"),
 ]
+DA = [
+    ("bøgerne", "bøg"), ("huset", "hus"), ("venlige", "ven"),
+    ("billigst", "bil"), ("kærlighed", "kær"),
+    ("følelsesladet", "følelseslad"),
+]
+NO = [
+    ("husene", "hus"), ("viktige", "vikt"), ("bøkene", "bøk"),
+    ("mulighetene", "mul"), ("vakkert", "vakker"),
+    ("kjærlighet", "kjær"),
+]
 
 
 @pytest.mark.parametrize(
@@ -75,8 +87,9 @@ SV = [
     [
         (stem_de, DE), (stem_fr, FR), (stem_es, ES), (stem_pt, PT),
         (stem_it, IT), (stem_nl, NL), (stem_ru, RU), (stem_sv, SV),
+        (stem_da, DA), (stem_no, NO),
     ],
-    ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv"],
+    ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no"],
 )
 def test_stemmer_goldens(fn, pairs):
     for word, want in pairs:
@@ -87,6 +100,7 @@ def test_stemmers_deterministic_and_non_lengthening():
     rng = random.Random(7)
     alphabets = {
         "de": "abcdefghiklmnorstuäöüß", "fr": "abcdefgilmnorstuéèê",
+        "da": "abcdefghiklmnorstuæøå", "no": "abcdefghiklmnorstuæøå",
         "es": "abcdefgilmnorstuáéíóúñ", "pt": "abcdefgilmnorstuãõçá",
         "it": "abcdefgilmnorstuàè", "nl": "abcdefgijklmnorstu",
         "ru": "абвгдежзиклмнопрстуыья", "sv": "abcdefghiklmnorstuäåö",
@@ -130,7 +144,9 @@ def test_default_stopwords_leave_position_gaps():
     assert pos_b == [1, 4]
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es", "pt", "it", "nl", "ru", "sv"])
+@pytest.mark.parametrize(
+    "lang", ["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no"]
+)
 def test_arrow_fast_path_differential(lang):
     corpus = {
         "de": ["Die Häuser der Kinder", "Schönheit und Bücher überall"],
@@ -141,6 +157,8 @@ def test_arrow_fast_path_differential(lang):
         "nl": ["lichamelijk vrouwen huizen", "opglimpende koninklijke"],
         "ru": ["книгами красивые пример", "работающий быстрейший"],
         "sv": ["jakten stockholmare", "väljarnas flickorna klokaste"],
+        "da": ["bøgerne venlige huset", "billigst kærlighed"],
+        "no": ["husene viktige bøkene", "mulighetene vakkert"],
     }[lang]
     a = get_analyzer(f"text_{lang}")
     texts = corpus * 4 + ["", None]
