@@ -326,7 +326,8 @@ class HotEngine:
             d, f, l = self._decode_blocks(term, sel)
             if d.size == 0:
                 continue
-            s = self._kernel(c0, f, l)
+            # np.float64 scalar: the f32 kernel calls .astype on c0
+            s = self._kernel(np.float64(c0), f, l)
             parts.append((d, np.asarray(s, dtype=np.float64)))
         if not parts:
             e = np.empty(0, np.int64)
@@ -390,7 +391,9 @@ class HotEngine:
             s = np.concatenate(score_l)
             r = np.concatenate(req_l)
             merge = node.merge_type
-            ud, us, ur = _merge_by_doc(d, s, r, merge)
+            ud, us, ur = _merge_by_doc(
+                d, s, r, merge, f32=self.engine._f32
+            )
             m = ur >= required
             ud, us = ud[m], us[m]
             if merge == "noop":
@@ -451,7 +454,7 @@ class HotEngine:
         m = freqs > 0
         if not m.any():
             return empty
-        s = self._kernel(c0_sum, freqs[m], dls[m])
+        s = self._kernel(np.float64(c0_sum), freqs[m], dls[m])
         return common[m], np.asarray(s, dtype=np.float64)
 
     # -------------------------------------------------------------- WAND
@@ -613,7 +616,7 @@ def _sum_by_doc(d: np.ndarray, s: np.ndarray):
     return d[starts], np.add.reduceat(s, starts)
 
 
-def _merge_by_doc(d, s, r, merge: str):
+def _merge_by_doc(d, s, r, merge: str, f32: bool = False):
     order = np.argsort(d, kind="stable")
     d, s, r = d[order], s[order], r[order]
     bound = np.empty(d.size, bool)
@@ -626,6 +629,14 @@ def _merge_by_doc(d, s, r, merge: str):
         us = np.maximum.reduceat(s, starts)
     elif merge == "min":
         us = np.minimum.reduceat(s, starts)
+    elif f32:
+        # float32 parity: child scores accumulate in float32 in leaf
+        # order (the cluster's array_sort + f32 fold, _eval_bool);
+        # stable doc-sort preserves leaf order within each doc and
+        # reduceat folds sequentially left-to-right
+        us = np.add.reduceat(s.astype(np.float32), starts).astype(
+            np.float64
+        )
     else:  # sum / noop (noop zeroed by caller)
         us = np.add.reduceat(s, starts)
     return ud, us, ur

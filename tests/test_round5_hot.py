@@ -152,6 +152,22 @@ def test_hot_respects_deletes(spark):
     assert not got & {1, 3, 5}
 
 
+def test_hot_float32_parity(spark):
+    rows = [(i, "alpha beta gamma"[: 5 + (i % 3) * 5]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(df, id_col="doc_id", text_col="text")
+    eng32 = SearchEngine(idx, score_dtype="float32")
+    hot32 = HotEngine(eng32)
+    for q in (Term("alpha"), Or([Term("alpha"), Term("beta")])):
+        want = [
+            (r["doc_id"], r["score"])
+            for r in eng32.search(q, k=15).collect()
+        ]
+        got = hot32.search(q, k=15)
+        # f32 parity mode: scores BIT-identical (same kernel)
+        assert got == want
+
+
 def test_hot_budget_guard(engines, spark):
     eng, _ = engines
     with pytest.raises(ValueError):
