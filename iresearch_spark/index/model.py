@@ -858,10 +858,112 @@ class InvertedIndex:
             key=lambda r: r[1],
         )
 
+    # ------------------------------------------------ snapshot commits
+
+    def save_snapshot(self, path: str, **save_kw) -> int:
+        """Iceberg-style snapshot commit (the BASELINE.json design
+        point, exercised without the iceberg-spark-runtime jar): each
+        commit writes a NEW immutable data version under `path/v{N}`
+        (the full save() layout, itself manifest-atomic), appends a
+        record to `snapshots.json`, and finally swaps the top-level
+        `manifest.json` pointer — readers always see a complete
+        snapshot, never a partial write, and every previous version
+        stays readable via load(..., snapshot_id=) until
+        expire_snapshots drops it. Returns the new snapshot id."""
+        import time as _time
+
+        os.makedirs(path, exist_ok=True)
+        snaps = self._read_snapshot_log(path)
+        sid = (max((s["id"] for s in snaps), default=0)) + 1
+        data_dir = os.path.join(path, f"v{sid}")
+        self.save(data_dir, mode="overwrite", **save_kw)
+        snaps.append(
+            {
+                "id": sid,
+                "committed_at": _time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+                ),
+                "n_docs": self.field_stats.n_docs,
+                "data_dir": f"v{sid}",
+            }
+        )
+        tmp = os.path.join(path, "_snapshots.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snaps, f)
+        os.replace(tmp, os.path.join(path, "snapshots.json"))
+        # publish: the pointer swap is the commit
+        tmp = os.path.join(path, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_pointer": sid}, f)
+        os.replace(tmp, os.path.join(path, "manifest.json"))
+        return sid
+
+    @staticmethod
+    def _read_snapshot_log(path: str) -> list:
+        p = os.path.join(path, "snapshots.json")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    @staticmethod
+    def snapshots(path: str) -> list:
+        """The snapshot log (id, committed_at, n_docs, data_dir)."""
+        return InvertedIndex._read_snapshot_log(path)
+
+    @staticmethod
+    def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest `keep_last` snapshots (their data
+        dirs deleted, the log rewritten). The current pointer's
+        snapshot is always kept. Returns the expired ids."""
+        import shutil
+
+        snaps = InvertedIndex._read_snapshot_log(path)
+        if not snaps:
+            return []
+        with open(os.path.join(path, "manifest.json")) as f:
+            current = json.load(f).get("snapshot_pointer")
+        snaps.sort(key=lambda s: s["id"])
+        keep = {s["id"] for s in snaps[-max(keep_last, 1):]}
+        if current is not None:
+            keep.add(current)
+        expired = []
+        kept = []
+        for s in snaps:
+            if s["id"] in keep:
+                kept.append(s)
+                continue
+            shutil.rmtree(os.path.join(path, s["data_dir"]),
+                          ignore_errors=True)
+            expired.append(s["id"])
+        tmp = os.path.join(path, "_snapshots.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(kept, f)
+        os.replace(tmp, os.path.join(path, "snapshots.json"))
+        return expired
+
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+    def load(
+        cls, spark: SparkSession, path: str, snapshot_id: int | None = None
+    ) -> "InvertedIndex":
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
+        if "snapshot_pointer" in manifest:
+            # snapshot-committed index: follow the pointer (or time-
+            # travel to an explicit snapshot id)
+            sid = snapshot_id if snapshot_id is not None else manifest[
+                "snapshot_pointer"
+            ]
+            snaps = {s["id"]: s for s in cls._read_snapshot_log(path)}
+            if sid not in snaps:
+                raise ValueError(
+                    f"snapshot {sid} not in log (have {sorted(snaps)})"
+                )
+            return cls.load(
+                spark, os.path.join(path, snaps[sid]["data_dir"])
+            )
+        if snapshot_id is not None:
+            raise ValueError("index was not saved with save_snapshot")
         postings = spark.read.parquet(os.path.join(path, "postings"))
         if "block_impacts" not in postings.columns:
             # pre-round-5 index: no impacts column — null-fill so every
