@@ -33,6 +33,13 @@ def main():
     # (--sort-field, --sort-key) order; --sort-desc reverses
     ap.add_argument("--sort-field", default=None)
     ap.add_argument("--sort-desc", action="store_true")
+    ap.add_argument(
+        "--snapshot",
+        action="store_true",
+        help="commit as a NEW snapshot under --output (Iceberg-style: "
+        "immutable v{N} data version + atomic pointer swap; previous "
+        "versions stay readable via InvertedIndex.load(snapshot_id=))",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("iresearch-build").getOrCreate()
@@ -68,11 +75,19 @@ def main():
         sort_field=args.sort_field,
         sort_ascending=not args.sort_desc,
     )
-    idx.save(args.output)
-    print(
-        f"indexed {idx.field_stats.n_docs} docs, "
-        f"{idx.field_stats.total_term_freq} tokens -> {args.output}"
-    )
+    if args.snapshot:
+        sid = idx.save_snapshot(args.output)
+        print(
+            f"indexed {idx.field_stats.n_docs} docs, "
+            f"{idx.field_stats.total_term_freq} tokens -> "
+            f"{args.output} (snapshot {sid})"
+        )
+    else:
+        idx.save(args.output)
+        print(
+            f"indexed {idx.field_stats.n_docs} docs, "
+            f"{idx.field_stats.total_term_freq} tokens -> {args.output}"
+        )
 
 
 if __name__ == "__main__":
