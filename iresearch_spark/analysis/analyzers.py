@@ -1141,11 +1141,23 @@ def _nearest_neighbors(model=None, top_k: int = 1, **_opts) -> Analyzer:
     position — increments attach only to emitted tokens). Per-word
     results are memoized per worker, and the scan is vectorized
     numpy over the model matrix — no per-token Python beyond the memo
-    lookup."""
+    lookup. Accepts either a bare embedding table or the
+    fasttext_io.load_model form ({"vocab": ..., "oov": ...}): with an
+    `oov` subword composer present, out-of-vocabulary tokens get an
+    n-gram-composed query vector and emit neighbors like any other
+    token (fastText getNN on an OOV word), instead of being skipped."""
     if model is None:
         raise ValueError("nearest_neighbors requires model=")
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
+    oov = None
+    if (
+        isinstance(model, dict)
+        and isinstance(model.get("vocab"), dict)
+        and set(model) <= {"vocab", "labels", "oov"}
+    ):
+        oov = model.get("oov")
+        model = model["vocab"]
     words, mat = _embedding_table(model)
     vocab = np.array(sorted(words), dtype=object)
     memo: dict[str, tuple[str, ...]] = {}
@@ -1174,6 +1186,37 @@ def _nearest_neighbors(model=None, top_k: int = 1, **_opts) -> Analyzer:
             )[:k]
             memo[w] = tuple(wd for _, wd in order)
 
+    def _nn_oov(batch: list[str]) -> None:
+        """Memo fill for OOV words via subword-composed query vectors
+        (one vectorized cosine pass; no self-exclusion — an OOV word
+        is not a vocab row)."""
+        qs, kept = [], []
+        for w in batch:
+            v = oov(w)
+            if v is None:
+                memo[w] = ()
+                continue
+            n = np.linalg.norm(v)
+            qs.append(v / n if n > 0 else v)
+            kept.append(w)
+        if not qs:
+            return
+        k = min(top_k, mat.shape[0])
+        if k <= 0:
+            for w in kept:
+                memo[w] = ()
+            return
+        sims = np.asarray(qs, dtype=np.float32) @ mat.T
+        for r, w in enumerate(kept):
+            neg = -sims[r]
+            kth = np.partition(neg, k - 1)[k - 1]
+            cand = np.nonzero(neg <= kth)[0]
+            order = sorted(
+                ((float(neg[i]), vocab[i]) for i in cand),
+                key=lambda t: (t[0], t[1]),
+            )[:k]
+            memo[w] = tuple(wd for _, wd in order)
+
     def run(texts: Sequence[str]):
         toks_per_doc = [
             [] if t is None else _ws_tokenize(t.lower()) for t in texts
@@ -1188,6 +1231,17 @@ def _nearest_neighbors(model=None, top_k: int = 1, **_opts) -> Analyzer:
         )
         for i in range(0, len(missing), 256):  # bound the sims matrix
             _nn(missing[i : i + 256])
+        if oov is not None:
+            missing_oov = sorted(
+                {
+                    w
+                    for toks in toks_per_doc
+                    for w in toks
+                    if w not in words and w not in memo
+                }
+            )
+            for i in range(0, len(missing_oov), 256):
+                _nn_oov(missing_oov[i : i + 256])
         out = []
         for toks in toks_per_doc:
             terms: list[str] = []
@@ -1220,12 +1274,19 @@ def _classification(
     token vectors (fastText's hidden = average of input vectors) and
     label scores are a softmax over label-vector cosines, so
     `threshold` filters on a probability exactly like the reference's
-    option. Deterministic: ties break label-ascending."""
+    option. A model loaded from a subword .bin additionally carries
+    `model["oov"]` (fasttext_io.SubwordVectors): out-of-vocabulary
+    tokens then contribute their n-gram-composed vector to the mean,
+    as fastText's own predict path does; without it OOV tokens
+    contribute nothing (the .vec-table behavior). Deterministic: ties
+    break label-ascending."""
     if not isinstance(model, dict) or not {"vocab", "labels"} <= set(model):
         raise ValueError(
             'classification requires model={"vocab": <word embeddings>, '
             '"labels": <label embeddings>}'
         )
+    oov = model.get("oov")
+    oov_memo: dict = {}
     words, mat = _embedding_table(model["vocab"])
     label_keys, label_mat = _embedding_table(model["labels"])
     labels = np.array(sorted(label_keys), dtype=object)
@@ -1237,10 +1298,24 @@ def _classification(
         for text in texts:
             toks = [] if text is None else _ws_tokenize(text.lower())
             idx = [words[w] for w in toks if w in words]
-            if not idx:
+            vecs = [mat[idx]] if idx else []
+            if oov is not None:
+                for w in toks:
+                    if w in words:
+                        continue
+                    if w not in oov_memo:
+                        v = oov(w)
+                        if v is not None:
+                            n = np.linalg.norm(v)
+                            v = v / n if n > 0 else v
+                        oov_memo[w] = v
+                    v = oov_memo[w]
+                    if v is not None:
+                        vecs.append(v[None, :])
+            if not vecs:
                 out.append(([], []))
                 continue
-            sent = mat[idx].mean(axis=0)
+            sent = np.concatenate(vecs).mean(axis=0)
             n = np.linalg.norm(sent)
             if n > 0:
                 sent = sent / n

@@ -17,10 +17,18 @@ form those analyzers already take (`model={"vocab": ..., "labels":
     rows and labels -> output rows, which is exactly what the
     classification analyzer's softmax-over-label-vectors needs.
     Quantized (.ftz) models are rejected with a clear error (export
-    to .vec instead). Subword (minn/maxn) buckets are parsed past but
-    NOT used for OOV lookup — an out-of-vocabulary token simply
-    contributes nothing to the sentence vector (documented gap; the
-    reference composes subword vectors there).
+    to .vec instead). Subword (minn/maxn > 0, bucket > 0) models are
+    fully composed: each in-vocab word vector is the MEAN of the
+    word's own input row and its character-n-gram rows (fastText
+    getWordVector semantics), and the returned model carries an
+    `"oov"` callable (`SubwordVectors`) that builds vectors for
+    out-of-vocabulary tokens from their n-gram rows alone — the
+    classification / nearest_neighbors analyzers pick it up so OOV
+    tokens contribute exactly as in the reference's fastText path.
+    N-gram ids use fastText's FNV-1a variant (signed-char cast) over
+    byte-level n-grams of "<word>"; 1-grams at the word boundaries
+    ("<", ">") are excluded, UTF-8 continuation bytes never start or
+    split a gram.
 
 Everything is implemented from the format as documented in the public
 fastText repository — no fastText code is linked or vendored.
@@ -34,6 +42,76 @@ import numpy as np
 
 FASTTEXT_MAGIC = 793712314
 LABEL_PREFIX = "__label__"
+BOW, EOW = "<", ">"
+EOS = "</s>"
+
+
+def fnv1a_hash(s: str) -> int:
+    """fastText's Dictionary::hash — 32-bit FNV-1a over UTF-8 bytes
+    with the signed-char cast (`uint32_t(int8_t(c))`): bytes >= 0x80
+    sign-extend to 0xFFFFFFxx before the xor, which changes the hash
+    for any non-ASCII gram vs the textbook unsigned variant."""
+    h = 2166136261
+    for b in s.encode("utf-8"):
+        x = b - 256 if b > 127 else b
+        h = ((h ^ (x & 0xFFFFFFFF)) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def compute_subwords(token: str, minn: int, maxn: int) -> list[str]:
+    """Character n-grams of BOW+token+EOW exactly as fastText's
+    Dictionary::computeSubwords walks them: byte-wise over the UTF-8
+    encoding, a gram never starts on a continuation byte and always
+    swallows trailing continuation bytes (so multi-byte characters
+    count as ONE position), and the two boundary 1-grams ("<" and
+    ">") are excluded even when minn == 1. The whole "<token>" string
+    is itself a gram when its character length is within [minn, maxn]."""
+    word = (BOW + token + EOW).encode("utf-8")
+    size = len(word)
+    grams: list[str] = []
+    for i in range(size):
+        if (word[i] & 0xC0) == 0x80:
+            continue
+        gram = bytearray()
+        j, n = i, 1
+        while j < size and n <= maxn:
+            gram.append(word[j])
+            j += 1
+            while j < size and (word[j] & 0xC0) == 0x80:
+                gram.append(word[j])
+                j += 1
+            if n >= minn and not (n == 1 and (i == 0 or j == size)):
+                grams.append(bytes(gram).decode("utf-8"))
+            n += 1
+    return grams
+
+
+def subword_ids(token: str, bucket: int, minn: int, maxn: int) -> list[int]:
+    """Hash-bucket row ids (0-based within the n-gram block of the
+    input matrix) for a token's subword grams."""
+    return [
+        fnv1a_hash(g) % bucket for g in compute_subwords(token, minn, maxn)
+    ]
+
+
+class SubwordVectors:
+    """OOV vector builder over the n-gram block of a .bin input
+    matrix: vector(word) = mean of its subword-gram rows (fastText's
+    getWordVector for an out-of-vocabulary word). Picklable — rides
+    the Spark task broadcast inside analyzer closures the same way
+    the embedding table does. Holds ONLY the `bucket x dim` n-gram
+    block, not the word rows."""
+
+    def __init__(self, gram_mat: np.ndarray, minn: int, maxn: int):
+        self.gram_mat = np.ascontiguousarray(gram_mat, dtype=np.float32)
+        self.minn = int(minn)
+        self.maxn = int(maxn)
+
+    def __call__(self, token: str):
+        ids = subword_ids(token, self.gram_mat.shape[0], self.minn, self.maxn)
+        if not ids:
+            return None
+        return self.gram_mat[ids].mean(axis=0)
 
 
 def load_vec(path: str) -> dict[str, np.ndarray]:
@@ -139,6 +217,14 @@ def load_bin(path: str) -> dict[str, dict[str, np.ndarray]]:
         out_mat = np.frombuffer(f.read(4 * mo * no), dtype="<f4").reshape(
             mo, no
         )
+    # Subword models: the input matrix is (nwords + bucket) x dim and a
+    # word's vector is the mean of its own row plus its n-gram rows
+    # (getWordVector). Word-row-only models (bucket == 0 or maxn == 0,
+    # e.g. default supervised) keep the plain row mapping.
+    has_subwords = (
+        _maxn > 0 and _bucket > 0 and in_mat.shape[0] == nwords + _bucket
+    )
+    gram_mat = in_mat[nwords:] if has_subwords else None
     vocab: dict[str, np.ndarray] = {}
     labels: dict[str, np.ndarray] = {}
     wi = 0
@@ -146,7 +232,14 @@ def load_bin(path: str) -> dict[str, dict[str, np.ndarray]]:
     for word, etype in entries:
         if etype == 0:  # word -> input row
             if wi < in_mat.shape[0]:
-                vocab[word] = np.array(in_mat[wi], dtype=np.float32)
+                if has_subwords and word != EOS:
+                    ids = subword_ids(word, _bucket, _minn, _maxn)
+                    rows = np.concatenate(
+                        [in_mat[wi : wi + 1], gram_mat[ids]]
+                    )
+                    vocab[word] = rows.mean(axis=0).astype(np.float32)
+                else:
+                    vocab[word] = np.array(in_mat[wi], dtype=np.float32)
             wi += 1
         else:  # label -> output row
             key = (
@@ -162,4 +255,7 @@ def load_bin(path: str) -> dict[str, dict[str, np.ndarray]]:
             f"dictionary mismatch: header ({nwords} words, {nlabels} "
             f"labels) vs entries ({wi}, {li})"
         )
-    return {"vocab": vocab, "labels": labels}
+    model = {"vocab": vocab, "labels": labels}
+    if has_subwords:
+        model["oov"] = SubwordVectors(gram_mat, _minn, _maxn)
+    return model

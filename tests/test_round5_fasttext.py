@@ -129,3 +129,159 @@ def test_nearest_neighbors_from_loaded_model(tmp_path):
     a = get_analyzer("nearest_neighbors", model=model["vocab"], top_k=1)
     terms, _ = a.analyze("cat")
     assert terms == ["dog"]  # nearest non-self neighbor
+
+
+# ---------------------------------------------------------------------------
+# Subword (character n-gram) composition: fastText hash, gram walk,
+# in-vocab composition, and OOV vectors through both analyzers.
+# ---------------------------------------------------------------------------
+
+import pickle
+
+from iresearch_spark.analysis.fasttext_io import (
+    SubwordVectors,
+    compute_subwords,
+    fnv1a_hash,
+    subword_ids,
+)
+
+BUCKET, MINN, MAXN = 8, 2, 3
+
+
+def _write_bin_sub(path, gram_mat):
+    """Spec .bin with subwords: bucket=8 minn=2 maxn=3, input matrix =
+    word rows then gram rows."""
+    words = list(VOCAB)
+    labels = [f"__label__{k}" for k in LABELS]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", FASTTEXT_MAGIC, 12))
+        f.write(
+            struct.pack("<12i", 3, 5, 5, 1, 5, 1, 3, 3, BUCKET, MINN, MAXN, 100)
+        )
+        f.write(struct.pack("<d", 1e-4))
+        f.write(
+            struct.pack("<3i", len(words) + len(labels), len(words), len(labels))
+        )
+        f.write(struct.pack("<2q", 100, 0))
+        for w in words:
+            f.write(w.encode() + b"\x00" + struct.pack("<qb", 7, 0))
+        for lb in labels:
+            f.write(lb.encode() + b"\x00" + struct.pack("<qb", 3, 1))
+        in_mat = np.concatenate(
+            [np.asarray([VOCAB[w] for w in words], dtype="<f4"), gram_mat]
+        )
+        f.write(struct.pack("<b", 0))
+        f.write(struct.pack("<2q", in_mat.shape[0], in_mat.shape[1]))
+        f.write(in_mat.astype("<f4").tobytes())
+        out_mat = np.asarray(list(LABELS.values()), dtype="<f4")
+        f.write(struct.pack("<b", 0))
+        f.write(struct.pack("<2q", out_mat.shape[0], out_mat.shape[1]))
+        f.write(out_mat.tobytes())
+
+
+def test_fnv_hash_goldens():
+    # Pinned values of the spec formula (h=2166136261; h=(h^int8(b))*16777619
+    # mod 2^32 per UTF-8 byte) — a regression in the walk or the
+    # signed-char cast moves every bucket id.
+    assert fnv1a_hash("<wh") == 1048167652
+    assert fnv1a_hash("whe") == 888420941
+    assert fnv1a_hash("her") == 4105473420
+    assert fnv1a_hash("ab") == 1294271946
+    # non-ASCII bytes sign-extend: differs from the unsigned variant
+    assert fnv1a_hash("é") == 1023043777 != 513665217
+
+
+def test_compute_subwords_paper_example():
+    # Bojanowski et al. (2017) §3.2: "where" with n=3 gives
+    # <wh, whe, her, ere, re> (the full "<where>" is length 7 > maxn).
+    assert compute_subwords("where", 3, 3) == [
+        "<wh", "whe", "her", "ere", "re>",
+    ]
+
+
+def test_compute_subwords_boundary_unigrams_excluded():
+    assert compute_subwords("ab", 1, 1) == ["a", "b"]  # never "<" or ">"
+
+
+def test_compute_subwords_whole_word_gram():
+    assert "<cat>" in compute_subwords("cat", 3, 5)
+
+
+def test_compute_subwords_utf8_multibyte():
+    # multi-byte chars count as ONE gram position and never split
+    assert compute_subwords("où", 2, 2) == ["<o", "où", "ù>"]
+
+
+def test_bin_subword_composition(tmp_path):
+    rng = np.random.RandomState(7)
+    gram_mat = rng.randn(BUCKET, 3).astype("<f4")
+    p = str(tmp_path / "sub.bin")
+    _write_bin_sub(p, gram_mat)
+    model = load_bin(p)
+    assert isinstance(model.get("oov"), SubwordVectors)
+    for w, base in VOCAB.items():
+        ids = subword_ids(w, BUCKET, MINN, MAXN)
+        want = np.concatenate(
+            [np.asarray([base], dtype=np.float32), gram_mat[ids]]
+        ).mean(axis=0)
+        np.testing.assert_allclose(model["vocab"][w], want, rtol=1e-6)
+    # OOV = mean of gram rows only
+    ids = subword_ids("zzz", BUCKET, MINN, MAXN)
+    np.testing.assert_allclose(
+        model["oov"]("zzz"), gram_mat[ids].mean(axis=0), rtol=1e-6
+    )
+
+
+def test_subword_vectors_no_grams_and_pickle():
+    sv = SubwordVectors(np.eye(4, dtype=np.float32), 5, 5)
+    assert sv("a") is None  # "<a>" shorter than minn
+    sv2 = pickle.loads(pickle.dumps(sv))  # rides Spark task closures
+    np.testing.assert_array_equal(sv2.gram_mat, sv.gram_mat)
+    assert (sv2.minn, sv2.maxn) == (5, 5)
+
+
+def test_non_subword_bin_has_no_oov(tmp_path):
+    p = str(tmp_path / "m.bin")
+    _write_bin(p)
+    assert "oov" not in load_bin(p)
+
+
+def test_classification_oov_via_subwords(tmp_path):
+    gram_mat = np.zeros((BUCKET, 3), dtype="<f4")
+    gram_mat[subword_ids("catt", BUCKET, MINN, MAXN)] = [1.0, 0.0, 0.0]
+    p = str(tmp_path / "sub.bin")
+    _write_bin_sub(p, gram_mat)
+    model = load_bin(p)
+    a = get_analyzer("classification", model=model)
+    terms, pos = a.analyze("catt")  # OOV-only input still classifies
+    assert terms == ["animal"] and pos == [0]
+    # without the oov composer the same input yields nothing
+    a0 = get_analyzer(
+        "classification",
+        model={"vocab": model["vocab"], "labels": model["labels"]},
+    )
+    assert a0.analyze("catt") == ([], [])
+
+
+def test_nearest_neighbors_oov_via_subwords(tmp_path):
+    gram_mat = np.zeros((BUCKET, 3), dtype="<f4")
+    gram_mat[subword_ids("catt", BUCKET, MINN, MAXN)] = [1.0, 0.0, 0.0]
+    p = str(tmp_path / "sub.bin")
+    _write_bin_sub(p, gram_mat)
+    model = load_bin(p)
+    # loaded-model form accepted directly; OOV "catt" composes to
+    # ~[1,0,0] whose nearest vocab word is "cat"
+    a = get_analyzer("nearest_neighbors", model=model, top_k=1)
+    # note: in-vocab rows were themselves gram-composed, so compute the
+    # expected neighbor from the composed table
+    words = sorted(model["vocab"])
+    mat = np.asarray([model["vocab"][w] for w in words], dtype=np.float32)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = model["oov"]("catt")
+    q = q / np.linalg.norm(q)
+    expect = words[int(np.argmax(mat @ q))]
+    terms, pos = a.analyze("catt")
+    assert terms == [expect] and pos == [0]
+    # bare-table form (no oov): OOV emits nothing, positions unchanged
+    a0 = get_analyzer("nearest_neighbors", model=model["vocab"], top_k=1)
+    assert a0.analyze("catt") == ([], [])
