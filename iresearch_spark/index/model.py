@@ -488,7 +488,13 @@ class InvertedIndex:
 
     # ---- persistence -----------------------------------------------------
 
-    def save(self, path: str, mode: str = "overwrite", optimize_layout: bool = True) -> None:
+    def save(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        optimize_layout: bool = True,
+        encryption=None,
+    ) -> None:
         """Write the index tables + manifest.
 
         Layout mirrors an Iceberg-table-per-component design (the target
@@ -504,7 +510,20 @@ class InvertedIndex:
         prunes whole files at scan time — the Spark-native equivalent of
         the reference's FST term-dictionary seek
         (`formats_burst_trie.cpp:953-966`).
+
+        With `encryption=` (an index.encryption.IndexEncryption) every
+        table is written with Parquet Modular Encryption — pages AND
+        footers AES-GCM-sealed — the Spark-native analogue of the
+        reference's directory-level cipher (`irs::encryption`,
+        core/store/directory_attributes.hpp:32-65). Plaintext term
+        ranges are then kept OUT of the manifest (they would leak the
+        vocabulary); keyed scans still prune at row-group level from
+        the decrypted footer statistics.
         """
+        wopts = {}
+        if encryption is not None:
+            encryption.apply(self.postings.sparkSession)
+            wopts = encryption.write_options()
         postings = self.postings
         for c in ("_tb", "_tbd"):  # re-saving a loaded index
             if c in postings.columns:
@@ -562,7 +581,7 @@ class InvertedIndex:
             gram_files = max(16, min(n_part * 4, (n_terms // 250_000) + 16))
 
             def _w_postings():
-                postings.write.mode(mode).partitionBy("_tb").parquet(
+                postings.write.options(**wopts).mode(mode).partitionBy("_tb").parquet(
                     os.path.join(path, "postings")
                 )
 
@@ -581,11 +600,11 @@ class InvertedIndex:
                             max(16, n_part), "doc_id"
                         )
                         .sortWithinPartitions("doc_id")
-                        .write.mode(mode)
+                        .write.options(**wopts).mode(mode)
                         .parquet(os.path.join(path, "docs"))
                     )
                 else:
-                    self.docs.coalesce(n_part).write.mode(mode).parquet(
+                    self.docs.coalesce(n_part).write.options(**wopts).mode(mode).parquet(
                         os.path.join(path, "docs")
                     )
 
@@ -593,7 +612,7 @@ class InvertedIndex:
                 (
                     ts_cached.repartitionByRange(ts_files, "term")
                     .sortWithinPartitions("term")
-                    .write.mode(mode)
+                    .write.options(**wopts).mode(mode)
                     .parquet(ts_path)
                 )
 
@@ -606,7 +625,7 @@ class InvertedIndex:
                     ts_cached.withColumn("rterm", F.reverse(F.col("term")))
                     .repartitionByRange(ts_files, "rterm")
                     .sortWithinPartitions("rterm")
-                    .write.mode(mode)
+                    .write.options(**wopts).mode(mode)
                     .parquet(rev_path)
                 )
 
@@ -636,7 +655,7 @@ class InvertedIndex:
                     )
                     .repartitionByRange(gram_files, "gram")
                     .sortWithinPartitions("gram", "term")
-                    .write.mode(mode)
+                    .write.options(**wopts).mode(mode)
                     .parquet(grams_path)
                 )
 
@@ -653,7 +672,7 @@ class InvertedIndex:
                             max(16, n_part), "field", "shift", "prefix"
                         )
                         .sortWithinPartitions("field", "shift", "prefix")
-                        .write.mode(mode)
+                        .write.options(**wopts).mode(mode)
                         .parquet(os.path.join(path, "num_terms"))
                     )
 
@@ -668,28 +687,37 @@ class InvertedIndex:
                 futs = [ex.submit(f) for f in writers]
                 for fut in futs:
                     fut.result()
-            (
-                term_stats_ranges,
-                term_stats_rev_ranges,
-                term_grams_ranges,
-            ) = self._dictionary_file_ranges(path)
+            if encryption is None:
+                (
+                    term_stats_ranges,
+                    term_stats_rev_ranges,
+                    term_grams_ranges,
+                ) = self._dictionary_file_ranges(path)
+            else:
+                # encrypted index: per-file TERM ranges are plaintext
+                # vocabulary — keeping them out of manifest.json is the
+                # point of sealing the dictionary files. Keyed scans
+                # still prune at row-group level from the decrypted
+                # footer statistics.
+                term_stats_rev_ranges = None
+                term_grams_ranges = None
             if self.sort_field is not None:
                 docs_ranges = self._docs_file_ranges(path)
         else:
-            postings.write.mode(mode).parquet(os.path.join(path, "postings"))
-            self.docs.coalesce(n_part).write.mode(mode).parquet(
+            postings.write.options(**wopts).mode(mode).parquet(os.path.join(path, "postings"))
+            self.docs.coalesce(n_part).write.options(**wopts).mode(mode).parquet(
                 os.path.join(path, "docs")
             )
             term_stats_rev_ranges = None
             term_grams_ranges = None
-            ts_cached.coalesce(n_part).write.mode(mode).parquet(ts_path)
+            ts_cached.coalesce(n_part).write.options(**wopts).mode(mode).parquet(ts_path)
             if self.num_terms is not None:
-                self.num_terms.write.mode(mode).parquet(
+                self.num_terms.write.options(**wopts).mode(mode).parquet(
                     os.path.join(path, "num_terms")
                 )
         ts_cached.unpersist()
         if self.deleted is not None:
-            self.deleted.write.mode(mode).parquet(os.path.join(path, "deleted"))
+            self.deleted.write.options(**wopts).mode(mode).parquet(os.path.join(path, "deleted"))
         manifest = {
             "version": 1,
             "n_docs": self.field_stats.n_docs,
@@ -716,6 +744,10 @@ class InvertedIndex:
             # partitioned docs table (sorted indexes only): top_docs
             # reads just the head files covering its k
             "docs_ranges": docs_ranges,
+            # names only (KMS class + master-key NAME), never key bytes
+            "encryption": (
+                encryption.manifest_record() if encryption else None
+            ),
         }
         tmp = os.path.join(path, "_manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -944,7 +976,11 @@ class InvertedIndex:
 
     @classmethod
     def load(
-        cls, spark: SparkSession, path: str, snapshot_id: int | None = None
+        cls,
+        spark: SparkSession,
+        path: str,
+        snapshot_id: int | None = None,
+        encryption=None,
     ) -> "InvertedIndex":
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
@@ -960,10 +996,22 @@ class InvertedIndex:
                     f"snapshot {sid} not in log (have {sorted(snaps)})"
                 )
             return cls.load(
-                spark, os.path.join(path, snaps[sid]["data_dir"])
+                spark,
+                os.path.join(path, snaps[sid]["data_dir"]),
+                encryption=encryption,
             )
         if snapshot_id is not None:
             raise ValueError("index was not saved with save_snapshot")
+        enc_rec = manifest.get("encryption")
+        if enc_rec and encryption is None:
+            raise ValueError(
+                "index is encrypted (footer key "
+                f"{enc_rec.get('footer_key')!r} via "
+                f"{enc_rec.get('kms_client_class')}): pass encryption= "
+                "with the master keys to load it"
+            )
+        if encryption is not None:
+            encryption.apply(spark)
         postings = spark.read.parquet(os.path.join(path, "postings"))
         if "block_impacts" not in postings.columns:
             # pre-round-5 index: no impacts column — null-fill so every

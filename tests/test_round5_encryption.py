@@ -1,0 +1,157 @@
+"""Index encryption (reference `irs::encryption`,
+core/store/directory_attributes.hpp:32-65 + ctr_encryption.hpp) mapped
+to Parquet Modular Encryption: uniform AES-GCM over every index table,
+footers sealed (PARE magic), master keys only in the session (bundled
+ConfKmsClient reads them from the Hadoop conf), wrapped data keys in
+the footers. Keyed reads are transparent; search results must be
+IDENTICAL to a plaintext save of the same index."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from iresearch_spark.index.builder import build_index
+from iresearch_spark.index.encryption import IndexEncryption, _kms_jar_path
+from iresearch_spark.index.model import InvertedIndex
+from iresearch_spark.search import And, Or, Prefix, SearchEngine, Term
+
+pytestmark = pytest.mark.skipif(
+    _kms_jar_path() is None, reason="jars/iresearch-kms.jar not built"
+)
+
+TEXTS = [
+    "alpha beta gamma secretword",
+    "alpha alpha delta",
+    "beta gamma gamma",
+    "secretword delta epsilon",
+    "alpha beta delta epsilon",
+]
+
+
+def _index(spark):
+    return build_index(
+        spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id long, text string"
+        ),
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+def _enc():
+    return IndexEncryption({"k0": b"0123456789abcdef"})
+
+
+def _results(engine, query, k=5):
+    return [
+        (r["doc_id"], round(r["score"], 10))
+        for r in engine.search(query, k=k).collect()
+    ]
+
+
+def _all_parquet(path):
+    return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+
+def test_encrypted_save_seals_files(spark, tmp_path):
+    path = str(tmp_path / "encix")
+    _index(spark).save(path, encryption=_enc())
+    files = _all_parquet(path)
+    assert files
+    for f in files:
+        raw = open(f, "rb").read()
+        # encrypted-footer parquet magic (PARE, not PAR1)
+        assert raw[:4] == b"PARE" and raw[-4:] == b"PARE", f
+        # no plaintext terms anywhere in the bytes
+        assert b"secretword" not in raw and b"alpha" not in raw, f
+    # manifest: no plaintext vocabulary ranges, names-only key record
+    man = json.load(open(os.path.join(path, "manifest.json")))
+    assert man["term_stats_ranges"] is None
+    assert man["term_stats_rev_ranges"] is None
+    assert man["term_grams_ranges"] is None
+    assert man["encryption"]["footer_key"] == "k0"
+    raw_man = open(os.path.join(path, "manifest.json"), "rb").read()
+    assert b"secretword" not in raw_man
+    import base64
+
+    assert base64.b64encode(b"0123456789abcdef") not in raw_man
+
+
+def test_unkeyed_readers_rejected(spark, tmp_path):
+    path = str(tmp_path / "encix")
+    _index(spark).save(path, encryption=_enc())
+    # an unkeyed parquet stack can't open the files
+    import pyarrow.parquet as pq
+
+    with pytest.raises(Exception):
+        pq.read_table(_all_parquet(path)[0])
+    # load() without the provider fails fast on the manifest record
+    with pytest.raises(ValueError, match="encrypted"):
+        InvertedIndex.load(spark, path)
+
+
+def test_keyed_search_identical_to_plaintext(spark, tmp_path):
+    idx = _index(spark)
+    p_plain = str(tmp_path / "plain")
+    p_enc = str(tmp_path / "enc")
+    idx.save(p_plain)
+    idx.save(p_enc, encryption=_enc())
+    e_plain = SearchEngine(InvertedIndex.load(spark, p_plain))
+    e_enc = SearchEngine(
+        InvertedIndex.load(spark, p_enc, encryption=_enc())
+    )
+    for q in (
+        Term("alpha"),
+        Or([Term("beta"), Term("delta")]),
+        And([Term("gamma"), Term("beta")]),
+        Prefix("secre"),
+    ):
+        assert _results(e_enc, q) == _results(e_plain, q), q
+
+
+def test_wrong_key_fails(spark, tmp_path):
+    path = str(tmp_path / "encix")
+    _index(spark).save(path, encryption=_enc())
+    bad = IndexEncryption({"k0": b"FFFFFFFFFFFFFFFF"})
+    with pytest.raises(Exception):  # GCM unwrap/auth failure at read
+        InvertedIndex.load(spark, path, encryption=bad).postings.count()
+
+
+def test_snapshot_commits_encrypted(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    enc = _enc()
+    idx = _index(spark)
+    sid = idx.save_snapshot(path, encryption=enc)
+    assert sid == 1
+    with pytest.raises(ValueError, match="encrypted"):
+        InvertedIndex.load(spark, path)
+    back = InvertedIndex.load(spark, path, encryption=enc)
+    assert back.field_stats.n_docs == len(TEXTS)
+    hits = {
+        r["doc_id"]
+        for r in SearchEngine(back).matches(Term("secretword")).collect()
+    }
+    assert hits == {0, 3}
+
+
+def test_provider_validation():
+    with pytest.raises(ValueError, match="empty"):
+        IndexEncryption({})
+    with pytest.raises(ValueError, match="16/24/32"):
+        IndexEncryption({"k0": b"short"})
+    with pytest.raises(ValueError, match="not in keys"):
+        IndexEncryption({"k0": b"0123456789abcdef"}, footer_key="nope")
+    with pytest.raises(ValueError, match="may not contain"):
+        IndexEncryption({"a:b": b"0123456789abcdef"})
+    assert len(IndexEncryption.generate_key()) == 16
+    assert len(IndexEncryption.generate_key(32)) == 32
+    with pytest.raises(ValueError):
+        IndexEncryption.generate_key(15)
+    e = IndexEncryption(
+        {"a": b"0123456789abcdef", "b": b"0123456789abcdefX" [:16]},
+        footer_key="b",
+    )
+    assert e.write_options() == {"parquet.encryption.uniform.key": "b"}
+    assert "a:" in e.key_list() and "b:" in e.key_list()
