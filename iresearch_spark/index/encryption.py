@@ -107,6 +107,28 @@ class IndexEncryption:
             raise ValueError(f"footer_key {self.footer_key!r} not in keys")
         self.kms_client_class = kms_client_class
 
+    @classmethod
+    def from_key_file(
+        cls, path: str, footer_key: str | None = None
+    ) -> "IndexEncryption":
+        """Load master keys from a secrets file (one `name:base64` per
+        line, '#' comments) — the vault-injected-file deployment shape
+        for spark-submit jobs. The file is read driver-side only and
+        its contents never reach the index directory."""
+        keys: dict[str, bytes] = {}
+        with open(path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if not ln or ln.startswith("#"):
+                    continue
+                name, _, b64 = ln.partition(":")
+                if not _ or not b64:
+                    raise ValueError(
+                        f"bad key line (want name:base64): {ln[:30]!r}"
+                    )
+                keys[name] = base64.b64decode(b64)
+        return cls(keys, footer_key=footer_key)
+
     @staticmethod
     def generate_key(length: int = 16) -> bytes:
         if length not in _VALID_KEY_LENS:

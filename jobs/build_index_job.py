@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--sort-field", default=None)
     ap.add_argument("--sort-desc", action="store_true")
     ap.add_argument(
+        "--encrypt-keys",
+        default=None,
+        help="master-key secrets file (name:base64 lines): seal every "
+        "index table with Parquet Modular Encryption (add --jars "
+        "jars/iresearch-kms.jar on a cluster)",
+    )
+    ap.add_argument(
         "--snapshot",
         action="store_true",
         help="commit as a NEW snapshot under --output (Iceberg-style: "
@@ -45,6 +52,12 @@ def main():
     spark = SparkSession.builder.appName("iresearch-build").getOrCreate()
 
     if args.incremental:
+        if args.encrypt_keys:
+            raise SystemExit(
+                "--encrypt-keys is not supported with --incremental "
+                "(streaming segments use their own writer); build "
+                "encrypted indexes in batch mode"
+            )
         from iresearch_spark.streaming.incremental import IncrementalIndexer
 
         stream = spark.readStream.format("parquet").schema(
@@ -75,15 +88,20 @@ def main():
         sort_field=args.sort_field,
         sort_ascending=not args.sort_desc,
     )
+    enc = None
+    if args.encrypt_keys:
+        from iresearch_spark.index.encryption import IndexEncryption
+
+        enc = IndexEncryption.from_key_file(args.encrypt_keys)
     if args.snapshot:
-        sid = idx.save_snapshot(args.output)
+        sid = idx.save_snapshot(args.output, encryption=enc)
         print(
             f"indexed {idx.field_stats.n_docs} docs, "
             f"{idx.field_stats.total_term_freq} tokens -> "
             f"{args.output} (snapshot {sid})"
         )
     else:
-        idx.save(args.output)
+        idx.save(args.output, encryption=enc)
         print(
             f"indexed {idx.field_stats.n_docs} docs, "
             f"{idx.field_stats.total_term_freq} tokens -> {args.output}"

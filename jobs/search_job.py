@@ -100,6 +100,11 @@ def main():
              "candidate-postings count (pruning overhead beats payoff "
              "on small candidate sets); 0 forces WAND",
     )
+    ap.add_argument(
+        "--encrypt-keys", default=None,
+        help="master-key secrets file (name:base64 lines) for an "
+        "encrypted index (add --jars jars/iresearch-kms.jar on a "
+        "cluster)")
     args = ap.parse_args()
 
     from iresearch_spark.index.model import InvertedIndex
@@ -115,7 +120,12 @@ def main():
             raise SystemExit(f"no committed segments under {args.index}")
         idx = idx.cache()
     else:
-        idx = InvertedIndex.load(spark, args.index).cache()
+        enc = None
+        if args.encrypt_keys:
+            from iresearch_spark.index.encryption import IndexEncryption
+
+            enc = IndexEncryption.from_key_file(args.encrypt_keys)
+        idx = InvertedIndex.load(spark, args.index, encryption=enc).cache()
     engine = SearchEngine(
         idx,
         scorer=args.scorer,

@@ -155,3 +155,22 @@ def test_provider_validation():
     )
     assert e.write_options() == {"parquet.encryption.uniform.key": "b"}
     assert "a:" in e.key_list() and "b:" in e.key_list()
+
+
+def test_from_key_file(tmp_path):
+    import base64
+
+    p = tmp_path / "keys.txt"
+    p.write_text(
+        "# master keys\n"
+        f"k0:{base64.b64encode(b'0123456789abcdef').decode()}\n"
+        f"k1:{base64.b64encode(b'0123456789abcdef0123456789abcdef').decode()}\n"
+    )
+    e = IndexEncryption.from_key_file(str(p), footer_key="k1")
+    assert set(e.master_keys) == {"k0", "k1"}
+    assert e.footer_key == "k1"
+    assert len(e.master_keys["k1"]) == 32
+    bad = tmp_path / "bad.txt"
+    bad.write_text("no-colon-here\n")
+    with pytest.raises(ValueError, match="bad key line"):
+        IndexEncryption.from_key_file(str(bad))
