@@ -59,6 +59,18 @@ class IncrementalIndexer:
     # the merged view unions them when every segment agrees
     numeric_fields: list | None = None
     precision_step: int = 64
+    # at-rest encryption provider (index.encryption.IndexEncryption):
+    # every segment's tables are sealed with Parquet Modular
+    # Encryption exactly like a batch save(encryption=); the merged
+    # read arms the session and decrypts transparently
+    encryption: object | None = None
+
+    def _wopts(self) -> dict:
+        return (
+            self.encryption.write_options()
+            if self.encryption is not None
+            else {}
+        )
 
     # ---------------- manifest ----------------
 
@@ -108,8 +120,10 @@ class IncrementalIndexer:
             precision_step=self.precision_step,
         )
         seg_path = os.path.join(self.index_dir, "segments", seg_id)
-        idx.save(seg_path)
-        build_metrics(idx, self.bucket_bits).write.mode("overwrite").parquet(
+        idx.save(seg_path, encryption=self.encryption)
+        build_metrics(idx, self.bucket_bits).write.options(
+            **self._wopts()
+        ).mode("overwrite").parquet(
             os.path.join(seg_path, "metrics")
         )
         manifest["segments"].append(
@@ -161,6 +175,8 @@ class IncrementalIndexer:
             if spark is not None and os.path.isdir(
                 os.path.join(path, "deleted")
             ):
+                if self.encryption is not None:
+                    self.encryption.apply(spark)
                 removed = (
                     spark.read.parquet(os.path.join(path, "deleted"))
                     .select("doc_id")
@@ -223,17 +239,21 @@ class IncrementalIndexer:
         paths = [
             os.path.join(self.index_dir, "segments", s["id"]) for s in sel
         ]
-        idx = InvertedIndex.load(spark, paths[0])
+        idx = InvertedIndex.load(spark, paths[0], encryption=self.encryption)
         for p in paths[1:]:
-            idx = merge_indexes(idx, InvertedIndex.load(spark, p))
+            idx = merge_indexes(
+                idx, InvertedIndex.load(spark, p, encryption=self.encryption)
+            )
         if idx.deleted is not None:
             idx = purge_deleted(idx, bits)
         elif reblock:
             idx = _reblock(idx, bits)
         new_id = f"seg_cons_{manifest['version'] + 1}"
         new_path = os.path.join(self.index_dir, "segments", new_id)
-        idx.save(new_path)
-        build_metrics(idx, bits).write.mode("overwrite").parquet(
+        idx.save(new_path, encryption=self.encryption)
+        build_metrics(idx, bits).write.options(**self._wopts()).mode(
+            "overwrite"
+        ).parquet(
             os.path.join(new_path, "metrics")
         )
         entry = {
@@ -286,11 +306,21 @@ class IncrementalIndexer:
             os.path.join(self.index_dir, "segments", s["id"]) for s in segs
         ]
         if len(paths) == 1:
-            return InvertedIndex.load(spark, paths[0])
+            return InvertedIndex.load(
+                spark, paths[0], encryption=self.encryption
+            )
         sub_manifests = []
         for p in paths:
             with open(os.path.join(p, "manifest.json")) as f:
                 sub_manifests.append(_json.load(f))
+        if any(m.get("encryption") for m in sub_manifests):
+            if self.encryption is None:
+                raise ValueError(
+                    "segments are encrypted: construct IncrementalIndexer"
+                    " with encryption= to read them"
+                )
+        if self.encryption is not None:
+            self.encryption.apply(spark)
         # the merged view assumes homogeneous feature/analyzer config
         # across segments (same contract merge_indexes enforces) —
         # a silent mismatch would drop positions/offsets or mix

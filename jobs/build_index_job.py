@@ -52,13 +52,13 @@ def main():
     spark = SparkSession.builder.appName("iresearch-build").getOrCreate()
 
     if args.incremental:
-        if args.encrypt_keys:
-            raise SystemExit(
-                "--encrypt-keys is not supported with --incremental "
-                "(streaming segments use their own writer); build "
-                "encrypted indexes in batch mode"
-            )
         from iresearch_spark.streaming.incremental import IncrementalIndexer
+
+        enc = None
+        if args.encrypt_keys:
+            from iresearch_spark.index.encryption import IndexEncryption
+
+            enc = IndexEncryption.from_key_file(args.encrypt_keys)
 
         stream = spark.readStream.format("parquet").schema(
             spark.read.parquet(args.input).schema
@@ -69,6 +69,7 @@ def main():
             text_col=args.text_col,
             sort_key=args.sort_key,
             with_positions=not args.no_positions,
+            encryption=enc,
         )
         q = ix.start(stream, checkpoint_dir=args.checkpoint or args.output + "_ckpt")
         q.awaitTermination()

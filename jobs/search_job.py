@@ -111,20 +111,22 @@ def main():
     from iresearch_spark.search import SearchEngine
 
     spark = SparkSession.builder.appName("iresearch-search").getOrCreate()
+    enc = None
+    if args.encrypt_keys:
+        from iresearch_spark.index.encryption import IndexEncryption
+
+        enc = IndexEncryption.from_key_file(args.encrypt_keys)
     if os.path.isdir(os.path.join(args.index, "segments")):
         # incremental index dir: serve the multi-segment merged view
         from iresearch_spark.streaming.incremental import IncrementalIndexer
 
-        idx = IncrementalIndexer(index_dir=args.index).read(spark)
+        idx = IncrementalIndexer(index_dir=args.index, encryption=enc).read(
+            spark
+        )
         if idx is None:
             raise SystemExit(f"no committed segments under {args.index}")
         idx = idx.cache()
     else:
-        enc = None
-        if args.encrypt_keys:
-            from iresearch_spark.index.encryption import IndexEncryption
-
-            enc = IndexEncryption.from_key_file(args.encrypt_keys)
         idx = InvertedIndex.load(spark, args.index, encryption=enc).cache()
     engine = SearchEngine(
         idx,

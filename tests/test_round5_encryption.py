@@ -157,6 +157,47 @@ def test_provider_validation():
     assert "a:" in e.key_list() and "b:" in e.key_list()
 
 
+def test_streaming_segments_encrypted(spark, tmp_path):
+    from iresearch_spark.streaming.incremental import IncrementalIndexer
+
+    enc = _enc()
+    ixdir = str(tmp_path / "inc")
+    ix = IncrementalIndexer(index_dir=ixdir, bucket_bits=7, encryption=enc)
+    mk = lambda rows: spark.createDataFrame(rows, "url string, text string")
+    ix.process_batch(
+        mk([(f"u{i}", "alpha secretword beta") for i in range(20)]), 0
+    )
+    ix.process_batch(
+        mk([(f"v{i}", "alpha gamma delta") for i in range(15)]), 1
+    )
+    # every segment file sealed, nothing plaintext
+    for f in _all_parquet(ixdir):
+        raw = open(f, "rb").read()
+        assert raw[:4] == b"PARE", f
+        assert b"secretword" not in raw, f
+    # merged view decrypts and searches
+    idx = IncrementalIndexer(
+        index_dir=ixdir, bucket_bits=7, encryption=enc
+    ).read(spark)
+    assert idx.field_stats.n_docs == 35
+    eng = SearchEngine(idx)
+    assert eng.matches(Term("secretword")).count() == 20
+    assert eng.matches(Term("alpha")).count() == 35
+    # unkeyed merged read fails fast
+    with pytest.raises(ValueError, match="encrypted"):
+        IncrementalIndexer(index_dir=ixdir, bucket_bits=7).read(spark)
+    # consolidation re-encrypts the merged segment
+    cons = IncrementalIndexer(
+        index_dir=ixdir, bucket_bits=7, encryption=enc
+    )
+    new_id = cons.consolidate_segments(spark, ["seg_0", "seg_1"])
+    assert new_id is not None
+    for f in _all_parquet(ixdir):
+        assert open(f, "rb").read(4) == b"PARE", f
+    idx2 = cons.read(spark)
+    assert SearchEngine(idx2).matches(Term("secretword")).count() == 20
+
+
 def test_from_key_file(tmp_path):
     import base64
 
