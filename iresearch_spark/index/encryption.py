@@ -77,12 +77,21 @@ def _kms_jar_path() -> str | None:
 class IndexEncryption:
     """Master-key provider for encrypted index saves/loads.
 
-    `master_keys` maps key names to raw 16/24/32-byte AES keys. Every
-    index table is uniformly encrypted (pages + footer) under a data
-    key wrapped by `footer_key` (default: the first master key) — the
-    whole-index-opaque posture of the reference's directory-level
-    encryption. Keys never touch the index directory: the manifest
-    records only the KMS class and the key NAME.
+    `master_keys` maps key names to raw 16/24/32-byte AES keys — or,
+    for rotation support, to a {version: key} dict of key VERSIONS
+    (wrap always uses the newest; unwrap uses the version recorded in
+    the wrapped material). Every index table is uniformly encrypted
+    (pages + footer) under a data key wrapped by `footer_key`
+    (default: the first master key) — the whole-index-opaque posture
+    of the reference's directory-level encryption. Keys never touch
+    the index directory: the manifest records only the KMS class and
+    the key NAME.
+
+    `external_key_material=True` writes the wrapped key material to
+    `_KEY_MATERIAL_FOR_*.json` sidecar files instead of the parquet
+    footers — the prerequisite for `rotate_master_keys`, which re-keys
+    an index by rewriting ONLY those sidecars (no data rewrite: at
+    100 TB, rotation touches kilobytes).
     """
 
     def __init__(
@@ -90,18 +99,32 @@ class IndexEncryption:
         master_keys: dict[str, bytes],
         footer_key: str | None = None,
         kms_client_class: str = DEFAULT_KMS_CLIENT,
+        external_key_material: bool = False,
     ):
         if not master_keys:
             raise ValueError("master_keys must not be empty")
-        for name, key in master_keys.items():
-            if ":" in name or "," in name:
-                raise ValueError(f"key name {name!r} may not contain ':' ','")
-            if len(key) not in _VALID_KEY_LENS:
+        for name, val in master_keys.items():
+            if ":" in name or "," in name or "@" in name:
                 raise ValueError(
-                    f"master key {name!r} must be 16/24/32 bytes,"
-                    f" got {len(key)}"
+                    f"key name {name!r} may not contain ':' ',' '@'"
                 )
+            versions = (
+                val if isinstance(val, dict) else {1: val}
+            )
+            if not versions:
+                raise ValueError(f"key {name!r} has no versions")
+            for v, key in versions.items():
+                if not isinstance(v, int) or v < 1:
+                    raise ValueError(
+                        f"key {name!r} version must be a positive int"
+                    )
+                if len(key) not in _VALID_KEY_LENS:
+                    raise ValueError(
+                        f"master key {name!r} (v{v}) must be 16/24/32"
+                        f" bytes, got {len(key)}"
+                    )
         self.master_keys = dict(master_keys)
+        self.external_key_material = bool(external_key_material)
         self.footer_key = footer_key or next(iter(master_keys))
         if self.footer_key not in self.master_keys:
             raise ValueError(f"footer_key {self.footer_key!r} not in keys")
@@ -111,11 +134,12 @@ class IndexEncryption:
     def from_key_file(
         cls, path: str, footer_key: str | None = None
     ) -> "IndexEncryption":
-        """Load master keys from a secrets file (one `name:base64` per
-        line, '#' comments) — the vault-injected-file deployment shape
-        for spark-submit jobs. The file is read driver-side only and
-        its contents never reach the index directory."""
-        keys: dict[str, bytes] = {}
+        """Load master keys from a secrets file (one `name:base64` or
+        `name@vN:base64` per line, '#' comments) — the vault-injected-
+        file deployment shape for spark-submit jobs. The file is read
+        driver-side only and its contents never reach the index
+        directory."""
+        keys: dict = {}
         with open(path) as f:
             for ln in f:
                 ln = ln.strip()
@@ -124,9 +148,14 @@ class IndexEncryption:
                 name, _, b64 = ln.partition(":")
                 if not _ or not b64:
                     raise ValueError(
-                        f"bad key line (want name:base64): {ln[:30]!r}"
+                        f"bad key line (want name[@vN]:base64): {ln[:30]!r}"
                     )
-                keys[name] = base64.b64decode(b64)
+                raw = base64.b64decode(b64)
+                base, _, ver = name.partition("@v")
+                if ver:
+                    keys.setdefault(base, {})[int(ver)] = raw
+                else:
+                    keys[name] = raw
         return cls(keys, footer_key=footer_key)
 
     @staticmethod
@@ -144,10 +173,24 @@ class IndexEncryption:
         encrypted files — plaintext tables are untouched."""
         jar = _kms_jar_path()
         sc = spark.sparkContext
-        if jar is not None and not getattr(sc, "_iresearch_kms_jar", False):
-            sc._jsc.sc().addJar(jar)
-            sc._iresearch_kms_jar = True
         hconf = sc._jsc.hadoopConfiguration()
+        if jar is not None and not getattr(sc, "_iresearch_kms_jar", False):
+            # executors: task classloaders pick the jar up from addJar
+            sc._jsc.sc().addJar(jar)
+            # driver: Configuration.getClassByName (used by KeyToolkit
+            # entry points called via py4j, e.g. key rotation) resolves
+            # through the configuration's OWN classloader, which addJar
+            # does not touch — chain a URLClassLoader over the jar
+            jvm = sc._jvm
+            url = jvm.java.io.File(jar).toURI().toURL()
+            urls = sc._gateway.new_array(jvm.java.net.URL, 1)
+            urls[0] = url
+            loader = jvm.java.net.URLClassLoader(
+                urls,
+                jvm.java.lang.Thread.currentThread().getContextClassLoader(),
+            )
+            hconf.setClassLoader(loader)
+            sc._iresearch_kms_jar = True
         key_list = self.key_list()
         if hconf.get(KEY_LIST_PROPERTY) != key_list:
             # KeyToolkit caches unwrapped KEKs JVM-wide (per access
@@ -162,15 +205,26 @@ class IndexEncryption:
         hconf.set(KEY_LIST_PROPERTY, key_list)
 
     def key_list(self) -> str:
-        return ",".join(
-            f"{n}:{base64.b64encode(k).decode()}"
-            for n, k in self.master_keys.items()
-        )
+        parts = []
+        for n, val in self.master_keys.items():
+            if isinstance(val, dict):
+                for v, k in sorted(val.items()):
+                    parts.append(
+                        f"{n}@v{v}:{base64.b64encode(k).decode()}"
+                    )
+            else:
+                parts.append(f"{n}:{base64.b64encode(val).decode()}")
+        return ",".join(parts)
 
     def write_options(self) -> dict[str, str]:
         """Per-write parquet options: uniform encryption of every
         column + the footer under the footer key's data key."""
-        return {"parquet.encryption.uniform.key": self.footer_key}
+        opts = {"parquet.encryption.uniform.key": self.footer_key}
+        if self.external_key_material:
+            opts["parquet.encryption.key.material.store.internally"] = (
+                "false"
+            )
+        return opts
 
     def manifest_record(self) -> dict:
         """What the index manifest records — names only, never keys."""
@@ -178,4 +232,44 @@ class IndexEncryption:
             "kms_client_class": self.kms_client_class,
             "footer_key": self.footer_key,
             "algorithm": "AES_GCM_V1",
+            "external_key_material": self.external_key_material,
         }
+
+    # -------------------------------------------------- key rotation
+
+    def rotate_master_keys(self, spark, index_path: str) -> int:
+        """Re-key an index in place: every `_KEY_MATERIAL_FOR_*.json`
+        sidecar is unwrapped with the master-key VERSION it records and
+        re-wrapped with the NEWEST version in this provider — data
+        pages are untouched (KeyToolkit.rotateMasterKeys per table
+        directory). Requires the index to have been written with
+        external_key_material=True. After rotation, a session holding
+        only the newest key version can read the index and sessions
+        holding only retired versions cannot. Returns the number of
+        table directories rotated.
+
+        This is the at-scale re-key path: at 10^12 docs the sidecars
+        are kilobytes per file while the data is terabytes."""
+        self.apply(spark)
+        dirs = sorted(
+            {
+                root
+                for root, _d, files in os.walk(index_path)
+                if any(f.startswith("_KEY_MATERIAL_FOR_") for f in files)
+            }
+        )
+        if not dirs:
+            raise ValueError(
+                f"no external key material under {index_path}: the index"
+                " must be saved with"
+                " IndexEncryption(external_key_material=True) to support"
+                " rotation"
+            )
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        toolkit = jvm.org.apache.parquet.crypto.keytools.KeyToolkit
+        for d in dirs:
+            toolkit.rotateMasterKeys(d, hconf)
+        # drop cached KEKs unwrapped under pre-rotation material
+        toolkit.removeCacheEntriesForAllTokens()
+        return len(dirs)

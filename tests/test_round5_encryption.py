@@ -198,6 +198,50 @@ def test_streaming_segments_encrypted(spark, tmp_path):
     assert SearchEngine(idx2).matches(Term("secretword")).count() == 20
 
 
+def test_key_rotation_without_data_rewrite(spark, tmp_path):
+    """Master-key rotation: external key material sidecars are
+    re-wrapped under the newest key VERSION; data files untouched;
+    afterwards only the new version can read the index."""
+    path = str(tmp_path / "rotix")
+    key_v1 = b"0123456789abcdef"
+    key_v2 = b"fedcba9876543210"
+    enc_v1 = IndexEncryption({"k0": {1: key_v1}}, external_key_material=True)
+    _index(spark).save(path, encryption=enc_v1)
+    mats = glob.glob(
+        os.path.join(path, "**", "_KEY_MATERIAL_FOR_*"), recursive=True
+    )
+    assert mats, "external key material sidecars expected"
+    assert all(
+        open(f, "rb").read(4) == b"PARE" for f in _all_parquet(path)
+    )
+    baseline = _results(
+        SearchEngine(InvertedIndex.load(spark, path, encryption=enc_v1)),
+        Term("alpha"),
+    )
+    data_mtimes = {f: os.path.getmtime(f) for f in _all_parquet(path)}
+
+    # rotate: provider holds BOTH versions, newest wins
+    enc_rot = IndexEncryption(
+        {"k0": {1: key_v1, 2: key_v2}}, external_key_material=True
+    )
+    n = enc_rot.rotate_master_keys(spark, path)
+    assert n >= 4  # at least postings/docs/term_stats(+rev/grams)
+    # data files untouched — rotation rewrote only the sidecars
+    assert {f: os.path.getmtime(f) for f in _all_parquet(path)} == data_mtimes
+
+    # a session holding ONLY v2 reads the rotated index
+    enc_v2 = IndexEncryption({"k0": {2: key_v2}})
+    got = _results(
+        SearchEngine(InvertedIndex.load(spark, path, encryption=enc_v2)),
+        Term("alpha"),
+    )
+    assert got == baseline
+    # a session holding only the RETIRED v1 is locked out
+    enc_old = IndexEncryption({"k0": {1: key_v1}})
+    with pytest.raises(Exception):
+        InvertedIndex.load(spark, path, encryption=enc_old).postings.count()
+
+
 def test_from_key_file(tmp_path):
     import base64
 
