@@ -45,13 +45,23 @@ def main():
                          "(decode + re-encode; use after many small "
                          "segment appends fragmented the lists)")
     ap.add_argument("--bucket-bits", type=int, default=16)
+    ap.add_argument("--encrypt-keys", default=None,
+                    help="master-key secrets file (name[@vN]:base64 "
+                         "lines) for encrypted segments; the merged "
+                         "output is re-encrypted (add --jars "
+                         "jars/iresearch-kms.jar on a cluster)")
     args = ap.parse_args()
 
     from iresearch_spark.index.merge import consolidate, purge_deleted
     from iresearch_spark.streaming.incremental import IncrementalIndexer
 
     spark = SparkSession.builder.appName("iresearch-consolidate").getOrCreate()
-    ix = IncrementalIndexer(index_dir=args.index)
+    enc = None
+    if args.encrypt_keys:
+        from iresearch_spark.index.encryption import IndexEncryption
+
+        enc = IndexEncryption.from_key_file(args.encrypt_keys)
+    ix = IncrementalIndexer(index_dir=args.index, encryption=enc)
     if args.policy:
         if args.policy == "count":
             opts = {"threshold": int(args.threshold)}
@@ -76,7 +86,7 @@ def main():
         idx = purge_deleted(idx, args.bucket_bits)
     elif args.reblock:
         idx = consolidate(idx, args.bucket_bits)
-    idx.save(args.output)
+    idx.save(args.output, encryption=enc)
     print(
         f"consolidated {idx.field_stats.n_docs} docs, "
         f"{idx.field_stats.total_term_freq} tokens -> {args.output}"
