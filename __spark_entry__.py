@@ -286,6 +286,33 @@ def _saved_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
 _SAVED_INDEX_CACHE: dict[str, object] = {}
 
 
+def _encrypted_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Engine over an index saved with at-rest encryption (Parquet
+    Modular Encryption, index/encryption.py) and reloaded with the
+    keys: every table's pages+footers are AES-GCM-sealed on disk, and
+    query results must still be value-identical to the plaintext
+    oracle — decryption is transparent to the scan."""
+    key = os.path.abspath(sf_dir)
+    if key not in _ENC_INDEX_CACHE:
+        import tempfile
+
+        from iresearch_spark.index.encryption import IndexEncryption
+        from iresearch_spark.index.model import InvertedIndex
+
+        enc = IndexEncryption({"k0": b"iresearch-gate-k"})  # fixed 16B
+        path = os.path.join(tempfile.mkdtemp(prefix="ixgate_enc"), "ix")
+        build_index(
+            _docs(spark, sf_dir), analyzer="simple", bucket_bits=16
+        ).save(path, encryption=enc)
+        _ENC_INDEX_CACHE[key] = InvertedIndex.load(
+            spark, path, encryption=enc
+        )
+    return SearchEngine(_ENC_INDEX_CACHE[key])
+
+
+_ENC_INDEX_CACHE: dict[str, object] = {}
+
+
 def _rounded(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -347,6 +374,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wildcard_infix"] = wildcard_infix
     q["fuzzy_gram"] = fuzzy_gram
+
+    # round-5 encrypted-at-rest index (SURVEY §2.6 index encryption):
+    # save sealed (AES-GCM pages+footers), reload with keys, and the
+    # match must equal the plaintext oracle value-for-value
+    def encrypted_term(spark, sf_dir):
+        return _rounded(
+            _encrypted_engine(spark, sf_dir).matches(Term(HIGH1))
+        )
+
+    q["encrypted_term"] = encrypted_term
 
     # model-bound analyzers (§2.1 classification/nearest_neighbors):
     # the fastText binary is an embedding TABLE here, so the oracle can
@@ -1445,6 +1482,9 @@ GROUP BY t.doc_id
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["term_high"] = _match_sql(f"t.term = '{HIGH1}'")
+    # encrypted index: same plaintext semantics — encryption must be
+    # invisible to results
+    o["encrypted_term"] = _match_sql(f"t.term = '{HIGH1}'")
     o["term_rare"] = _match_sql(f"t.term = '{LOW1}'")
     o["terms_set"] = _match_sql(f"t.term IN {_in([LOW1, MED1, 'fast'])}")
     o["terms_boosted"] = _match_sql(

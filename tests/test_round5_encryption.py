@@ -198,6 +198,27 @@ def test_streaming_segments_encrypted(spark, tmp_path):
     assert SearchEngine(idx2).matches(Term("secretword")).count() == 20
 
 
+def test_hot_engine_over_encrypted_index(spark, tmp_path):
+    """The driver-resident hot serving path replicates blocks via a
+    Spark collect, which decrypts under the armed session — hot
+    results over an encrypted index must equal the cluster path."""
+    from iresearch_spark.search.hot import HotEngine
+
+    path = str(tmp_path / "encix")
+    enc = _enc()
+    _index(spark).save(path, encryption=enc)
+    idx = InvertedIndex.load(spark, path, encryption=enc)
+    cluster = SearchEngine(idx)
+    hot = HotEngine(cluster)
+    for q in (Term("alpha"), Or([Term("beta"), Term("delta")])):
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in cluster.search(q, k=5).collect()
+        ]
+        got = [(d, round(s, 9)) for d, s in hot.search(q, k=5)]
+        assert got == want, q
+
+
 def test_key_rotation_without_data_rewrite(spark, tmp_path):
     """Master-key rotation: external key material sidecars are
     re-wrapped under the newest key VERSION; data files untouched;
