@@ -779,7 +779,9 @@ def _make_text_locale(lang: str):
     return factory
 
 
-for _lang in ("de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no"):
+for _lang in (
+    "de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no", "fi",
+):
     _REGISTRY[f"text_{_lang}"] = _make_text_locale(_lang)
 
 

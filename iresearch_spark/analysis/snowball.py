@@ -1,7 +1,7 @@
 """Snowball stemmers beyond English, pure Python, from the published
 algorithm descriptions (snowballstem.org/algorithms/): German, Swedish,
 Dutch, French, Spanish, Portuguese, Italian, Russian, Danish,
-Norwegian.
+Norwegian, Finnish.
 
 Capability parity with the reference's locale-driven stemmer selection
 (`core/analysis/text_token_stream.cpp:509` — `make_stemmer_ptr(
@@ -28,7 +28,7 @@ from __future__ import annotations
 __all__ = [
     "STEMMERS", "MemoTable", "get_stemmer",
     "stem_de", "stem_sv", "stem_nl", "stem_fr", "stem_es", "stem_pt",
-    "stem_it", "stem_ru", "stem_da", "stem_no",
+    "stem_it", "stem_ru", "stem_da", "stem_no", "stem_fi",
 ]
 
 
@@ -1434,6 +1434,221 @@ def stem_ru(word: str) -> str:
     return word
 
 
+# ================================================================ Finnish
+
+_FI_VOWELS = frozenset("aeiouyäö")
+_FI_STEP1 = sorted(
+    ["kään", "kaan", "sti", "kin", "han", "hän", "ko", "kö", "pa", "pä"],
+    key=len,
+    reverse=True,
+)
+_FI_STEP2 = sorted(
+    ["nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en"],
+    key=len,
+    reverse=True,
+)
+# step 3 (case endings); hXn entries carry the vowel X the suffix must
+# follow, per the spec's "preceded by X" condition
+_FI_HXN = {
+    "han": "a", "hen": "e", "hin": "i", "hon": "o",
+    "hän": "ä", "hön": "ö", "hun": "u", "hyn": "y",
+}
+_FI_STEP3_PLAIN = frozenset(
+    ["ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä", "lta",
+     "ltä", "lle", "na", "nä", "ksi", "ine"]
+)
+_FI_STEP3 = sorted(
+    ["siin", "den", "tten", "seen", "a", "ä", "tta", "ttä", "n",
+     *_FI_HXN, *_FI_STEP3_PLAIN],
+    key=len,
+    reverse=True,
+)
+_FI_STEP4 = sorted(
+    ["impi", "impa", "impä", "immi", "imma", "immä", "eja", "ejä",
+     "mpi", "mpa", "mpä", "mmi", "mma", "mmä"],
+    key=len,
+    reverse=True,
+)
+
+
+def _fi_ends_lv(word: str, lim: int) -> bool:
+    """Word ends with a doubled vowel whose first letter is >= lim
+    (Snowball's LV test under `setlimit tomark p1`)."""
+    return (
+        len(word) >= 2
+        and len(word) - 2 >= lim
+        and word[-1] == word[-2]
+        and word[-1] in _FI_VOWELS
+    )
+
+
+def stem_fi(word: str) -> str:
+    """Snowball Finnish stemmer (snowballstem.org/algorithms/finnish/).
+
+    All positive context tests honour the R1/R2 `setlimit` the spec
+    wraps each step in (context outside the region fails the test);
+    negative tests ("not preceded by ...") succeed when the context
+    falls outside the region, matching Snowball's `not` semantics.
+    """
+    r1, r2 = _r1_r2(word, _FI_VOWELS)
+
+    # Step 1 (particles etc): longest in R1; the particle group needs
+    # n, t or a vowel before it; 'sti' needs R2.
+    suf = _longest_in(word, _FI_STEP1, r1)
+    if suf is not None:
+        k = len(word) - len(suf)
+        if suf == "sti":
+            if k >= r2:
+                word = word[:-3]
+        elif k - 1 >= r1 and word[k - 1] in _FI_VOWELS | {"n", "t"}:
+            word = word[:k]
+
+    # Step 2 (possessives): longest in R1.
+    suf = _longest_in(word, _FI_STEP2, r1)
+    if suf is not None:
+        k = len(word) - len(suf)
+        if suf == "si":
+            if word[k - 1 : k] != "k":  # not preceded by k
+                word = word[:k]
+        elif suf == "ni":
+            word = word[:k]
+            if word.endswith("kse"):
+                word = word[:-1] + "i"
+        elif suf == "an":
+            if any(
+                word.endswith(p, 0, k) and k - len(p) >= r1
+                for p in ("ta", "ssa", "sta", "lla", "lta", "na")
+            ):
+                word = word[:k]
+        elif suf == "än":
+            if any(
+                word.endswith(p, 0, k) and k - len(p) >= r1
+                for p in ("tä", "ssä", "stä", "llä", "ltä", "nä")
+            ):
+                word = word[:k]
+        elif suf == "en":
+            if any(
+                word.endswith(p, 0, k) and k - len(p) >= r1
+                for p in ("lle", "ine")
+            ):
+                word = word[:k]
+        else:  # nsa nsä mme nne
+            word = word[:k]
+
+    # Step 3 (cases): longest in R1; sets the ending_removed flag the
+    # plural step keys off.
+    ending_removed = False
+    suf = _longest_in(word, _FI_STEP3, r1)
+    if suf is not None:
+        k = len(word) - len(suf)
+        if suf in _FI_HXN:
+            x = _FI_HXN[suf]
+            if k - 1 >= r1 and word[k - 1] == x:
+                word = word[:k]
+                ending_removed = True
+        elif suf in ("siin", "den", "tten"):
+            # preceded by Vi: vowel then i
+            if (
+                k - 2 >= r1
+                and word[k - 1] == "i"
+                and word[k - 2] in _FI_VOWELS
+            ):
+                word = word[:k]
+                ending_removed = True
+        elif suf == "seen":
+            # preceded by LV (doubled vowel)
+            if (
+                k - 2 >= r1
+                and word[k - 1] == word[k - 2]
+                and word[k - 1] in _FI_VOWELS
+            ):
+                word = word[:k]
+                ending_removed = True
+        elif suf in ("a", "ä"):
+            # preceded by cv (consonant then vowel)
+            if (
+                k - 2 >= r1
+                and word[k - 1] in _FI_VOWELS
+                and word[k - 2] not in _FI_VOWELS
+            ):
+                word = word[:k]
+                ending_removed = True
+        elif suf in ("tta", "ttä"):
+            if k - 1 >= r1 and word[k - 1] == "e":
+                word = word[:k]
+                ending_removed = True
+        elif suf == "n":
+            word = word[:k]
+            ending_removed = True
+            # if preceded by LV or ie, delete one more letter
+            if _fi_ends_lv(word, r1) or (
+                word.endswith("ie") and len(word) - 2 >= r1
+            ):
+                word = word[:-1]
+        else:  # the plain delete list
+            word = word[:k]
+            ending_removed = True
+
+    # Step 4 (other endings): longest in R2; comparative mp*/mm* group
+    # only when NOT preceded by po.
+    suf = _longest_in(word, _FI_STEP4, r2)
+    if suf is not None:
+        k = len(word) - len(suf)
+        if len(suf) == 3 and suf not in ("eja", "ejä"):
+            if not word.endswith("po", 0, k):
+                word = word[:k]
+        else:
+            word = word[:k]
+
+    # Step 5 (plurals)
+    if ending_removed:
+        if word[-1:] in ("i", "j") and len(word) - 1 >= r1:
+            word = word[:-1]
+    else:
+        if (
+            word.endswith("t")
+            and len(word) - 1 >= r1
+            and len(word) - 2 >= r1
+            and word[-2] in _FI_VOWELS
+        ):
+            word = word[:-1]
+            if word.endswith("imma") and len(word) - 4 >= r2:
+                word = word[:-4]
+            elif (
+                word.endswith("mma")
+                and len(word) - 3 >= r2
+                and not word.endswith("pomma")
+            ):
+                word = word[:-3]
+
+    # Step 6 (tidying): sub-steps applied in turn, each at most once.
+    # (a) final doubled vowel in R1
+    if _fi_ends_lv(word, r1):
+        word = word[:-1]
+    # (b) final cX, c consonant, X in {a ä e i}, both in R1
+    if (
+        len(word) >= 2
+        and len(word) - 2 >= r1
+        and word[-1] in "aäei"
+        and word[-2] not in _FI_VOWELS
+    ):
+        word = word[:-1]
+    # (c) final oj / uj in R1
+    if word[-2:] in ("oj", "uj") and len(word) - 2 >= r1:
+        word = word[:-1]
+    # (d) final jo in R1
+    if word[-2:] == "jo" and len(word) - 2 >= r1:
+        word = word[:-1]
+    # (e) undouble: double consonant followed by zero or more vowels
+    i = len(word)
+    while i > 0 and word[i - 1] in _FI_VOWELS:
+        i -= 1
+    if i >= 2 and word[i - 1] == word[i - 2] and word[i - 1] not in _FI_VOWELS:
+        word = word[: i - 1] + word[i:]
+
+    return word
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -1471,6 +1686,7 @@ STEMMERS: dict[str, object] = {
     "ru": stem_ru,
     "da": stem_da,
     "no": stem_no,
+    "fi": stem_fi,
 }
 
 

@@ -133,6 +133,16 @@ STOPWORDS: dict[str, frozenset[str]] = {
         inni mellom vår hver hvem vors hvis både bare enn fordi før
         mange også slik vært""".split()
     ),
+    "fi": frozenset(
+        """ja on ei se että hän oli ole mutta niin kun myös joka jos
+        mitä tai sitä tämä kuin vain hänen sen nyt siitä jo voi olla
+        sekä näin sitten kuitenkin vielä kaikki me he ne minä sinä te
+        mikä missä koska kanssa hyvin itse ilman jälkeen yli ennen
+        paljon nämä noin kuten sillä eli mukaan jotka jonka heidän
+        meidän olen olet olemme olette ovat olisi ollut olleet tässä
+        tämän mihin miksi kuka ketä mistä siinä hänet minut sinut
+        meitä heitä teitä niitä""".split()
+    ),
     "sv": frozenset(
         """och det att i en jag hon som han på den med var sig för så
         till är men ett om hade de av icke mig du henne då sin nu har

@@ -21,6 +21,7 @@ from iresearch_spark.analysis.snowball import (
     stem_ru,
     stem_sv,
 )
+from iresearch_spark.analysis.snowball import stem_fi
 from iresearch_spark.index.builder import build_index
 from iresearch_spark.search import SearchEngine, Term
 
@@ -80,6 +81,14 @@ NO = [
     ("mulighetene", "mul"), ("vakkert", "vakker"),
     ("kjærlighet", "kjær"),
 ]
+FI = [
+    ("taloissa", "talo"), ("talonsa", "talo"), ("taloihin", "talo"),
+    ("talossaan", "talo"), ("huoneeseen", "huone"),
+    ("tavallisesti", "tavallis"), ("suurimmat", "suurim"),
+    ("puutteen", "puut"), ("majahan", "maja"), ("tyttöjen", "tyttöj"),
+    ("kirjasta", "kirj"), ("kirjoja", "kirj"), ("kirjakin", "kirj"),
+    ("nopeasti", "nopeast"), ("kala", "kala"),
+]
 
 
 @pytest.mark.parametrize(
@@ -87,9 +96,10 @@ NO = [
     [
         (stem_de, DE), (stem_fr, FR), (stem_es, ES), (stem_pt, PT),
         (stem_it, IT), (stem_nl, NL), (stem_ru, RU), (stem_sv, SV),
-        (stem_da, DA), (stem_no, NO),
+        (stem_da, DA), (stem_no, NO), (stem_fi, FI),
     ],
-    ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no"],
+    ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no",
+         "fi"],
 )
 def test_stemmer_goldens(fn, pairs):
     for word, want in pairs:
@@ -104,6 +114,7 @@ def test_stemmers_deterministic_and_non_lengthening():
         "es": "abcdefgilmnorstuáéíóúñ", "pt": "abcdefgilmnorstuãõçá",
         "it": "abcdefgilmnorstuàè", "nl": "abcdefgijklmnorstu",
         "ru": "абвгдежзиклмнопрстуыья", "sv": "abcdefghiklmnorstuäåö",
+        "fi": "aehijklmnoprstuvyäö",
     }
     for lang, fn in STEMMERS.items():
         ab = alphabets[lang]
@@ -145,7 +156,8 @@ def test_default_stopwords_leave_position_gaps():
 
 
 @pytest.mark.parametrize(
-    "lang", ["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no"]
+    "lang",
+    ["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no", "fi"],
 )
 def test_arrow_fast_path_differential(lang):
     corpus = {
@@ -159,6 +171,7 @@ def test_arrow_fast_path_differential(lang):
         "sv": ["jakten stockholmare", "väljarnas flickorna klokaste"],
         "da": ["bøgerne venlige huset", "billigst kærlighed"],
         "no": ["husene viktige bøkene", "mulighetene vakkert"],
+        "fi": ["taloissa huoneeseen kirjoja", "suurimmat tavallisesti"],
     }[lang]
     a = get_analyzer(f"text_{lang}")
     texts = corpus * 4 + ["", None]
