@@ -1,7 +1,7 @@
 """Snowball stemmers beyond English, pure Python, from the published
 algorithm descriptions (snowballstem.org/algorithms/): German, Swedish,
 Dutch, French, Spanish, Portuguese, Italian, Russian, Danish,
-Norwegian, Finnish.
+Norwegian, Finnish, Romanian.
 
 Capability parity with the reference's locale-driven stemmer selection
 (`core/analysis/text_token_stream.cpp:509` — `make_stemmer_ptr(
@@ -28,7 +28,7 @@ from __future__ import annotations
 __all__ = [
     "STEMMERS", "MemoTable", "get_stemmer",
     "stem_de", "stem_sv", "stem_nl", "stem_fr", "stem_es", "stem_pt",
-    "stem_it", "stem_ru", "stem_da", "stem_no", "stem_fi",
+    "stem_it", "stem_ru", "stem_da", "stem_no", "stem_fi", "stem_ro",
 ]
 
 
@@ -1649,6 +1649,169 @@ def stem_fi(word: str) -> str:
     return word
 
 
+# =============================================================== Romanian
+
+_RO_VOWELS = frozenset("aăâeiîou")
+# step 0 (plural/article removal): suffix -> replacement (None=delete)
+_RO_STEP0 = sorted(
+    [
+        ("iilor", "i"), ("ului", None), ("iile", "i"), ("elor", "e"),
+        ("ilor", "i"), ("atei", "at"), ("ație", "ați"), ("ația", "ați"),
+        ("aua", "a"), ("ele", "e"), ("iua", "i"), ("iei", "i"),
+        ("ile", "i"),  # condition: not preceded by ab
+        ("ul", None), ("ea", "e"), ("ii", "i"),
+    ],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+# step 1 (combining suffixes; repeated until no change)
+_RO_STEP1 = sorted(
+    [
+        ("abilitate", "abil"), ("abilitati", "abil"),
+        ("abilităi", "abil"), ("abilități", "abil"),
+        ("ibilitate", "ibil"),
+        ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+        ("ivități", "iv"),
+        ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+        ("icități", "ic"), ("icator", "ic"), ("icatori", "ic"),
+        ("iciv", "ic"), ("iciva", "ic"), ("icive", "ic"),
+        ("icivi", "ic"), ("icivă", "ic"),
+        ("ical", "ic"), ("icala", "ic"), ("icale", "ic"),
+        ("icali", "ic"), ("icală", "ic"),
+        ("ativ", "at"), ("ativa", "at"), ("ative", "at"),
+        ("ativi", "at"), ("ativă", "at"), ("ațiune", "at"),
+        ("atoare", "at"), ("ator", "at"), ("atori", "at"),
+        ("ătoare", "at"), ("ător", "at"), ("ători", "at"),
+        ("itiv", "it"), ("itiva", "it"), ("itive", "it"),
+        ("itivi", "it"), ("itivă", "it"), ("ițiune", "it"),
+        ("itoare", "it"), ("itor", "it"), ("itori", "it"),
+    ],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_RO_STEP2_DELETE = frozenset(
+    [
+        "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti",
+        "ute", "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice",
+        "ici", "ică", "abil", "abila", "abile", "abili", "abilă",
+        "ibil", "ibila", "ibile", "ibili", "ibilă", "oasa", "oasă",
+        "oase", "os", "osi", "oși", "ant", "anta", "ante", "anti",
+        "antă", "ator", "atori", "itate", "itati", "ităi", "ități",
+        "iv", "iva", "ive", "ivi", "ivă",
+    ]
+)
+_RO_STEP2_IST = frozenset(
+    ["ism", "isme", "ist", "ista", "iste", "isti", "istă", "iști"]
+)
+_RO_STEP2 = sorted(
+    ["iune", "iuni", *_RO_STEP2_DELETE, *_RO_STEP2_IST],
+    key=len,
+    reverse=True,
+)
+# step 3 (verb suffixes, RV-limited): group A needs a consonant or u
+# immediately before (in RV); group B deletes unconditionally
+_RO_VERB_A = frozenset(
+    [
+        "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându",
+        "înd", "îndu",
+        "eze", "ează", "ez", "ezi", "ească", "esc", "ești", "ește",
+        "ăsc", "ăști", "ăște", "am", "ai", "au", "eam", "eai", "eau",
+        "iam", "iai", "iau", "ui", "ași", "arăm", "arăți", "ară",
+        "uși", "urăm", "urăți", "ură", "iși", "irăm", "irăți", "iră",
+        "âi", "âși", "ârăm", "ârăți", "âră", "asem", "aseși", "ase",
+        "aserăm", "aserăți", "aseră", "isem", "iseși", "ise",
+        "iserăm", "iserăți", "iseră", "âsem", "âseși", "âse",
+        "âserăm", "âserăți", "âseră", "usem", "useși", "use",
+        "userăm", "userăți", "useră",
+    ]
+)
+_RO_VERB_B = frozenset(
+    [
+        "ăm", "ați", "em", "eți", "im", "iți", "âm", "âți", "seși",
+        "serăm", "serăți", "seră", "sei", "se", "sesem", "seseși",
+        "sese", "seserăm", "seserăți", "seseră",
+    ]
+)
+_RO_STEP3 = sorted(_RO_VERB_A | _RO_VERB_B, key=len, reverse=True)
+_RO_STEP4 = ("ie", "a", "e", "i", "ă")
+
+
+def stem_ro(word: str) -> str:
+    """Snowball Romanian stemmer
+    (snowballstem.org/algorithms/romanian/). Cedilla forms ş/ţ are
+    normalized to the correct comma-below ș/ț first (the current
+    algorithm revision treats them as equivalent); i/u between vowels
+    are marked as consonants (uppercase) for region computation, as
+    the spec's preliminary step prescribes. The gerund/verb rows carry
+    both the modern word-internal â spellings (-ând/-ându) and the
+    pre-1993 î forms (-înd/-îndu) so either orthography stems."""
+    word = word.replace("ş", "ș").replace("ţ", "ț")
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if (
+            chars[i] in "iu"
+            and chars[i - 1] in _RO_VOWELS
+            and chars[i + 1] in _RO_VOWELS
+        ):
+            chars[i] = chars[i].upper()
+    word = "".join(chars)
+
+    r1, r2 = _r1_r2(word, _RO_VOWELS)
+    rv = _rv_romance(word, _RO_VOWELS)
+
+    # Step 0: removal of plurals (and other simplifications), in R1
+    hit = _longest_in(word, [s for s, _ in _RO_STEP0], r1)
+    if hit is not None:
+        rep = dict(_RO_STEP0)[hit]
+        if hit != "ile" or not word.endswith("abile"):
+            # 'ile' deletes only when not preceded by 'ab'
+            word = word[: -len(hit)] + (rep or "")
+
+    # Step 1: reduction of combining suffixes, in R1, repeated
+    standard_removed = False
+    while True:
+        hit = _longest_in(word, [s for s, _ in _RO_STEP1], r1)
+        if hit is None:
+            break
+        word = word[: -len(hit)] + dict(_RO_STEP1)[hit]
+        standard_removed = True
+
+    # Step 2: removal of standard suffixes, in R2
+    hit = _longest_in(word, _RO_STEP2, r2)
+    if hit is not None:
+        k = len(word) - len(hit)
+        if hit in ("iune", "iuni"):
+            if k - 1 >= r2 and word[k - 1] == "ț":
+                word = word[: k - 1] + "t"
+                standard_removed = True
+        elif hit in _RO_STEP2_IST:
+            word = word[:k] + "ist"
+            standard_removed = True
+        else:
+            word = word[:k]
+            standard_removed = True
+
+    # Step 3: verb suffixes (only when steps 1-2 removed nothing), RV
+    if not standard_removed:
+        hit = _longest_in(word, _RO_STEP3, rv)
+        if hit is not None:
+            k = len(word) - len(hit)
+            if hit in _RO_VERB_B:
+                word = word[:k]
+            elif k - 1 >= rv and (
+                word[k - 1] not in _RO_VOWELS or word[k - 1] == "u"
+            ):
+                # group A: preceded in RV by a consonant or u
+                word = word[:k]
+
+    # Step 4: final vowel (a e i ă / ie), in RV
+    hit = _longest_in(word, _RO_STEP4, rv)
+    if hit is not None:
+        word = word[: -len(hit)]
+
+    return word.replace("I", "i").replace("U", "u")
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -1687,6 +1850,7 @@ STEMMERS: dict[str, object] = {
     "da": stem_da,
     "no": stem_no,
     "fi": stem_fi,
+    "ro": stem_ro,
 }
 
 

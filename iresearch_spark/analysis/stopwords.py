@@ -143,6 +143,15 @@ STOPWORDS: dict[str, frozenset[str]] = {
         tämän mihin miksi kuka ketä mistä siinä hänet minut sinut
         meitä heitä teitä niitä""".split()
     ),
+    "ro": frozenset(
+        """și în a la cu de pe un o că este sunt pentru din nu se mai
+        care ce al ale lui sau dar dacă când cum unde această
+        acest acestei acestui el ea ei ele noi voi eu tu își să fi
+        fie fost era erau au am ai are avea vor va după până între
+        fără despre sub peste prin iar ori însă le îl îi ne vă mă te
+        unei unui unor celor cel cea cei cele tot toate toți
+        foarte atât același aceeași fiind către asupra""".split()
+    ),
     "sv": frozenset(
         """och det att i en jag hon som han på den med var sig för så
         till är men ett om hade de av icke mig du henne då sin nu har

@@ -21,7 +21,7 @@ from iresearch_spark.analysis.snowball import (
     stem_ru,
     stem_sv,
 )
-from iresearch_spark.analysis.snowball import stem_fi
+from iresearch_spark.analysis.snowball import stem_fi, stem_ro
 from iresearch_spark.index.builder import build_index
 from iresearch_spark.search import SearchEngine, Term
 
@@ -89,6 +89,14 @@ FI = [
     ("kirjasta", "kirj"), ("kirjoja", "kirj"), ("kirjakin", "kirj"),
     ("nopeasti", "nopeast"), ("kala", "kala"),
 ]
+RO = [
+    ("lucrare", "lucr"), ("cărților", "cărț"), ("cărţilor", "cărț"),
+    ("copiilor", "cop"), ("frumusețe", "frumuseț"),
+    ("cântând", "cânt"), ("muncitorii", "muncit"),
+    ("muncitor", "muncit"), ("frumoase", "frumoas"),
+    ("naționale", "național"), ("abilitate", "abil"),
+    ("icoane", "icoan"),
+]
 
 
 @pytest.mark.parametrize(
@@ -96,10 +104,10 @@ FI = [
     [
         (stem_de, DE), (stem_fr, FR), (stem_es, ES), (stem_pt, PT),
         (stem_it, IT), (stem_nl, NL), (stem_ru, RU), (stem_sv, SV),
-        (stem_da, DA), (stem_no, NO), (stem_fi, FI),
+        (stem_da, DA), (stem_no, NO), (stem_fi, FI), (stem_ro, RO),
     ],
     ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no",
-         "fi"],
+         "fi", "ro"],
 )
 def test_stemmer_goldens(fn, pairs):
     for word, want in pairs:
@@ -114,7 +122,7 @@ def test_stemmers_deterministic_and_non_lengthening():
         "es": "abcdefgilmnorstuáéíóúñ", "pt": "abcdefgilmnorstuãõçá",
         "it": "abcdefgilmnorstuàè", "nl": "abcdefgijklmnorstu",
         "ru": "абвгдежзиклмнопрстуыья", "sv": "abcdefghiklmnorstuäåö",
-        "fi": "aehijklmnoprstuvyäö",
+        "fi": "aehijklmnoprstuvyäö", "ro": "abcdefgilmnoprstuăâîșț",
     }
     for lang, fn in STEMMERS.items():
         ab = alphabets[lang]
@@ -157,7 +165,8 @@ def test_default_stopwords_leave_position_gaps():
 
 @pytest.mark.parametrize(
     "lang",
-    ["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no", "fi"],
+    ["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no", "fi",
+     "ro"],
 )
 def test_arrow_fast_path_differential(lang):
     corpus = {
@@ -172,6 +181,7 @@ def test_arrow_fast_path_differential(lang):
         "da": ["bøgerne venlige huset", "billigst kærlighed"],
         "no": ["husene viktige bøkene", "mulighetene vakkert"],
         "fi": ["taloissa huoneeseen kirjoja", "suurimmat tavallisesti"],
+        "ro": ["cărților muncitorii frumoase", "lucrare cântând"],
     }[lang]
     a = get_analyzer(f"text_{lang}")
     texts = corpus * 4 + ["", None]
