@@ -1,7 +1,7 @@
 """Snowball stemmers beyond English, pure Python, from the published
 algorithm descriptions (snowballstem.org/algorithms/): German, Swedish,
 Dutch, French, Spanish, Portuguese, Italian, Russian, Danish,
-Norwegian, Finnish, Romanian.
+Norwegian, Finnish, Romanian, Hungarian.
 
 Capability parity with the reference's locale-driven stemmer selection
 (`core/analysis/text_token_stream.cpp:509` — `make_stemmer_ptr(
@@ -29,6 +29,7 @@ __all__ = [
     "STEMMERS", "MemoTable", "get_stemmer",
     "stem_de", "stem_sv", "stem_nl", "stem_fr", "stem_es", "stem_pt",
     "stem_it", "stem_ru", "stem_da", "stem_no", "stem_fi", "stem_ro",
+    "stem_hu",
 ]
 
 
@@ -1812,6 +1813,186 @@ def stem_ro(word: str) -> str:
     return word.replace("I", "i").replace("U", "u")
 
 
+# =============================================================== Hungarian
+
+_HU_VOWELS = frozenset("aáeéiíoóöőuúüű")
+_HU_DIGRAPHS = ("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = (
+    "ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+    "pp", "rr", "ss", "tt", "vv", "zz",
+)
+_HU_STEP2 = sorted(
+    [
+        "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val",
+        "vel", "tól", "től", "ról", "ről", "ból", "ből", "hoz",
+        "hez", "höz", "nál", "nél", "ig", "at", "et", "ot", "öt",
+        "ért", "képp", "képpen", "kor", "ul", "ül", "vá", "vé",
+        "onként", "enként", "anként", "ként", "en", "on", "an",
+        "ön", "n", "t",
+    ],
+    key=len,
+    reverse=True,
+)
+_HU_STEP6 = sorted(
+    [
+        ("oké", None), ("öké", None), ("aké", None), ("eké", None),
+        ("áké", "a"), ("éké", "e"), ("ké", None),
+        ("áéi", "a"), ("ééi", "e"), ("éi", None), ("é", None),
+    ],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_HU_STEP7 = sorted(
+    [
+        ("ünk", None), ("unk", None), ("ánk", "a"), ("énk", "e"),
+        ("nk", None),
+        ("ájuk", "a"), ("éjük", "e"), ("juk", None), ("jük", None),
+        ("uk", None), ("ük", None),
+        ("em", None), ("om", None), ("am", None), ("ám", "a"),
+        ("ém", "e"), ("m", None),
+        ("od", None), ("ed", None), ("ad", None), ("öd", None),
+        ("ád", "a"), ("éd", "e"), ("d", None),
+        ("ja", None), ("je", None),
+        ("a", None), ("e", None), ("o", None), ("á", "a"), ("é", "e"),
+    ],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_HU_STEP8 = sorted(
+    [
+        ("jaim", None), ("jeim", None), ("áim", "a"), ("éim", "e"),
+        ("aim", None), ("eim", None), ("im", None),
+        ("jaid", None), ("jeid", None), ("áid", "a"), ("éid", "e"),
+        ("aid", None), ("eid", None), ("id", None),
+        ("jai", None), ("jei", None), ("ái", "a"), ("éi", "e"),
+        ("ai", None), ("ei", None), ("i", None),
+        ("jaink", None), ("jeink", None), ("áink", "a"),
+        ("éink", "e"), ("aink", None), ("eink", None), ("ink", None),
+        ("jaitok", None), ("jeitek", None), ("áitok", "a"),
+        ("éitek", "e"), ("aitok", None), ("eitek", None),
+        ("itok", None), ("itek", None),
+        ("jaik", None), ("jeik", None), ("áik", "a"), ("éik", "e"),
+        ("aik", None), ("eik", None), ("ik", None),
+    ],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+_HU_STEP9 = sorted(
+    [("ák", "a"), ("ék", "e"), ("ök", None), ("ok", None),
+     ("ek", None), ("ak", None), ("k", None)],
+    key=lambda p: len(p[0]),
+    reverse=True,
+)
+
+
+def _hu_r1(word: str) -> int:
+    """Hungarian R1: after the first consonant-or-digraph when the word
+    begins with a vowel (the digraph counts as one unit); after the
+    first vowel when it begins with a consonant."""
+    n = len(word)
+    if not n:
+        return n
+    if word[0] in _HU_VOWELS:
+        for i in range(1, n):
+            if word[i] not in _HU_VOWELS:
+                for dg in _HU_DIGRAPHS:
+                    if word.startswith(dg, i):
+                        return i + len(dg)
+                return i + 1
+        return n
+    for i in range(1, n):
+        if word[i] in _HU_VOWELS:
+            return i + 1
+    return n
+
+
+def _hu_undouble(word: str) -> str:
+    """Remove one letter of a final double consonant (doubled digraphs
+    are written tripled — ssz, ggy, ... — so dropping the first letter
+    leaves the digraph)."""
+    for d in _HU_DOUBLES:
+        if word.endswith(d):
+            return word[: -len(d)] + d[1:]
+    return word
+
+
+def _hu_ends_double(word: str, lim: int) -> bool:
+    for d in _HU_DOUBLES:
+        if word.endswith(d) and len(word) - len(d) >= lim:
+            return True
+    return False
+
+
+def _hu_apply(word: str, table, r1: int) -> str:
+    """Longest in-R1 suffix of a (suffix, replacement|None) table —
+    delete or replace; no backtracking on longer matches."""
+    suf = _longest_in(word, [s for s, _ in table], r1)
+    if suf is not None:
+        word = word[: -len(suf)] + (dict(table)[suf] or "")
+    return word
+
+
+def stem_hu(word: str) -> str:
+    """Snowball Hungarian stemmer
+    (snowballstem.org/algorithms/hungarian/)."""
+    r1 = _hu_r1(word)
+
+    # Step 1: instrumental case — al/el after a double consonant,
+    # delete and undouble
+    for suf in ("al", "el"):
+        if (
+            word.endswith(suf)
+            and len(word) - 2 >= r1
+            and _hu_ends_double(word[:-2], r1)
+        ):
+            word = _hu_undouble(word[:-2])
+            break
+
+    # Step 2: frequent cases; then a final á -> a, é -> e
+    suf = _longest_in(word, _HU_STEP2, r1)
+    if suf is not None:
+        word = word[: -len(suf)]
+        if word.endswith("á"):
+            word = word[:-1] + "a"
+        elif word.endswith("é"):
+            word = word[:-1] + "e"
+
+    # Step 3: special cases: ánként -> a, án -> a, én -> e
+    for suf, rep in (("ánként", "a"), ("án", "a"), ("én", "e")):
+        if word.endswith(suf) and len(word) - len(suf) >= r1:
+            word = word[: -len(suf)] + rep
+            break
+
+    # Step 4: other cases: astul/estül/stul/stül delete,
+    # ástul -> a, éstül -> e
+    for suf, rep in (
+        ("ástul", "a"), ("éstül", "e"), ("astul", ""), ("estül", ""),
+        ("stul", ""), ("stül", ""),
+    ):
+        if word.endswith(suf) and len(word) - len(suf) >= r1:
+            word = word[: -len(suf)] + rep
+            break
+
+    # Step 5: factive case — á/é after a double consonant, delete and
+    # undouble
+    for suf in ("á", "é"):
+        if (
+            word.endswith(suf)
+            and len(word) - 1 >= r1
+            and _hu_ends_double(word[:-1], r1)
+        ):
+            word = _hu_undouble(word[:-1])
+            break
+
+    # Steps 6-9: owned, singular owner, plural owner, plural
+    word = _hu_apply(word, _HU_STEP6, r1)
+    word = _hu_apply(word, _HU_STEP7, r1)
+    word = _hu_apply(word, _HU_STEP8, r1)
+    word = _hu_apply(word, _HU_STEP9, r1)
+    return word
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -1851,6 +2032,7 @@ STEMMERS: dict[str, object] = {
     "no": stem_no,
     "fi": stem_fi,
     "ro": stem_ro,
+    "hu": stem_hu,
 }
 
 

@@ -143,6 +143,17 @@ STOPWORDS: dict[str, frozenset[str]] = {
         tämän mihin miksi kuka ketä mistä siinä hänet minut sinut
         meitä heitä teitä niitä""".split()
     ),
+    "hu": frozenset(
+        """a az és hogy nem is egy van volt lesz ez azt el de meg ha
+        már csak mint még mert vagy ki mi ő ők mik aki ami amely
+        amelyek ezek azok itt ott hol mikor hogyan miért be fel le
+        ide oda rá nál nél után előtt alatt felett között által
+        ellen helyett nélkül óta való vannak voltak lenne lett lehet
+        kell kellett minden mindig soha talán nagyon így úgy akkor
+        most majd aztán pedig hanem sem se ne annak ennek arra erre
+        abban ebben azzal ezzel attól ettől ahhoz ehhez ezért azért
+        én te mi ti őket engem téged neki nekem neked vele velem""".split()
+    ),
     "ro": frozenset(
         """și în a la cu de pe un o că este sunt pentru din nu se mai
         care ce al ale lui sau dar dacă când cum unde această

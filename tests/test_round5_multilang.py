@@ -21,7 +21,7 @@ from iresearch_spark.analysis.snowball import (
     stem_ru,
     stem_sv,
 )
-from iresearch_spark.analysis.snowball import stem_fi, stem_ro
+from iresearch_spark.analysis.snowball import stem_fi, stem_hu, stem_ro
 from iresearch_spark.index.builder import build_index
 from iresearch_spark.search import SearchEngine, Term
 
@@ -89,6 +89,22 @@ FI = [
     ("kirjasta", "kirj"), ("kirjoja", "kirj"), ("kirjakin", "kirj"),
     ("nopeasti", "nopeast"), ("kala", "kala"),
 ]
+HU = [
+    # hand-traced: R1 per the vowel/consonant-start rule, steps 1-9
+    ("házakat", "ház"),          # step 2 "at", step 9 "ak"
+    ("gépekkel", "gép"),         # step 1 instrumental after kk, step 9 "ek"
+    ("házam", "ház"),            # step 7 "am"
+    ("barátaim", "barát"),       # step 8 "aim"
+    ("almákat", "alma"),         # step 2 "at", step 9 "ák" -> a
+    ("napja", "nap"),            # step 7 "ja"
+    ("szabadságért", "szabadság"),  # step 2 "ért"
+    ("ablakokról", "ablak"),     # step 2 "ról", step 9 "ok"
+    ("városában", "város"),      # step 2 "ban", á->a, step 7 "a"
+    ("szépségének", "szépség"),  # step 2 "nek", é->e, step 7 "e"
+    ("könyvei", "könyv"),        # step 8 "ei"
+    ("kertünk", "kert"),         # step 7 "ünk"
+    ("ember", "ember"),          # no suffix
+]
 RO = [
     ("lucrare", "lucr"), ("cărților", "cărț"), ("cărţilor", "cărț"),
     ("copiilor", "cop"), ("frumusețe", "frumuseț"),
@@ -105,9 +121,10 @@ RO = [
         (stem_de, DE), (stem_fr, FR), (stem_es, ES), (stem_pt, PT),
         (stem_it, IT), (stem_nl, NL), (stem_ru, RU), (stem_sv, SV),
         (stem_da, DA), (stem_no, NO), (stem_fi, FI), (stem_ro, RO),
+        (stem_hu, HU),
     ],
     ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no",
-         "fi", "ro"],
+         "fi", "ro", "hu"],
 )
 def test_stemmer_goldens(fn, pairs):
     for word, want in pairs:
@@ -123,6 +140,7 @@ def test_stemmers_deterministic_and_non_lengthening():
         "it": "abcdefgilmnorstuàè", "nl": "abcdefgijklmnorstu",
         "ru": "абвгдежзиклмнопрстуыья", "sv": "abcdefghiklmnorstuäåö",
         "fi": "aehijklmnoprstuvyäö", "ro": "abcdefgilmnoprstuăâîșț",
+        "hu": "abcdefghiklmnoprstuzáéíóöőúüű",
     }
     for lang, fn in STEMMERS.items():
         ab = alphabets[lang]
