@@ -1,7 +1,7 @@
 """Snowball stemmers beyond English, pure Python, from the published
 algorithm descriptions (snowballstem.org/algorithms/): German, Swedish,
 Dutch, French, Spanish, Portuguese, Italian, Russian, Danish,
-Norwegian, Finnish, Romanian, Hungarian.
+Norwegian, Finnish, Romanian, Hungarian, Turkish.
 
 Capability parity with the reference's locale-driven stemmer selection
 (`core/analysis/text_token_stream.cpp:509` — `make_stemmer_ptr(
@@ -29,7 +29,7 @@ __all__ = [
     "STEMMERS", "MemoTable", "get_stemmer",
     "stem_de", "stem_sv", "stem_nl", "stem_fr", "stem_es", "stem_pt",
     "stem_it", "stem_ru", "stem_da", "stem_no", "stem_fi", "stem_ro",
-    "stem_hu",
+    "stem_hu", "stem_tr",
 ]
 
 
@@ -1993,6 +1993,535 @@ def stem_hu(word: str) -> str:
     return word
 
 
+# =============================================================== Turkish
+#
+# From the published Snowball Turkish algorithm (Evren (Kapusuz)
+# Çilden, "Stemming Turkish Words Using Snowball",
+# snowballstem.org/algorithms/turkish/) — suffix-stripping over two
+# suffix families (nominal-verb, then noun) with per-suffix vowel
+# harmony checks, optional buffer consonants (y/n/s) and the optional
+# U vowel of possessives, the recursive "-ki" suffix chain, and the
+# post-pass that restores devoiced final consonants (b→p, c→ç, d→t,
+# ğ→k) and appends the harmonizing U vowel to stems left ending in
+# d/g. Words with fewer than two vowels are never stemmed. The
+# Snowball 2.x revision the reference bundles (external/snowball,
+# v2.2.0) dropped the old ad/soyad reserved-word hack, so it is not
+# reproduced here. One ordering the published description leaves
+# ambiguous (consonant restoration vs. the d/g vowel append — they
+# overlap only on stems ending in 'd') is resolved here as
+# restoration first; both post-rules are single-character touches on
+# rare stems.
+
+_TR_VOWELS = frozenset("aeıioöuü")
+_TR_U = frozenset("ıiuü")
+# suffix vowel -> allowed preceding (stem-side) vowels
+_TR_HARMONY = {
+    "a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+    "o": "ou", "ö": "öü", "u": "ou", "ü": "öü",
+}
+
+
+def _tr_harmony(w: str, c: int) -> bool:
+    """check_vowel_harmony at cursor c (backwards): the last vowel of
+    w[:c] (the suffix's own vowel) must harmonize with the vowel before
+    it."""
+    i = c - 1
+    while i >= 0 and w[i] not in _TR_VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    v = w[i]
+    i -= 1
+    while i >= 0 and w[i] not in _TR_VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    return w[i] in _TR_HARMONY[v]
+
+
+def _tr_opt_cons(w: str, c: int, ch: str) -> int | None:
+    """mark_suffix_with_optional_{y,n,s}_consonant: either the buffer
+    consonant precedes (and a vowel precedes it — consume it), or it
+    does not (and the character two back must be a vowel)."""
+    if c >= 1 and w[c - 1] == ch:
+        if c >= 2 and w[c - 2] in _TR_VOWELS:
+            return c - 1
+        return None
+    if c >= 2 and w[c - 2] in _TR_VOWELS:
+        return c
+    return None
+
+
+def _tr_opt_U(w: str, c: int) -> int | None:
+    """mark_suffix_with_optional_U_vowel: either a U vowel precedes
+    (followed leftwards by a non-vowel — consume it), or the character
+    two back must be a non-vowel."""
+    if c >= 1 and w[c - 1] in _TR_U:
+        if c >= 2 and w[c - 2] not in _TR_VOWELS:
+            return c - 1
+        return None
+    if c >= 2 and w[c - 2] not in _TR_VOWELS:
+        return c
+    return None
+
+
+def _tr_mark(w, c, sufs, harmony=True, opt=None):
+    """Generic suffix marker: optional harmony check at c, longest
+    suffix of w[:c] from `sufs` (pre-sorted longest-first), then the
+    optional buffer rule. Returns the new cursor or None."""
+    if c <= 0:
+        return None
+    if harmony and not _tr_harmony(w, c):
+        return None
+    head = w[:c]
+    for s in sufs:
+        if head.endswith(s):
+            c2 = c - len(s)
+            if opt is None:
+                return c2
+            return opt(w, c2)
+    return None
+
+
+# noun-family markers
+def _tr_possessives(w, c):
+    return _tr_mark(
+        w, c,
+        ("mız", "miz", "muz", "müz", "nız", "niz", "nuz", "nüz", "m", "n"),
+        opt=_tr_opt_U,
+    )
+
+
+def _tr_sU(w, c):
+    return _tr_mark(w, c, ("ı", "i", "u", "ü"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "s"))
+
+
+def _tr_lArI(w, c):
+    return _tr_mark(w, c, ("ları", "leri"), harmony=False)
+
+
+def _tr_yU(w, c):
+    return _tr_mark(w, c, ("ı", "i", "u", "ü"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "y"))
+
+
+def _tr_nU(w, c):
+    return _tr_mark(w, c, ("nı", "ni", "nu", "nü"))
+
+
+def _tr_nUn(w, c):
+    return _tr_mark(w, c, ("ın", "in", "un", "ün"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "n"))
+
+
+def _tr_yA(w, c):
+    return _tr_mark(w, c, ("a", "e"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "y"))
+
+
+def _tr_nA(w, c):
+    return _tr_mark(w, c, ("na", "ne"))
+
+
+def _tr_DA(w, c):
+    return _tr_mark(w, c, ("da", "de", "ta", "te"))
+
+
+def _tr_nDA(w, c):
+    return _tr_mark(w, c, ("nda", "nde"))
+
+
+def _tr_DAn(w, c):
+    return _tr_mark(w, c, ("dan", "den", "tan", "ten"))
+
+
+def _tr_nDAn(w, c):
+    return _tr_mark(w, c, ("ndan", "nden"))
+
+
+def _tr_ylA(w, c):
+    return _tr_mark(w, c, ("la", "le"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "y"))
+
+
+def _tr_ki(w, c):
+    return _tr_mark(w, c, ("ki",), harmony=False)
+
+
+def _tr_ncA(w, c):
+    return _tr_mark(w, c, ("ca", "ce"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "n"))
+
+
+# nominal-verb markers
+def _tr_yUm(w, c):
+    return _tr_mark(w, c, ("ım", "im", "um", "üm"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "y"))
+
+
+def _tr_sUn(w, c):
+    return _tr_mark(w, c, ("sın", "sin", "sun", "sün"))
+
+
+def _tr_yUz(w, c):
+    return _tr_mark(w, c, ("ız", "iz", "uz", "üz"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "y"))
+
+
+def _tr_sUnUz(w, c):
+    return _tr_mark(w, c, ("sınız", "siniz", "sunuz", "sünüz"))
+
+
+def _tr_lAr(w, c):
+    return _tr_mark(w, c, ("lar", "ler"))
+
+
+def _tr_nUz(w, c):
+    return _tr_mark(w, c, ("nız", "niz", "nuz", "nüz"))
+
+
+def _tr_DUr(w, c):
+    return _tr_mark(
+        w, c, ("dır", "dir", "dur", "dür", "tır", "tir", "tur", "tür"))
+
+
+def _tr_cAsInA(w, c):
+    return _tr_mark(w, c, ("casına", "cesine"), harmony=False)
+
+
+def _tr_yDU(w, c):
+    return _tr_mark(w, c, ("dı", "di", "du", "dü", "tı", "ti", "tu", "tü"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "y"))
+
+
+def _tr_ysA(w, c):
+    return _tr_mark(w, c, ("sa", "se"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "y"))
+
+
+def _tr_ymUs(w, c):
+    return _tr_mark(w, c, ("mış", "miş", "muş", "müş"),
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "y"))
+
+
+def _tr_yken(w, c):
+    return _tr_mark(w, c, ("ken",), harmony=False,
+                    opt=lambda w_, c_: _tr_opt_cons(w_, c_, "y"))
+
+
+def _tr_first(w, c, *marks):
+    for m in marks:
+        r = m(w, c)
+        if r is not None:
+            return r
+    return None
+
+
+def _tr_nominal_verb(w: str) -> tuple[str, bool]:
+    """stem_nominal_verb_suffixes: strips one nominal-verb suffix group
+    from the end of `w`; returns (word, continue_with_noun_suffixes)."""
+    n = len(w)
+    # 1. -(y)mUş / -(y)DU / -(y)sA / -(y)ken
+    c = _tr_first(w, n, _tr_ymUs, _tr_yDU, _tr_ysA, _tr_yken)
+    if c is not None:
+        return w[:c], True
+    # 2. -cAsInA, optionally preceded by a person marker, then
+    #    a REQUIRED -(y)mUş
+    c = _tr_cAsInA(w, n)
+    if c is not None:
+        c2 = _tr_first(w, c, _tr_sUnUz, _tr_lAr, _tr_yUm, _tr_sUn, _tr_yUz)
+        c3 = _tr_ymUs(w, c2 if c2 is not None else c)
+        if c3 is not None:
+            return w[:c3], True
+    # 3. -lAr (delete), then optionally -DUr/-(y)DU/-(y)sA/-(y)mUş;
+    #    noun stemming does NOT continue after this branch
+    c = _tr_lAr(w, n)
+    if c is not None:
+        w2 = w[:c]
+        c2 = _tr_first(w2, len(w2), _tr_DUr, _tr_yDU, _tr_ysA, _tr_ymUs)
+        if c2 is not None:
+            w2 = w2[:c2]
+        return w2, False
+    # 4. -nUz followed by a REQUIRED -(y)DU / -(y)sA
+    c = _tr_nUz(w, n)
+    if c is not None:
+        c2 = _tr_first(w, c, _tr_yDU, _tr_ysA)
+        if c2 is not None:
+            return w[:c2], True
+    # 5. person markers (delete), then optionally -(y)mUş
+    c = _tr_first(w, n, _tr_sUnUz, _tr_yUz, _tr_sUn, _tr_yUm)
+    if c is not None:
+        w2 = w[:c]
+        c2 = _tr_ymUs(w2, len(w2))
+        if c2 is not None:
+            w2 = w2[:c2]
+        return w2, True
+    # 6. -DUr (delete), then optionally (person marker or nothing)
+    #    followed by a REQUIRED -(y)mUş
+    c = _tr_DUr(w, n)
+    if c is not None:
+        w2 = w[:c]
+        c2 = _tr_first(w2, len(w2), _tr_sUnUz, _tr_lAr, _tr_yUm, _tr_sUn,
+                       _tr_yUz)
+        c3 = _tr_ymUs(w2, c2 if c2 is not None else len(w2))
+        if c3 is not None:
+            w2 = w2[:c3]
+        return w2, True
+    return w, True
+
+
+def _tr_chain_ki(w: str) -> str | None:
+    """stem_suffix_chain_before_ki: strips '-ki' plus the case suffix
+    in front of it (and any stack continuing leftwards). Returns the
+    stripped word or None when no '-ki' chain matches."""
+    n = len(w)
+    c = _tr_ki(w, n)
+    if c is None:
+        return None
+    # ... -DA ki
+    c2 = _tr_DA(w, c)
+    if c2 is not None:
+        w2 = w[:c2]
+        c3 = _tr_lAr(w2, len(w2))
+        if c3 is not None:
+            w3 = w2[:c3]
+            r = _tr_chain_ki(w3)
+            return r if r is not None else w3
+        c3 = _tr_possessives(w2, len(w2))
+        if c3 is not None:
+            w3 = w2[:c3]
+            c4 = _tr_lAr(w3, len(w3))
+            if c4 is not None:
+                w4 = w3[:c4]
+                r = _tr_chain_ki(w4)
+                return r if r is not None else w4
+            return w3
+        return w2
+    # ... -nUn ki
+    c2 = _tr_nUn(w, c)
+    if c2 is not None:
+        w2 = w[:c2]
+        c3 = _tr_lArI(w2, len(w2))
+        if c3 is not None:
+            return w2[:c3]
+        c3 = _tr_first(w2, len(w2), _tr_possessives, _tr_sU)
+        if c3 is not None:
+            w3 = w2[:c3]
+            c4 = _tr_lAr(w3, len(w3))
+            if c4 is not None:
+                w4 = w3[:c4]
+                r = _tr_chain_ki(w4)
+                return r if r is not None else w4
+            return w3
+        r = _tr_chain_ki(w2)
+        return r if r is not None else w2
+    # ... -nDA ki
+    c2 = _tr_nDA(w, c)
+    if c2 is not None:
+        c3 = _tr_lArI(w, c2)
+        if c3 is not None:
+            return w[:c3]
+        c3 = _tr_sU(w, c2)
+        if c3 is not None:
+            w2 = w[:c3]
+            c4 = _tr_lAr(w2, len(w2))
+            if c4 is not None:
+                w3 = w2[:c4]
+                r = _tr_chain_ki(w3)
+                return r if r is not None else w3
+            return w2
+        w2 = w[:c2]
+        r = _tr_chain_ki(w2)
+        return r if r is not None else w2
+    return None
+
+
+def _tr_noun(w: str) -> str:
+    """stem_noun_suffixes: strips one noun suffix group (case /
+    possessive / plural stacks, with the '-ki' chain where the
+    published algorithm recurses into it)."""
+    n = len(w)
+    # -lAr [ki-chain]
+    c = _tr_lAr(w, n)
+    if c is not None:
+        w2 = w[:c]
+        r = _tr_chain_ki(w2)
+        return r if r is not None else w2
+    # -(n)cA [lArI | possessive/sU [lAr [ki]] | lAr [ki]]
+    c = _tr_ncA(w, n)
+    if c is not None:
+        w2 = w[:c]
+        c2 = _tr_lArI(w2, len(w2))
+        if c2 is not None:
+            return w2[:c2]
+        c2 = _tr_first(w2, len(w2), _tr_possessives, _tr_sU)
+        if c2 is not None:
+            w3 = w2[:c2]
+            c3 = _tr_lAr(w3, len(w3))
+            if c3 is not None:
+                w4 = w3[:c3]
+                r = _tr_chain_ki(w4)
+                return r if r is not None else w4
+            return w3
+        c2 = _tr_lAr(w2, len(w2))
+        if c2 is not None:
+            w3 = w2[:c2]
+            r = _tr_chain_ki(w3)
+            return r if r is not None else w3
+        return w2
+    # -nDA / -nA with what precedes them
+    c = _tr_first(w, n, _tr_nDA, _tr_nA)
+    if c is not None:
+        c2 = _tr_lArI(w, c)
+        if c2 is not None:
+            return w[:c2]
+        c2 = _tr_sU(w, c)
+        if c2 is not None:
+            w2 = w[:c2]
+            c3 = _tr_lAr(w2, len(w2))
+            if c3 is not None:
+                w3 = w2[:c3]
+                r = _tr_chain_ki(w3)
+                return r if r is not None else w3
+            return w2
+        w2 = w[:c]
+        r = _tr_chain_ki(w2)
+        return r if r is not None else w2
+    # -nDAn / -nU with a possessive or -lArI in front
+    c = _tr_first(w, n, _tr_nDAn, _tr_nU)
+    if c is not None:
+        c2 = _tr_sU(w, c)
+        if c2 is not None:
+            w2 = w[:c2]
+            c3 = _tr_lAr(w2, len(w2))
+            if c3 is not None:
+                w3 = w2[:c3]
+                r = _tr_chain_ki(w3)
+                return r if r is not None else w3
+            return w2
+        c2 = _tr_lArI(w, c)
+        if c2 is not None:
+            return w[:c2]
+    # -DAn [possessive [lAr [ki]] | lAr [ki] | ki]
+    c = _tr_DAn(w, n)
+    if c is not None:
+        w2 = w[:c]
+        c2 = _tr_possessives(w2, len(w2))
+        if c2 is not None:
+            w3 = w2[:c2]
+            c3 = _tr_lAr(w3, len(w3))
+            if c3 is not None:
+                w4 = w3[:c3]
+                r = _tr_chain_ki(w4)
+                return r if r is not None else w4
+            return w3
+        c2 = _tr_lAr(w2, len(w2))
+        if c2 is not None:
+            w3 = w2[:c2]
+            r = _tr_chain_ki(w3)
+            return r if r is not None else w3
+        r = _tr_chain_ki(w2)
+        return r if r is not None else w2
+    # -(n)Un / -(y)lA
+    c = _tr_first(w, n, _tr_nUn, _tr_ylA)
+    if c is not None:
+        w2 = w[:c]
+        c2 = _tr_lAr(w2, len(w2))
+        if c2 is not None:
+            w3 = w2[:c2]
+            r = _tr_chain_ki(w3)
+            return r if r is not None else w3
+        c2 = _tr_first(w2, len(w2), _tr_possessives, _tr_sU)
+        if c2 is not None:
+            w3 = w2[:c2]
+            c3 = _tr_lAr(w3, len(w3))
+            if c3 is not None:
+                w4 = w3[:c3]
+                r = _tr_chain_ki(w4)
+                return r if r is not None else w4
+            return w3
+        r = _tr_chain_ki(w2)
+        return r if r is not None else w2
+    # -lArI
+    c = _tr_lArI(w, n)
+    if c is not None:
+        return w[:c]
+    # bare '-ki' chain
+    r = _tr_chain_ki(w)
+    if r is not None:
+        return r
+    # -DA / -(y)U / -(y)A [possessive/sU [lAr [ki]] | lAr [ki] | ki]
+    c = _tr_first(w, n, _tr_DA, _tr_yU, _tr_yA)
+    if c is not None:
+        w2 = w[:c]
+        c2 = _tr_lAr(w2, len(w2))
+        if c2 is not None:
+            w3 = w2[:c2]
+            r = _tr_chain_ki(w3)
+            return r if r is not None else w3
+        c2 = _tr_first(w2, len(w2), _tr_possessives, _tr_sU)
+        if c2 is not None:
+            w3 = w2[:c2]
+            c3 = _tr_lAr(w3, len(w3))
+            if c3 is not None:
+                w4 = w3[:c3]
+                r = _tr_chain_ki(w4)
+                return r if r is not None else w4
+            return w3
+        r = _tr_chain_ki(w2)
+        return r if r is not None else w2
+    # bare possessive [lAr [ki]]
+    c = _tr_possessives(w, n)
+    if c is not None:
+        w2 = w[:c]
+        c2 = _tr_lAr(w2, len(w2))
+        if c2 is not None:
+            w3 = w2[:c2]
+            r = _tr_chain_ki(w3)
+            return r if r is not None else w3
+        return w2
+    return w
+
+
+def stem_tr(word: str) -> str:
+    """Snowball Turkish stemmer
+    (snowballstem.org/algorithms/turkish/)."""
+    if sum(1 for ch in word if ch in _TR_VOWELS) < 2:
+        return word  # more_than_one_syllable_word
+    word, continue_noun = _tr_nominal_verb(word)
+    if continue_noun:
+        word = _tr_noun(word)
+    # post_process_last_consonants: restore the devoiced final
+    if word:
+        last = word[-1]
+        if last == "b":
+            word = word[:-1] + "p"
+        elif last == "c":
+            word = word[:-1] + "ç"
+        elif last == "d":
+            word = word[:-1] + "t"
+        elif last == "ğ":
+            word = word[:-1] + "k"
+    # append_U_to_stems_ending_with_d_or_g, harmonizing with the last
+    # vowel (after restoration this fires for 'g'-final stems)
+    if word and word[-1] in ("d", "g"):
+        i = len(word) - 1
+        while i >= 0 and word[i] not in _TR_VOWELS:
+            i -= 1
+        if i >= 0:
+            v = word[i]
+            if v in "aı":
+                word += "ı"
+            elif v in "ei":
+                word += "i"
+            elif v in "ou":
+                word += "u"
+            else:
+                word += "ü"
+    return word
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -2033,6 +2562,7 @@ STEMMERS: dict[str, object] = {
     "fi": stem_fi,
     "ro": stem_ro,
     "hu": stem_hu,
+    "tr": stem_tr,
 }
 
 

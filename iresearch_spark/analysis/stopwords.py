@@ -174,6 +174,22 @@ STOPWORDS: dict[str, frozenset[str]] = {
         dess inom mellan sådant varför varje vilka ditt vem vilket
         sitta sådana vart dina vars vårt våra ert era vilkas""".split()
     ),
+    "tr": frozenset(
+        """acaba altı ama ancak artık asla aslında az bana bazen bazı
+        belki ben beni benim beri beş bile bir birçok biri birkaç
+        birşey biz bize bizi bizim böyle böylece bu buna bunda bundan
+        bunlar bunları bunun burada çok çünkü da daha de defa değil
+        diğer diye dolayı elbette en fakat falan gibi göre hala hangi
+        hatta hem henüz hep hepsi her herhangi herkes hiç hiçbir için
+        içinde ile ilgili ise işte itibaren kadar karşın kendi kez ki
+        kim kime kimin madem mi mı mu mü nasıl ne neden nedenle nerde
+        nerede nereye niçin niye o olan olarak oldu olduğu olmak
+        olması olur on ona ondan onlar onlara onlardan onların onu
+        onun orada oysa öyle pek rağmen sana sen senden seni senin
+        siz sizden sizi sizin son sonra şey şeyi şimdi şöyle şu şuna
+        şunları şunu tarafından tüm üzere ve veya ya yani yerine yine
+        yoksa zaten zira""".split()
+    ),
 }
 
 

@@ -21,7 +21,7 @@ from iresearch_spark.analysis.snowball import (
     stem_ru,
     stem_sv,
 )
-from iresearch_spark.analysis.snowball import stem_fi, stem_hu, stem_ro
+from iresearch_spark.analysis.snowball import stem_fi, stem_hu, stem_ro, stem_tr
 from iresearch_spark.index.builder import build_index
 from iresearch_spark.search import SearchEngine, Term
 
@@ -113,6 +113,26 @@ RO = [
     ("naționale", "național"), ("abilitate", "abil"),
     ("icoane", "icoan"),
 ]
+TR = [
+    # hand-traced: suffix family + harmony + buffer rules + post-pass
+    ("kitabı", "kitap"),          # -(y)U acc, final b -> p restored
+    ("kitaplar", "kitap"),        # nominal-verb -lAr
+    ("kitaplarımdan", "kitap"),   # -DAn, then -(U)m, then -lAr
+    ("güzelliği", "güzellik"),    # -(y)U, final ğ -> k restored
+    ("arabalarında", "araba"),    # -nDA with -lArI in front
+    ("evlerimizden", "ev"),       # -DAn, -(U)mUz, -lAr
+    ("arabaya", "araba"),         # -(y)A dative, y buffer consumed
+    ("arabayla", "araba"),        # -(y)lA instrumental
+    ("çocuklarımızın", "çocuk"),  # -(n)Un, -(U)mUz, -lAr
+    ("evinde", "ev"),             # -nDA with -(s)U in front
+    ("kitaptaki", "kitap"),       # '-ki' chain: -DA ki
+    ("gözlüğümün", "gözlük"),     # -(n)Un, -(U)m, ğ -> k restored
+    ("geldiler", "gel"),          # verb -lAr + -(y)DU; noun step off
+    ("doktorsunuz", "doktor"),    # -sUnUz person marker
+    ("okurken", "okur"),          # -(y)ken
+    ("annem", "annem"),           # harmony blocks -(U)m on 'a...e' stem
+    ("ev", "ev"),                 # one vowel: never stemmed
+]
 
 
 @pytest.mark.parametrize(
@@ -121,10 +141,10 @@ RO = [
         (stem_de, DE), (stem_fr, FR), (stem_es, ES), (stem_pt, PT),
         (stem_it, IT), (stem_nl, NL), (stem_ru, RU), (stem_sv, SV),
         (stem_da, DA), (stem_no, NO), (stem_fi, FI), (stem_ro, RO),
-        (stem_hu, HU),
+        (stem_hu, HU), (stem_tr, TR),
     ],
     ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no",
-         "fi", "ro", "hu"],
+         "fi", "ro", "hu", "tr"],
 )
 def test_stemmer_goldens(fn, pairs):
     for word, want in pairs:
@@ -141,6 +161,7 @@ def test_stemmers_deterministic_and_non_lengthening():
         "ru": "абвгдежзиклмнопрстуыья", "sv": "abcdefghiklmnorstuäåö",
         "fi": "aehijklmnoprstuvyäö", "ro": "abcdefgilmnoprstuăâîșț",
         "hu": "abcdefghiklmnoprstuzáéíóöőúüű",
+        "tr": "abcçdefgğhıijklmnoöprsştuüvyz",
     }
     for lang, fn in STEMMERS.items():
         ab = alphabets[lang]
@@ -184,7 +205,7 @@ def test_default_stopwords_leave_position_gaps():
 @pytest.mark.parametrize(
     "lang",
     ["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no", "fi",
-     "ro"],
+     "ro", "tr"],
 )
 def test_arrow_fast_path_differential(lang):
     corpus = {
@@ -200,6 +221,7 @@ def test_arrow_fast_path_differential(lang):
         "no": ["husene viktige bøkene", "mulighetene vakkert"],
         "fi": ["taloissa huoneeseen kirjoja", "suurimmat tavallisesti"],
         "ro": ["cărților muncitorii frumoase", "lucrare cântând"],
+        "tr": ["kitaplarımdan güzelliği arabaya", "çocuklarımızın evlerimizden"],
     }[lang]
     a = get_analyzer(f"text_{lang}")
     texts = corpus * 4 + ["", None]
