@@ -1,7 +1,7 @@
 """Snowball stemmers beyond English, pure Python, from the published
 algorithm descriptions (snowballstem.org/algorithms/): German, Swedish,
 Dutch, French, Spanish, Portuguese, Italian, Russian, Danish,
-Norwegian, Finnish, Romanian, Hungarian, Turkish.
+Norwegian, Finnish, Romanian, Hungarian, Turkish, Indonesian.
 
 Capability parity with the reference's locale-driven stemmer selection
 (`core/analysis/text_token_stream.cpp:509` — `make_stemmer_ptr(
@@ -29,7 +29,7 @@ __all__ = [
     "STEMMERS", "MemoTable", "get_stemmer",
     "stem_de", "stem_sv", "stem_nl", "stem_fr", "stem_es", "stem_pt",
     "stem_it", "stem_ru", "stem_da", "stem_no", "stem_fi", "stem_ro",
-    "stem_hu", "stem_tr",
+    "stem_hu", "stem_tr", "stem_id",
 ]
 
 
@@ -2522,6 +2522,147 @@ def stem_tr(word: str) -> str:
     return word
 
 
+# ============================================================ Indonesian
+#
+# Confix-stripping stemmer per the published algorithm Snowball adopted
+# (Asian, Williams & Tahaghoghi 2005, "Stemming Indonesian";
+# snowballstem.org/algorithms/indonesian/): particles (-kah/-lah/-pun)
+# and possessive pronouns (-ku/-mu/-nya), then first-order derivational
+# prefixes (meng-/meny-/men-/mem-/me-, peng-/peny-/pen-/pem-, di-,
+# ter-, ke-) with the paper's nasal-assimilation recodings (meny+V ->
+# s+V, men+V -> t+V, mem+V -> p+V, and the pen-/pem-/peny- parallels),
+# derivational suffixes (-kan/-an/-i) under the prefix-compatibility
+# table (no -kan after ke-/peng-, no -an after di-/me-/ter-, no -i
+# after ber-/ke-/peng- or a preceding 's'), and second-order prefixes
+# (ber-, bel- of belajar, be- before consonant+'er', per-, pel- of
+# pelajar, pe-). Every removal step requires the word to retain more
+# than two syllables (= vowels). Suffix matching is longest-first with
+# NO fallback to a shorter suffix when the constraint blocks (among
+# semantics).
+
+_ID_VOWELS = frozenset("aeiou")
+
+
+def _id_first_prefix(w: str) -> tuple[str, str | None]:
+    """Remove one first-order prefix; returns (word, prefix_class) with
+    class in {'me','peng','di','ter','ke'} or None."""
+    if w.startswith("meny") and len(w) > 4 and w[4] in _ID_VOWELS:
+        return "s" + w[4:], "me"
+    if w.startswith("meng"):
+        return w[4:], "me"
+    if w.startswith("mem"):
+        if len(w) > 3 and w[3] in _ID_VOWELS:
+            return "p" + w[3:], "me"
+        return w[3:], "me"
+    if w.startswith("men"):
+        if len(w) > 3 and w[3] in _ID_VOWELS:
+            return "t" + w[3:], "me"
+        return w[3:], "me"
+    if w.startswith("me"):
+        return w[2:], "me"
+    if w.startswith("peny") and len(w) > 4 and w[4] in _ID_VOWELS:
+        return "s" + w[4:], "peng"
+    if w.startswith("peng"):
+        return w[4:], "peng"
+    if w.startswith("pem"):
+        if len(w) > 3 and w[3] in _ID_VOWELS:
+            return "p" + w[3:], "peng"
+        return w[3:], "peng"
+    if w.startswith("pen") and len(w) > 3 and w[3] in _ID_VOWELS:
+        # pen+V: elided 't' restored; pen+consonant is second-order
+        # pe- + n-initial root territory, leave it
+        return "t" + w[3:], "peng"
+    if w.startswith("di"):
+        return w[2:], "di"
+    if w.startswith("ter"):
+        return w[3:], "ter"
+    if w.startswith("ke"):
+        return w[2:], "ke"
+    return w, None
+
+
+def _id_second_prefix(w: str) -> tuple[str, str | None]:
+    """Remove one second-order prefix; class in {'ber','pe'} or None."""
+    if w.startswith("belajar"):
+        return w[3:], "ber"
+    if w.startswith("ber"):
+        return w[3:], "ber"
+    if (
+        w.startswith("be") and len(w) > 4
+        and w[2] not in _ID_VOWELS and w[3:5] == "er"
+    ):
+        return w[2:], "ber"
+    if w.startswith("pelajar"):
+        return w[3:], "pe"
+    if w.startswith("per"):
+        return w[3:], "pe"
+    if w.startswith("pe"):
+        return w[2:], "pe"
+    return w, None
+
+
+def _id_suffix(w: str, cls: str | None) -> tuple[str, bool]:
+    """Remove one derivational suffix under the prefix-compatibility
+    table; longest match decides, a blocked match does NOT fall back."""
+    if w.endswith("kan"):
+        if cls not in ("ke", "peng"):
+            return w[:-3], True
+        return w, False
+    if w.endswith("an"):
+        if cls not in ("di", "me", "ter"):
+            return w[:-2], True
+        return w, False
+    if w.endswith("i"):
+        if cls not in ("ber", "ke", "peng") and len(w) >= 2 and w[-2] != "s":
+            return w[:-1], True
+        return w, False
+    return w, False
+
+
+def stem_id(word: str) -> str:
+    """Snowball Indonesian stemmer
+    (snowballstem.org/algorithms/indonesian/)."""
+    measure = sum(1 for ch in word if ch in _ID_VOWELS)
+    if measure <= 2:
+        return word
+    for s in ("kah", "lah", "pun"):
+        if word.endswith(s):
+            word = word[: -len(s)]
+            measure -= 1
+            break
+    if measure <= 2:
+        return word
+    for s in ("nya", "ku", "mu"):
+        if word.endswith(s):
+            word = word[: -len(s)]
+            measure -= 1
+            break
+    if measure <= 2:
+        return word
+    w2, cls = _id_first_prefix(word)
+    if cls is not None:
+        word = w2
+        measure -= 1
+        if measure > 2:
+            w3, removed = _id_suffix(word, cls)
+            if removed:
+                word = w3
+                measure -= 1
+                if measure > 2:
+                    word, _ = _id_second_prefix(word)
+        return word
+    # no first-order prefix: second-order prefix first, then suffix
+    w2, cls2 = _id_second_prefix(word)
+    if cls2 is not None:
+        word = w2
+        measure -= 1
+    if measure > 2:
+        word, removed = _id_suffix(word, cls2)
+        if removed:
+            measure -= 1
+    return word
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -2563,6 +2704,7 @@ STEMMERS: dict[str, object] = {
     "ro": stem_ro,
     "hu": stem_hu,
     "tr": stem_tr,
+    "id": stem_id,
 }
 
 

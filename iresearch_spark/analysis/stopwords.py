@@ -190,6 +190,19 @@ STOPWORDS: dict[str, frozenset[str]] = {
         şunları şunu tarafından tüm üzere ve veya ya yani yerine yine
         yoksa zaten zira""".split()
     ),
+    "id": frozenset(
+        """ada adalah agar akan aku anda antara apa apakah atau bagi
+        bahwa baik banyak beberapa begitu belum bisa bukan dalam dan
+        dapat dari demi dengan di dia dua gimana hal hanya harus hingga
+        ia ini itu jadi jika juga kalau kami kamu karena ke kembali
+        kemudian kenapa kepada ketika kita lagi lain lalu lebih maka
+        masih melainkan menjadi mereka mungkin namun oleh pada para pun
+        saat saja sama sambil sampai sangat saya sebagai sebelum sebuah
+        sedang sedangkan sehingga sejak sekarang selain selama seluruh
+        sementara semua seorang seperti serta setelah setiap siapa
+        sudah supaya tanpa tapi telah tentang terhadap tersebut tetapi
+        tidak untuk walaupun yaitu yakni yang""".split()
+    ),
 }
 
 

@@ -21,7 +21,13 @@ from iresearch_spark.analysis.snowball import (
     stem_ru,
     stem_sv,
 )
-from iresearch_spark.analysis.snowball import stem_fi, stem_hu, stem_ro, stem_tr
+from iresearch_spark.analysis.snowball import (
+    stem_fi,
+    stem_hu,
+    stem_id,
+    stem_ro,
+    stem_tr,
+)
 from iresearch_spark.index.builder import build_index
 from iresearch_spark.search import SearchEngine, Term
 
@@ -133,6 +139,25 @@ TR = [
     ("annem", "annem"),           # harmony blocks -(U)m on 'a...e' stem
     ("ev", "ev"),                 # one vowel: never stemmed
 ]
+ID = [
+    # hand-traced: confix stripping with syllable (=vowel) gates
+    ("kebijaksanaan", "bijaksana"),   # ke- then -an
+    ("mempermainkan", "main"),        # mem-, -kan, then per-
+    ("pemerintah", "perintah"),       # pem+V -> p+V recode
+    ("penulisan", "tulis"),           # pen+V -> t+V recode, -an
+    ("menulis", "tulis"),             # men+V -> t+V recode
+    ("berjalanlah", "jalan"),         # -lah particle, ber-
+    ("bukunya", "buku"),              # -nya possessive
+    ("memberikan", "beri"),           # mem-, -kan; measure gate stops ber-
+    ("dibacakan", "baca"),            # di- allows -kan
+    ("komunikasi", "komunikasi"),     # -i blocked after 's'
+    ("bekerja", "kerja"),             # be- before consonant+'er'
+    ("belajar", "ajar"),              # bel- of belajar
+    ("pelajaran", "ajar"),            # pel- of pelajar, -an
+    ("makanan", "makan"),             # bare -an
+    ("diperbaiki", "baik"),           # di-, -i, then per-
+    ("makan", "makan"),               # two syllables: never stemmed
+]
 
 
 @pytest.mark.parametrize(
@@ -141,10 +166,10 @@ TR = [
         (stem_de, DE), (stem_fr, FR), (stem_es, ES), (stem_pt, PT),
         (stem_it, IT), (stem_nl, NL), (stem_ru, RU), (stem_sv, SV),
         (stem_da, DA), (stem_no, NO), (stem_fi, FI), (stem_ro, RO),
-        (stem_hu, HU), (stem_tr, TR),
+        (stem_hu, HU), (stem_tr, TR), (stem_id, ID),
     ],
     ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no",
-         "fi", "ro", "hu", "tr"],
+         "fi", "ro", "hu", "tr", "id"],
 )
 def test_stemmer_goldens(fn, pairs):
     for word, want in pairs:
@@ -162,6 +187,7 @@ def test_stemmers_deterministic_and_non_lengthening():
         "fi": "aehijklmnoprstuvyäö", "ro": "abcdefgilmnoprstuăâîșț",
         "hu": "abcdefghiklmnoprstuzáéíóöőúüű",
         "tr": "abcçdefgğhıijklmnoöprsştuüvyz",
+        "id": "abcdefghijklmnoprstuwy",
     }
     for lang, fn in STEMMERS.items():
         ab = alphabets[lang]
@@ -205,7 +231,7 @@ def test_default_stopwords_leave_position_gaps():
 @pytest.mark.parametrize(
     "lang",
     ["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no", "fi",
-     "ro", "tr"],
+     "ro", "tr", "id"],
 )
 def test_arrow_fast_path_differential(lang):
     corpus = {
@@ -222,6 +248,7 @@ def test_arrow_fast_path_differential(lang):
         "fi": ["taloissa huoneeseen kirjoja", "suurimmat tavallisesti"],
         "ro": ["cărților muncitorii frumoase", "lucrare cântând"],
         "tr": ["kitaplarımdan güzelliği arabaya", "çocuklarımızın evlerimizden"],
+        "id": ["kebijaksanaan pemerintah menulis", "berjalanlah makanan bukunya"],
     }[lang]
     a = get_analyzer(f"text_{lang}")
     texts = corpus * 4 + ["", None]
