@@ -1,7 +1,8 @@
 """Snowball stemmers beyond English, pure Python, from the published
 algorithm descriptions (snowballstem.org/algorithms/): German, Swedish,
 Dutch, French, Spanish, Portuguese, Italian, Russian, Danish,
-Norwegian, Finnish, Romanian, Hungarian, Turkish, Indonesian.
+Norwegian, Finnish, Romanian, Hungarian, Turkish, Indonesian,
+Hindi.
 
 Capability parity with the reference's locale-driven stemmer selection
 (`core/analysis/text_token_stream.cpp:509` — `make_stemmer_ptr(
@@ -29,7 +30,7 @@ __all__ = [
     "STEMMERS", "MemoTable", "get_stemmer",
     "stem_de", "stem_sv", "stem_nl", "stem_fr", "stem_es", "stem_pt",
     "stem_it", "stem_ru", "stem_da", "stem_no", "stem_fi", "stem_ro",
-    "stem_hu", "stem_tr", "stem_id",
+    "stem_hu", "stem_tr", "stem_id", "stem_hi",
 ]
 
 
@@ -2663,6 +2664,46 @@ def stem_id(word: str) -> str:
     return word
 
 
+# ================================================================= Hindi
+#
+# "A Lightweight Stemmer for Hindi" (Ramanathan & Rao 2003) — the
+# algorithm Snowball adopted (snowballstem.org/algorithms/hindi/):
+# delete the LONGEST suffix from the published list (number / gender /
+# case matra endings plus verbal tense-aspect paradigms), requiring at
+# least one character to precede it; applied once, no recoding. The
+# suffixes are Devanagari codepoint sequences (matras are combining
+# characters — length is counted in codepoints, as the reference
+# implementation does).
+
+_HI_SUFFIXES = (
+    # length 5 (codepoints)
+    "ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां",
+    # length 4
+    "ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+    "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+    "ियों", "ियां",
+    # length 3
+    "ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+    "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+    "ुआं",
+    # length 2
+    "कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती",
+    "ता", "ाँ", "ां", "ों", "ें",
+    # length 1
+    "ो", "े", "ू", "ु", "ी", "ि", "ा",
+)
+# longest-match semantics: ensure descending codepoint length
+_HI_SUFFIXES = tuple(sorted(_HI_SUFFIXES, key=len, reverse=True))
+
+
+def stem_hi(word: str) -> str:
+    """Snowball Hindi stemmer (snowballstem.org/algorithms/hindi/)."""
+    for s in _HI_SUFFIXES:
+        if word.endswith(s) and len(word) > len(s):
+            return word[: -len(s)]
+    return word
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -2705,6 +2746,7 @@ STEMMERS: dict[str, object] = {
     "hu": stem_hu,
     "tr": stem_tr,
     "id": stem_id,
+    "hi": stem_hi,
 }
 
 

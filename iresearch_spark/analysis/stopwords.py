@@ -203,6 +203,15 @@ STOPWORDS: dict[str, frozenset[str]] = {
         sudah supaya tanpa tapi telah tentang terhadap tersebut tetapi
         tidak untuk walaupun yaitu yakni yang""".split()
     ),
+    "hi": frozenset(
+        """के का एक में की है यह और से हैं को पर इस होता कि जो कर मे गया करने
+        किया लिये अपने ने बनी नहीं तो ही या एवं दिया हो इसका था द्वारा हुआ
+        तक साथ करना वाले बाद लिए आप कुछ सकते किसी ये इसके सबसे इसमें थे दो
+        होने वह वे करते बहुत कहा कई करें होती अपनी उनके थी यदि हुई जा ना
+        इसे कहते जब होते कोई हुए व न अभी जैसे सभी करता उनकी तरह उस आदि
+        रहा इसकी सकता रहे उनका इसी अपना पे उसके मैं हम तुम वो भी अगर मगर
+        लेकिन क्या कौन कब कहाँ क्यों कैसे""".split()
+    ),
 }
 
 

@@ -23,6 +23,7 @@ from iresearch_spark.analysis.snowball import (
 )
 from iresearch_spark.analysis.snowball import (
     stem_fi,
+    stem_hi,
     stem_hu,
     stem_id,
     stem_ro,
@@ -158,6 +159,20 @@ ID = [
     ("diperbaiki", "baik"),           # di-, -i, then per-
     ("makan", "makan"),               # two syllables: never stemmed
 ]
+HI = [
+    # hand-traced: longest suffix from the published list, ≥1 char kept
+    ("लड़कियाँ", "लड़क"),     # ियाँ (4)
+    ("लड़के", "लड़क"),        # े (1)
+    ("लड़का", "लड़क"),        # ा (1)
+    ("किताबें", "किताब"),     # ें (2)
+    ("आदमियों", "आदम"),       # ियों (4)
+    ("बोलने", "बोल"),         # ने (2)
+    ("समझाया", "समझ"),        # ाया (3)
+    ("बनाकर", "बन"),          # ाकर (3)
+    ("होती", "हो"),           # ती (2)
+    ("है", "है"),             # no listed suffix
+    ("ी", "ी"),               # suffix may not consume the whole word
+]
 
 
 @pytest.mark.parametrize(
@@ -166,10 +181,10 @@ ID = [
         (stem_de, DE), (stem_fr, FR), (stem_es, ES), (stem_pt, PT),
         (stem_it, IT), (stem_nl, NL), (stem_ru, RU), (stem_sv, SV),
         (stem_da, DA), (stem_no, NO), (stem_fi, FI), (stem_ro, RO),
-        (stem_hu, HU), (stem_tr, TR), (stem_id, ID),
+        (stem_hu, HU), (stem_tr, TR), (stem_id, ID), (stem_hi, HI),
     ],
     ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no",
-         "fi", "ro", "hu", "tr", "id"],
+         "fi", "ro", "hu", "tr", "id", "hi"],
 )
 def test_stemmer_goldens(fn, pairs):
     for word, want in pairs:
@@ -188,6 +203,7 @@ def test_stemmers_deterministic_and_non_lengthening():
         "hu": "abcdefghiklmnoprstuzáéíóöőúüű",
         "tr": "abcçdefgğhıijklmnoöprsştuüvyz",
         "id": "abcdefghijklmnoprstuwy",
+        "hi": "कखगचजटडतदनपबमयरलवशसहािीुूेैोौं",
     }
     for lang, fn in STEMMERS.items():
         ab = alphabets[lang]
@@ -231,7 +247,7 @@ def test_default_stopwords_leave_position_gaps():
 @pytest.mark.parametrize(
     "lang",
     ["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no", "fi",
-     "ro", "tr", "id"],
+     "ro", "tr", "id", "hi"],
 )
 def test_arrow_fast_path_differential(lang):
     corpus = {
@@ -249,6 +265,9 @@ def test_arrow_fast_path_differential(lang):
         "ro": ["cărților muncitorii frumoase", "lucrare cântând"],
         "tr": ["kitaplarımdan güzelliği arabaya", "çocuklarımızın evlerimizden"],
         "id": ["kebijaksanaan pemerintah menulis", "berjalanlah makanan bukunya"],
+        # matras are combining marks: pins that the slow tokenizer's
+        # \pM extension stays byte-identical to the Arrow fast path
+        "hi": ["लड़कियाँ किताबें पढ़ती हैं", "आदमियों ने समझाया"],
     }[lang]
     a = get_analyzer(f"text_{lang}")
     texts = corpus * 4 + ["", None]
