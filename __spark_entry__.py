@@ -185,6 +185,25 @@ _RU_FIXTURE = [
 ]
 _RU_KNIGA_FORMS = ("книгами", "книги", "книга")
 
+_TR_FIXTURE = [
+    "kitabı masada duruyor",
+    "kitaplar rafta eski",
+    "kitaplarımdan birini verdim",
+    "evlerde insanlar oturur",
+    "masada eski defter var",
+]
+# hand-traced through the Turkish suffix machinery: forms -> 'kitap'
+_TR_KITAP_FORMS = ("kitabı", "kitaplar", "kitaplarımdan")
+
+_HI_FIXTURE = [
+    "किताबें मेज पर हैं",
+    "एक किताब यहाँ है",
+    "लड़कियाँ पढ़ती हैं",
+    "आदमियों ने समझाया",
+]
+# hand-traced through the published Hindi suffix list -> 'किताब'
+_HI_KITAB_FORMS = ("किताबें", "किताब")
+
 # CJK segmentation fixture + the hand-traced token stream the oracle
 # replays (built-in dictionary, greedy longest match; kana runs whole)
 _CJK_FIXTURE = [
@@ -969,6 +988,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rounded(eng.matches(Term("книг")))
 
     q["text_ru_term"] = text_ru_term
+
+    def text_tr_term(spark, sf_dir):
+        eng = _multilang_engine(spark, "tr", _TR_FIXTURE)
+        return _rounded(eng.matches(Term("kitap")))
+
+    q["text_tr_term"] = text_tr_term
+
+    def text_hi_term(spark, sf_dir):
+        eng = _multilang_engine(spark, "hi", _HI_FIXTURE)
+        return _rounded(eng.matches(Term("किताब")))
+
+    q["text_hi_term"] = text_hi_term
 
     # CJK dictionary segmentation (segmentation_token_stream.cpp ICU
     # dictionary break): index the fixed zh/ja fixture with cjk=True
@@ -2296,6 +2327,8 @@ FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN tstats ts
 
     o["text_de_term"] = _multilang_sql(_DE_FIXTURE, _DE_HAUS_FORMS)
     o["text_ru_term"] = _multilang_sql(_RU_FIXTURE, _RU_KNIGA_FORMS)
+    o["text_tr_term"] = _multilang_sql(_TR_FIXTURE, _TR_KITAP_FORMS)
+    o["text_hi_term"] = _multilang_sql(_HI_FIXTURE, _HI_KITAB_FORMS)
 
     # CJK gate: BM25 over the FROZEN hand-traced token stream
     _cjk_vals = ", ".join(
