@@ -297,7 +297,11 @@ class HotEngine:
         ]
 
     def _apply_deletes(self, doc_ids, scores):
-        if self._deleted is None or doc_ids.size == 0:
+        if (
+            self._deleted is None
+            or self._deleted.size == 0
+            or doc_ids.size == 0
+        ):
             return doc_ids, scores
         pos = np.searchsorted(self._deleted, doc_ids)
         pos = np.minimum(pos, self._deleted.size - 1)
@@ -607,6 +611,8 @@ class HotEngine:
 
 
 def _sum_by_doc(d: np.ndarray, s: np.ndarray):
+    if d.size == 0:
+        return d, s
     order = np.argsort(d, kind="stable")
     d, s = d[order], s[order]
     bound = np.empty(d.size, bool)
@@ -617,6 +623,8 @@ def _sum_by_doc(d: np.ndarray, s: np.ndarray):
 
 
 def _merge_by_doc(d, s, r, merge: str, f32: bool = False):
+    if d.size == 0:
+        return d, s, r
     order = np.argsort(d, kind="stable")
     d, s, r = d[order], s[order], r[order]
     bound = np.empty(d.size, bool)

@@ -172,3 +172,17 @@ def test_hot_budget_guard(engines, spark):
     eng, _ = engines
     with pytest.raises(ValueError):
         HotEngine(eng, max_bytes=10)
+
+
+def test_hot_absent_terms_empty_not_crash(engines):
+    # regression: And/Or whose children ALL miss the vocabulary used to
+    # IndexError in the numpy doc-merge; the cluster path returns empty
+    eng, hot = engines
+    for q in (
+        And([Term("zzzz"), Term("qqqq")]),
+        Or([Term("zzzz"), Term("qqqq")]),
+        Or([Term("zzzz"), Term("qqqq")], merge_type="max"),
+        Phrase(["zzzz", "qqqq"]),
+    ):
+        assert hot.search(q, k=5) == []
+        assert hot.matches(q) == []
