@@ -874,15 +874,28 @@ for _lang in (
 def _text_locale_dispatch(locale: str = "en", **opts) -> Analyzer:
     """Locale-driven text analyzer — get_analyzer("text", locale="de").
     `locale` accepts 'de', 'de_DE.UTF-8', 'de-DE' forms (language part
-    is taken), mirroring the reference's locale parsing."""
+    is taken), mirroring the reference's locale parsing. For a locale
+    WITHOUT a stemmer the chain still runs (tokenize + NFC + lower
+    [+ stopwords]) with stemming skipped and a warning — the
+    reference's behavior exactly (text_token_stream.cpp:507-516: the
+    Snowball stemmer is "optional since not available for all
+    locales"; absence logs a warning, never fails the analyzer)."""
     lang = locale.split("_")[0].split("-")[0].split(".")[0].lower() or "en"
     name = f"text_{lang}"
-    if name not in _REGISTRY:
-        raise ValueError(
-            f"no text analyzer for locale {locale!r}; available: "
-            + ", ".join(sorted(k for k in _REGISTRY if k.startswith("text_")))
+    if name in _REGISTRY:
+        return _REGISTRY[name](**opts)
+    if opts.get("stemming", True):
+        import warnings
+
+        warnings.warn(
+            f"no stemmer for locale {locale!r} — text analyzer runs "
+            "without stemming (the reference's optional-stemmer "
+            "fallback)",
+            stacklevel=2,
         )
-    return _REGISTRY[name](**opts)
+    opts = dict(opts)
+    opts["stemming"] = False
+    return _make_text_locale(lang)(**opts)
 
 
 @_register("norm")

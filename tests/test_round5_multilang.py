@@ -229,8 +229,28 @@ def test_locale_dispatch_and_chain():
     terms, pos = a.analyze("Die Häuser der Kinder")
     assert terms == ["die", "haus", "der", "kind"]
     assert pos == [0, 1, 2, 3]
-    with pytest.raises(ValueError):
-        get_analyzer("text", locale="zz")
+
+
+def test_locale_without_stemmer_falls_back_unstemmed():
+    # reference parity (text_token_stream.cpp:507-516): the Snowball
+    # stemmer is optional — locales without one warn and analyze
+    # unstemmed, they do not fail
+    with pytest.warns(UserWarning, match="without stemming"):
+        a = get_analyzer("text", locale="pl_PL.UTF-8")
+    assert a.name == "text_pl"
+    terms, pos = a.analyze("Wielkie Książki Tutaj")
+    assert terms == ["wielkie", "książki", "tutaj"]  # lowered, unstemmed
+    assert pos == [0, 1, 2]
+    # explicit stemming=False asks for the unstemmed chain: no warning
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        b = get_analyzer("text", locale="pl", stemming=False)
+    assert b.analyze("Test")[0] == ["test"]
+    # unknown LANGUAGE with a registered-name lookup still raises
+    with pytest.raises(KeyError):
+        get_analyzer("text_zz")
 
 
 def test_default_stopwords_leave_position_gaps():
