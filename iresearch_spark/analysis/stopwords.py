@@ -212,6 +212,88 @@ STOPWORDS: dict[str, frozenset[str]] = {
         रहा इसकी सकता रहे उनका इसी अपना पे उसके मैं हम तुम वो भी अगर मगर
         लेकिन क्या कौन कब कहाँ क्यों कैसे""".split()
     ),
+    # languages below have no stemmer here (the `text` analyzer falls
+    # back to the unstemmed chain) but full stopword defaults, so every
+    # language lang_id_ngram detects gets at least tokenize + NFC +
+    # lower + stopwords:
+    "ar": frozenset(
+        """في من على أن إلى عن مع هذا هذه ذلك التي الذي ما لا لم لن هو
+        هي هم كان كانت يكون أو ثم حتى إذا كل بعض قد لقد منذ عند عندما
+        بين بعد قبل حيث كيف لماذا أين متى نحن أنا أنت هناك هنا ليس غير
+        بل لكن إن أي دون حول خلال ضد أمام تحت فوق أيضا كما لدى له لها
+        لهم به بها منه منها إلا الى التى وهو وهي فيه فيها عليه عليها
+        ولا وما ومن وكان حين لدى إذ أما أثناء""".split()
+    ),
+    "cs": frozenset(
+        """a aby ale ani ano asi až bez bude budou by byl byla bylo být
+        co což či další dnes do ho i já jak jako je jeho jejich jen
+        ještě ji jiné již jsem jsi jsme jsou jste k kam kde kdo když ke
+        která které který kteří má mají máme mezi mi mně mnou můj my na
+        nad nám námi naše ne nebo nebyl není než nic nich ním nové nový
+        o od on ona oni ono po pod podle pokud pouze pro proč proto
+        protože první před přes při s se si svůj svých ta tak také
+        takže tato tedy ten tento této tím tímto to tohoto tom tomto
+        tomu toto tu tuto ty tyto u už v ve více však všech vy z za ze
+        že""".split()
+    ),
+    "el": frozenset(
+        """και το του της των την στο στη στης στις στα ο η οι τα ένα
+        ένας μία μια με για από σε που δεν να είναι ήταν θα ως αλλά ή
+        αν όταν πως ότι αυτό αυτή αυτός αυτοί μας σας τους τις κατά
+        μετά πριν επί ενώ όπως εάν ούτε μη μην στον στην στους γιατί
+        πολύ πιο κάθε όλα όλοι εδώ εκεί τότε τώρα ακόμα μόνο""".split()
+    ),
+    "he": frozenset(
+        """של את על עם הוא היא הם הן אני אתה אנחנו זה זאת אלה כי לא מה
+        יש אין גם רק אבל או אם כאשר כמו בין עד אחרי לפני תחת מעל כל כך
+        שם פה הנה אז עוד אשר מן אל לו לה להם בו בה שלו שלה שלהם היה
+        היתה היו יהיה מי למה איך מתי איפה""".split()
+    ),
+    "ja": frozenset(
+        """の に は を た が で て と し れ さ ある いる も する から
+        な こと として い や など なっ ない この ため その あっ よう
+        また もの という あり まで られ なる へ か だ これ によって
+        により おり より による ず なり られる において ば なかっ なく
+        しかし について せ だっ できる それ ので もしくは および"""
+        .split()
+    ),
+    "ko": frozenset(
+        """이 그 저 것 수 등 들 및 에서 에게 의 를 을 은 는 가 와 과
+        도 로 으로 만 에 하다 있다 되다 이다 않다 없다 같다 보다 주다
+        받다 우리 저희 당신 그녀 그들 무엇 어떤 어느 아니 또 또한
+        그리고 그러나 하지만 그래서 따라서 즉 만약 모든 하는 있는
+        된 할 한 했다 된다""".split()
+    ),
+    "pl": frozenset(
+        """a aby ale ani aż bardzo bez bo być był była było były będzie
+        ci co czy dla do gdy gdzie go i ich im ja jak jako je jego jej
+        jest jeszcze jeśli już kiedy kto która które który lub ma mają
+        mi mnie mogą może my na nad nam nas nasz nie nich nim niż o od
+        ona one oni ono oraz po pod ponieważ przez przy się swoje są ta
+        tak także tam te tego tej ten teraz też to tu ty tych tylko tym
+        u w we wszystko wy z za ze że żeby""".split()
+    ),
+    "uk": frozenset(
+        """і в на з до не що це як а але або та у від для по при про
+        між під над так той ця ці був була було були є ми ви вони він
+        вона воно його її їх них нас вас мене тебе себе хто коли де
+        чому якщо також вже ще тільки може бути цей яка який які щоб
+        ніж через після перед б ж би""".split()
+    ),
+    "vi": frozenset(
+        """và của là có được trong cho với không những các một này đã
+        để người khi đến từ như về nhưng còn thì ra nếu vì tại trên
+        theo sau đó nó tôi bạn chúng họ gì đây kia rằng hay hoặc nên
+        bị sẽ đang rất nhiều ít mà ở lại cũng vào nào ai đều phải
+        thế sự việc điều""".split()
+    ),
+    "zh": frozenset(
+        """的 了 和 是 在 我 有 他 这 中 大 来 上 个 到 说 们 为 你 地
+        出 也 时 就 那 要 下 以 会 自 着 去 之 过 家 对 可 她 里 后
+        小 么 心 多 都 而 能 好 于 被 与 把 并 从 但 或 因为 所以
+        什么 这个 那个 我们 他们 没有 不是 一个 这样 如果 已经 可以
+        还是 但是 因此 以及 对于 通过 其中 这些 那些""".split()
+    ),
 }
 
 

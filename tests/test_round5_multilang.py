@@ -253,6 +253,30 @@ def test_locale_without_stemmer_falls_back_unstemmed():
         get_analyzer("text_zz")
 
 
+def test_stopword_defaults_cover_all_langid_languages():
+    # every language lang_id_ngram can emit has stopword defaults, so
+    # the locale-driven text chain (stemmed or fallback-unstemmed)
+    # always has a usable stopwords="default"
+    from iresearch_spark.analysis.stopwords import stopwords_for
+
+    langs27 = [
+        "ar", "cs", "da", "de", "el", "en", "es", "fi", "fr", "he",
+        "hi", "hu", "id", "it", "ja", "ko", "nl", "no", "pl", "pt",
+        "ro", "ru", "sv", "tr", "uk", "vi", "zh",
+    ]
+    assert all(stopwords_for(lang) for lang in langs27)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        a = get_analyzer("text", locale="pl", stopwords="default")
+        b = get_analyzer("text", locale="ar", stopwords="default")
+    assert a.analyze("To jest bardzo wielki dom")[0] == ["wielki", "dom"]
+    assert b.analyze("هذا كتاب جديد في المكتبة")[0] == [
+        "كتاب", "جديد", "المكتبة",
+    ]
+
+
 def test_default_stopwords_leave_position_gaps():
     a = get_analyzer("text_fr", stopwords="default")
     terms, pos = a.analyze("les maisons nationales de la montagne")
