@@ -204,6 +204,17 @@ _HI_FIXTURE = [
 # hand-traced through the published Hindi suffix list -> 'किताब'
 _HI_KITAB_FORMS = ("किताबें", "किताब")
 
+_AR_FIXTURE = [
+    "الكتاب على الطاولة",
+    "كتابها في البيت",
+    "والكتاب الجديد هنا",
+    "المدرسة كبيرة",
+    "كتب كثيرة هناك",
+]
+# hand-traced through Light10 (normalize + prefix + suffix sweep):
+# surface forms in the fixture stemming to 'كتاب'
+_AR_KITAB_FORMS = ("الكتاب", "كتابها", "والكتاب")
+
 # CJK segmentation fixture + the hand-traced token stream the oracle
 # replays (built-in dictionary, greedy longest match; kana runs whole)
 _CJK_FIXTURE = [
@@ -1000,6 +1011,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rounded(eng.matches(Term("किताब")))
 
     q["text_hi_term"] = text_hi_term
+
+    def text_ar_term(spark, sf_dir):
+        eng = _multilang_engine(spark, "ar", _AR_FIXTURE)
+        return _rounded(eng.matches(Term("كتاب")))
+
+    q["text_ar_term"] = text_ar_term
 
     # CJK dictionary segmentation (segmentation_token_stream.cpp ICU
     # dictionary break): index the fixed zh/ja fixture with cjk=True
@@ -2329,6 +2346,7 @@ FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN tstats ts
     o["text_ru_term"] = _multilang_sql(_RU_FIXTURE, _RU_KNIGA_FORMS)
     o["text_tr_term"] = _multilang_sql(_TR_FIXTURE, _TR_KITAP_FORMS)
     o["text_hi_term"] = _multilang_sql(_HI_FIXTURE, _HI_KITAB_FORMS)
+    o["text_ar_term"] = _multilang_sql(_AR_FIXTURE, _AR_KITAB_FORMS)
 
     # CJK gate: BM25 over the FROZEN hand-traced token stream
     _cjk_vals = ", ".join(

@@ -2,7 +2,9 @@
 algorithm descriptions (snowballstem.org/algorithms/): German, Swedish,
 Dutch, French, Spanish, Portuguese, Italian, Russian, Danish,
 Norwegian, Finnish, Romanian, Hungarian, Turkish, Indonesian,
-Hindi.
+Hindi — plus Arabic via the published Light10 light stemmer (Larkey
+et al. 2007, the algorithm Lucene deploys; see the Arabic section for
+why it stands in for the Snowball Arabic algorithm).
 
 Capability parity with the reference's locale-driven stemmer selection
 (`core/analysis/text_token_stream.cpp:509` — `make_stemmer_ptr(
@@ -30,7 +32,7 @@ __all__ = [
     "STEMMERS", "MemoTable", "get_stemmer",
     "stem_de", "stem_sv", "stem_nl", "stem_fr", "stem_es", "stem_pt",
     "stem_it", "stem_ru", "stem_da", "stem_no", "stem_fi", "stem_ro",
-    "stem_hu", "stem_tr", "stem_id", "stem_hi",
+    "stem_hu", "stem_tr", "stem_id", "stem_hi", "stem_ar",
 ]
 
 
@@ -2704,6 +2706,76 @@ def stem_hi(word: str) -> str:
     return word
 
 
+# ================================================================ Arabic
+#
+# Light10 light stemmer (Larkey, Ballesteros & Connell, "Light
+# Stemming for Arabic Information Retrieval", 2007) — the most widely
+# deployed public Arabic stemmer (it is what Lucene's
+# ArabicNormalizer + ArabicStemmer implement). Chosen deliberately:
+# Light10's full rule set (normalization + one prefix removal + an
+# ordered suffix sweep) is published precisely and hand-checkable,
+# and the reference's requirement is a locale-driven stemmer behind
+# the text analyzer (text_token_stream.cpp:509) — light stemming is
+# the standard IR treatment for Arabic (it outperformed root
+# stemming in the paper's retrieval evaluation).
+#
+# Steps (prefix/suffix conditions count NORMALIZED letters):
+#   normalize  drop tatweel + harakat (fathatan..sukun) + superscript
+#              alef; hamza-carrying alef forms -> bare alef; alef
+#              maksura -> yeh; teh marbuta -> heh
+#   prefix     first matching prefix of {ال وال بال كال فال لل و} is
+#              removed — ONE removal; the 1-letter waw needs >= 3
+#              letters left, the articles >= 2 (a match whose length
+#              condition fails does not stop the scan)
+#   suffixes   sweep {ها ان ات ون ين يه ية ه ة ي} IN ORDER, removing
+#              each match that leaves >= 2 letters — several can come
+#              off one word (e.g. …اتها loses ها then ات)
+
+_AR_DIAC = frozenset(
+    "ـ"                    # tatweel
+    "ًٌٍ"        # fathatan dammatan kasratan
+    "َُِ"        # fatha damma kasra
+    "ّْٰ"        # shadda sukun superscript-alef
+)
+_AR_CHAR_MAP = {
+    "آ": "ا",  # alef madda -> alef
+    "أ": "ا",  # alef hamza above -> alef
+    "إ": "ا",  # alef hamza below -> alef
+    "ى": "ي",  # alef maksura -> yeh
+    "ة": "ه",  # teh marbuta -> heh
+}
+
+_AR_PREFIXES = ("ال", "وال", "بال", "كال", "فال", "لل", "و")
+# the ية/ة entries are the pre-normalization spellings (kept so the
+# stemmer is also correct on un-normalized input); after _ar_normalize
+# they surface as يه/ه
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+
+
+def _ar_normalize(word: str) -> str:
+    out = []
+    for ch in word:
+        if ch in _AR_DIAC:
+            continue
+        out.append(_AR_CHAR_MAP.get(ch, ch))
+    return "".join(out)
+
+
+def stem_ar(word: str) -> str:
+    """Light10 Arabic light stemmer (Larkey et al. 2007)."""
+    w = _ar_normalize(word)
+    for p in _AR_PREFIXES:
+        if w.startswith(p):
+            keep = len(w) - len(p)
+            if keep >= 3 if len(p) == 1 else keep >= 2:
+                w = w[len(p):]
+                break
+    for s in _AR_SUFFIXES:
+        if w.endswith(s) and len(w) - len(s) >= 2:
+            w = w[: -len(s)]
+    return w
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -2747,6 +2819,7 @@ STEMMERS: dict[str, object] = {
     "tr": stem_tr,
     "id": stem_id,
     "hi": stem_hi,
+    "ar": stem_ar,
 }
 
 

@@ -22,6 +22,7 @@ from iresearch_spark.analysis.snowball import (
     stem_sv,
 )
 from iresearch_spark.analysis.snowball import (
+    stem_ar,
     stem_fi,
     stem_hi,
     stem_hu,
@@ -173,6 +174,25 @@ HI = [
     ("है", "है"),             # no listed suffix
     ("ी", "ी"),               # suffix may not consume the whole word
 ]
+AR = [
+    # hand-traced through Light10 (Larkey et al. 2007): normalize,
+    # one prefix, ordered suffix sweep
+    ("الكتاب", "كتاب"),       # definite article
+    ("والكتاب", "كتاب"),      # conjunction + article as one prefix
+    ("بالبيت", "بيت"),        # bi+al
+    ("للعلم", "علم"),         # lil
+    ("كتابها", "كتاب"),       # -ha possessive
+    ("المسلمون", "مسلم"),     # article + -uun plural
+    ("مكتبة", "مكتب"),        # teh marbuta -> heh, then stripped
+    ("مكتباتها", "مكتب"),     # ordered sweep: -ha then -aat
+    ("أستاذ", "استاذ"),       # hamza-above alef normalized
+    ("وفي", "وف"),            # waw kept (< 3 letters left), yeh off
+    ("والد", "الد"),          # وال fails the length check, و comes off
+    ("كِتَابٌ", "كتاب"),      # harakat removed
+    ("القاهرة", "قاهر"),
+    ("على", "عل"),            # alef maksura -> yeh, then stripped
+    ("مؤمن", "مؤمن"),         # mid-word hamza carriers untouched
+]
 
 
 @pytest.mark.parametrize(
@@ -182,9 +202,10 @@ HI = [
         (stem_it, IT), (stem_nl, NL), (stem_ru, RU), (stem_sv, SV),
         (stem_da, DA), (stem_no, NO), (stem_fi, FI), (stem_ro, RO),
         (stem_hu, HU), (stem_tr, TR), (stem_id, ID), (stem_hi, HI),
+        (stem_ar, AR),
     ],
     ids=["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no",
-         "fi", "ro", "hu", "tr", "id", "hi"],
+         "fi", "ro", "hu", "tr", "id", "hi", "ar"],
 )
 def test_stemmer_goldens(fn, pairs):
     for word, want in pairs:
@@ -204,6 +225,7 @@ def test_stemmers_deterministic_and_non_lengthening():
         "tr": "abcçdefgğhıijklmnoöprsştuüvyz",
         "id": "abcdefghijklmnoprstuwy",
         "hi": "कखगचजटडतदनपबमयरलवशसहािीुूेैोौं",
+        "ar": "ابتثجحدرسصطعفقكلمنهويةىأآًَُّ",
     }
     for lang, fn in STEMMERS.items():
         ab = alphabets[lang]
@@ -272,8 +294,9 @@ def test_stopword_defaults_cover_all_langid_languages():
         a = get_analyzer("text", locale="pl", stopwords="default")
         b = get_analyzer("text", locale="ar", stopwords="default")
     assert a.analyze("To jest bardzo wielki dom")[0] == ["wielki", "dom"]
+    # Arabic now has a stemmer (Light10), so the chain stems too
     assert b.analyze("هذا كتاب جديد في المكتبة")[0] == [
-        "كتاب", "جديد", "المكتبة",
+        "كتاب", "جديد", "مكتب",
     ]
 
 
@@ -291,7 +314,7 @@ def test_default_stopwords_leave_position_gaps():
 @pytest.mark.parametrize(
     "lang",
     ["de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no", "fi",
-     "ro", "tr", "id", "hi"],
+     "ro", "tr", "id", "hi", "ar"],
 )
 def test_arrow_fast_path_differential(lang):
     corpus = {
@@ -312,6 +335,8 @@ def test_arrow_fast_path_differential(lang):
         # matras are combining marks: pins that the slow tokenizer's
         # \pM extension stays byte-identical to the Arrow fast path
         "hi": ["लड़कियाँ किताबें पढ़ती हैं", "आदमियों ने समझाया"],
+        # harakat are combining marks too — same \pM pin for Arabic
+        "ar": ["الكتاب كِتَابٌ على الطاولة", "والكتاب مكتباتها للعلم"],
     }[lang]
     a = get_analyzer(f"text_{lang}")
     texts = corpus * 4 + ["", None]
