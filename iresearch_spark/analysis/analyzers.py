@@ -1117,7 +1117,135 @@ def _minhash(num_hashes: int = 4, inner: str = "simple", **_opts) -> Analyzer:
     return Analyzer("minhash", run)
 
 
-def collation_sort_key(text: str, strength: int = 3) -> str:
+# ---- locale tailorings (public CLDR collation rules, no ICU) ----
+#
+# The reference gets locale tailorings from icu::Collator
+# (collation_token_stream.cpp:55-65). Without ICU in the sandbox, the
+# highest-frequency tailorings are implemented directly from the
+# public CLDR collation rules: new primary letters slotted AFTER an
+# existing letter (Swedish å ä ö after z, Turkish ç ğ ı ö ş ü, Czech
+# č ř š ž, Spanish ñ), digraph CONTRACTIONS (Czech ch after h, Danish
+# aa = å), primary EXPANSIONS (German phonebook ä -> ae), secondary
+# EQUIVALENCES (Danish ä = æ, ö = ø, ü = y), and Turkish's dotted/
+# dotless case pairing (I <-> ı, İ <-> i). Locales not listed here
+# fall back to the root key (plain German standard collation IS the
+# root behavior — umlauts differ at the secondary level).
+#
+# Tailored keys use a scaled primary-weight space (ord * 16, so a
+# tailored letter slots into one of 15 gaps after its base letter);
+# keys are comparable only within one (locale, strength) collator
+# config — exactly ICU's contract.
+
+_SEC_TAILOR = 1  # synthetic secondary weight, below any combining mark
+
+_TAILORING_SPECS: dict[str, dict] = {
+    "sv": {"after": {"å": ("z", 1), "ä": ("z", 2), "ö": ("z", 3)},
+           "equiv": {"ü": "y"}},
+    "no": {"after": {"æ": ("z", 1), "ø": ("z", 2), "å": ("z", 3)}},
+    "da": {"after": {"æ": ("z", 1), "ø": ("z", 2), "å": ("z", 3)},
+           "equiv": {"ä": "æ", "ö": "ø", "ü": "y"},
+           "contract": {"aa": "å"}},
+    "tr": {"after": {"ç": ("c", 1), "ğ": ("g", 1), "ı": ("h", 1),
+                     "ö": ("o", 1), "ş": ("s", 1), "ü": ("u", 1)},
+           "case": {"I": "ı", "İ": "i"}},
+    "es": {"after": {"ñ": ("n", 1)}},
+    "cs": {"after": {"č": ("c", 1), "ř": ("r", 1), "š": ("s", 1),
+                     "ž": ("z", 1)},
+           "contract": {"ch": ("h", 1)}},
+    "de_phonebook": {"expand": {"ä": "ae", "ö": "oe", "ü": "ue"}},
+}
+_TAILORINGS: dict[str, dict] = {}
+
+
+def _build_tailoring(spec: dict) -> dict:
+    weights: dict[str, tuple] = {}
+    for ch, (base, rank) in spec.get("after", {}).items():
+        weights[ch] = ((ord(base) * 16 + rank,), None)
+    for ch, seq in spec.get("expand", {}).items():
+        weights[ch] = (tuple(ord(c) * 16 for c in seq), _SEC_TAILOR)
+    for ch, tgt in spec.get("equiv", {}).items():
+        pw = weights.get(tgt, ((ord(tgt) * 16,), None))[0]
+        weights[ch] = (pw, _SEC_TAILOR)
+    contract: dict[str, tuple] = {}
+    for seq, tgt in spec.get("contract", {}).items():
+        if isinstance(tgt, tuple):
+            contract[seq] = ((ord(tgt[0]) * 16 + tgt[1],), None)
+        else:
+            pw = weights.get(tgt, ((ord(tgt) * 16,), None))[0]
+            contract[seq] = (pw, _SEC_TAILOR)
+    return {"weights": weights, "contract": contract,
+            "case": spec.get("case", {})}
+
+
+def _tailoring_for(locale: str) -> dict | None:
+    loc = locale.replace("-", "_").lower()
+    if "phonebk" in loc or "phonebook" in loc:
+        key = "de_phonebook"
+    else:
+        key = loc.split("_")[0].split("@")[0].split(".")[0]
+    if key not in _TAILORING_SPECS:
+        return None
+    built = _TAILORINGS.get(key)
+    if built is None:
+        built = _build_tailoring(_TAILORING_SPECS[key])
+        _TAILORINGS[key] = built
+    return built
+
+
+def _tailored_sort_key(text: str, strength: int, t: dict) -> str:
+    d = unicodedata.normalize("NFC", text)
+    case_map, weights, contract = t["case"], t["weights"], t["contract"]
+    primary: list[int] = []
+    secondary: list[int] = []
+    tertiary: list[int] = []
+    i, n = 0, len(d)
+    while i < n:
+        ch = d[i]
+        if contract and i + 1 < n:
+            hit = contract.get((ch + d[i + 1]).casefold())
+            if hit is not None:
+                pw, sm = hit
+                primary.extend(pw)
+                if sm is not None:
+                    secondary.append(sm)
+                tertiary.append(1 if ch != ch.casefold() else 0)
+                i += 2
+                continue
+        if unicodedata.combining(ch):
+            secondary.append(ord(ch))
+            i += 1
+            continue
+        mapped = case_map.get(ch, ch)
+        case_bit = 1 if ch != ch.casefold() else 0
+        cf = mapped.casefold()
+        hit = weights.get(cf)
+        if hit is not None:
+            pw, sm = hit
+            primary.extend(pw)
+            if sm is not None:
+                secondary.append(sm)
+            tertiary.append(case_bit)
+            i += 1
+            continue
+        for sub in unicodedata.normalize("NFD", mapped):
+            if unicodedata.combining(sub):
+                secondary.append(ord(sub))
+                continue
+            for fc in sub.casefold():
+                primary.append(ord(fc) * 16)
+            tertiary.append(case_bit)
+        i += 1
+    parts = ["".join(f"{p:07x}" for p in primary)]
+    if strength >= 2:
+        parts.append("".join(f"{s:06x}" for s in secondary))
+    if strength >= 3:
+        parts.append("".join(f"{t:x}" for t in tertiary))
+    return ".".join(parts)
+
+
+def collation_sort_key(
+    text: str, strength: int = 3, locale: str = "root"
+) -> str:
     """UCA-style multi-level collation sort key, hex-encoded so the
     term dictionary's plain string order IS the collation order.
 
@@ -1138,9 +1266,18 @@ def collation_sort_key(text: str, strength: int = 3) -> str:
     every hex digit), so string comparison of keys equals
     level-by-level UCA comparison. `strength` 1..3 truncates levels
     like ICU's collator strength (1 = case/accent-insensitive,
-    2 = case-insensitive, 3 = full)."""
+    2 = case-insensitive, 3 = full).
+
+    `locale` applies the CLDR tailorings in `_TAILORING_SPECS` when
+    the language is covered (sv/no/da/tr/es/cs + de phonebook); those
+    keys use a scaled primary space and are comparable only among
+    keys of the SAME (locale, strength) — ICU's own contract. Any
+    other locale falls back to the root key."""
     if strength not in (1, 2, 3):
         raise ValueError("strength must be 1, 2 or 3")
+    t = _tailoring_for(locale) if locale not in ("root", "") else None
+    if t is not None:
+        return _tailored_sort_key(text, strength, t)
     d = unicodedata.normalize("NFD", text)
     primary: list[int] = []
     secondary: list[int] = []
@@ -1169,11 +1306,13 @@ def _collation(
     Equality/range queries over the keys then follow collation order —
     e.g. Range over a collation-indexed field sorts accented names
     correctly, and strength<3 keys give case/accent-insensitive
-    matching. NOTE: without ICU in the environment the key is the
-    ROOT-collation UCA approximation above; `locale` is accepted for
-    API parity and recorded, but locale-specific tailorings (e.g.
-    phonebook ä) are not applied — the documented gap vs the
-    reference."""
+    matching. Without ICU in the environment the key is the UCA
+    approximation above; the highest-frequency CLDR locale tailorings
+    (Swedish/Norwegian/Danish å-block, Turkish dotted/dotless I and
+    extra letters, Spanish ñ, Czech ch digraph, German phonebook
+    ä->ae) are applied directly from the public CLDR rules for those
+    locales — see `_TAILORING_SPECS`; other locales use the root key
+    (the remaining, now much narrower, no-ICU gap)."""
 
     def run(texts: Sequence[str]):
         out = []
@@ -1181,7 +1320,9 @@ def _collation(
             if text is None or text == "":
                 out.append(([], []))
             else:
-                out.append(([collation_sort_key(text, strength)], [0]))
+                out.append(
+                    ([collation_sort_key(text, strength, locale)], [0])
+                )
         return out
 
     return Analyzer("collation", run)
