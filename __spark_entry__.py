@@ -215,6 +215,26 @@ _AR_FIXTURE = [
 # surface forms in the fixture stemming to 'كتاب'
 _AR_KITAB_FORMS = ("الكتاب", "كتابها", "والكتاب")
 
+_CS_FIXTURE = [
+    "žena čte knihu",
+    "ženy jsou v praze",
+    "mluvil se ženami",
+    "město je krásné",
+    "studentech v městech",
+]
+# hand-traced through the Dolamic-Savoy light rules: forms -> 'žen'
+_CS_ZENA_FORMS = ("žena", "ženy", "ženami")
+
+_EL_FIXTURE = [
+    "το βιβλίο είναι εδώ",
+    "τα βιβλία και τα γράμματα",
+    "η πόλη και οι πόλεις",
+    "βιβλίων γραμμάτων ανθρώπων",
+]
+# hand-traced through the Greek light rules (accent fold + longest
+# inflectional ending): forms -> 'βιβλ'
+_EL_VIVLIO_FORMS = ("βιβλίο", "βιβλία", "βιβλίων")
+
 # CJK segmentation fixture + the hand-traced token stream the oracle
 # replays (built-in dictionary, greedy longest match; kana runs whole)
 _CJK_FIXTURE = [
@@ -1017,6 +1037,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rounded(eng.matches(Term("كتاب")))
 
     q["text_ar_term"] = text_ar_term
+
+    def text_cs_term(spark, sf_dir):
+        eng = _multilang_engine(spark, "cs", _CS_FIXTURE)
+        return _rounded(eng.matches(Term("žen")))
+
+    q["text_cs_term"] = text_cs_term
+
+    def text_el_term(spark, sf_dir):
+        eng = _multilang_engine(spark, "el", _EL_FIXTURE)
+        return _rounded(eng.matches(Term("βιβλ")))
+
+    q["text_el_term"] = text_el_term
 
     # CJK dictionary segmentation (segmentation_token_stream.cpp ICU
     # dictionary break): index the fixed zh/ja fixture with cjk=True
@@ -2347,6 +2379,8 @@ FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN tstats ts
     o["text_tr_term"] = _multilang_sql(_TR_FIXTURE, _TR_KITAP_FORMS)
     o["text_hi_term"] = _multilang_sql(_HI_FIXTURE, _HI_KITAB_FORMS)
     o["text_ar_term"] = _multilang_sql(_AR_FIXTURE, _AR_KITAB_FORMS)
+    o["text_cs_term"] = _multilang_sql(_CS_FIXTURE, _CS_ZENA_FORMS)
+    o["text_el_term"] = _multilang_sql(_EL_FIXTURE, _EL_VIVLIO_FORMS)
 
     # CJK gate: BM25 over the FROZEN hand-traced token stream
     _cjk_vals = ", ".join(

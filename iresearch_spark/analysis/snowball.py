@@ -2776,6 +2776,146 @@ def stem_ar(word: str) -> str:
     return w
 
 
+# ================================================================ Czech
+#
+# Dolamic & Savoy light stemmer ("Indexing and stemming approaches
+# for the Czech language", IP&M 45(6), 2009) — the standard published
+# Czech IR stemmer (also the one Lucene ships as CzechStemmer).
+# Czech has no official Snowball algorithm; the reference's
+# locale-driven requirement (text_token_stream.cpp:509) is met the
+# same way Arabic/Hindi were: with the published light stemmer for
+# the language. Two passes over a lowercased word:
+#
+#   remove_case   longest-first noun/adjective case endings, with a
+#                 minimum remaining-length guard per tier; endings
+#                 whose removal exposes a palatalized stem consonant
+#                 go through `_cs_palatalize`, which KEEPS one letter
+#                 of the ending as context, rewrites the consonant
+#                 group (c/č+e/i -> k, z/ž+e/i -> h, čt+ě/i/í -> ck,
+#                 št+ě/i/í -> sk) and then drops that context letter
+#   remove_possessives   -ov/-ův dropped, -in palatalized, on words
+#                        longer than 5 letters
+
+_CS_PALATAL_2 = {"ci": "k", "ce": "k", "či": "k", "če": "k",
+                 "zi": "h", "ze": "h", "ži": "h", "že": "h"}
+_CS_PALATAL_3 = {"čtě": "ck", "čti": "ck", "čtí": "ck",
+                 "ště": "sk", "šti": "sk", "ští": "sk"}
+
+
+def _cs_palatalize(w: str) -> str:
+    # w still carries one letter of the removed ending as context;
+    # rewrite the exposed consonant group, then drop that letter.
+    if w[-2:] in _CS_PALATAL_2:
+        return w[:-2] + _CS_PALATAL_2[w[-2:]]
+    if w[-3:] in _CS_PALATAL_3:
+        return w[:-3] + _CS_PALATAL_3[w[-3:]]
+    return w[:-1]
+
+
+def _cs_remove_case(w: str) -> str:
+    n = len(w)
+    if n > 7 and w.endswith("atech"):
+        return w[:-5]
+    if n > 6:
+        if w.endswith("ětem"):
+            return _cs_palatalize(w[:-3])
+        if w.endswith("atům"):
+            return w[:-4]
+    if n > 5:
+        if w[-3:] in ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému",
+                      "ete", "eti", "iho", "ího", "ími", "imu"):
+            return _cs_palatalize(w[:-2])
+        if w[-3:] in ("ách", "ata", "aty", "ých", "ama", "ami",
+                      "ové", "ovi", "ými"):
+            return w[:-3]
+    if n > 4:
+        if w.endswith("em"):
+            return _cs_palatalize(w[:-1])
+        if w[-2:] in ("es", "ém", "ím"):
+            return _cs_palatalize(w[:-1])
+        if w.endswith("ům"):
+            return w[:-2]
+        if w[-2:] in ("at", "ám", "os", "us", "ým", "mi", "ou"):
+            return w[:-2]
+    if n > 3:
+        if w[-1] in "eiíě":
+            return _cs_palatalize(w)
+        if w[-1] in "uyůaoáéý":
+            return w[:-1]
+    return w
+
+
+def stem_cs(word: str) -> str:
+    """Dolamic-Savoy Czech light stemmer (IP&M 2009)."""
+    w = _cs_remove_case(word)
+    n = len(w)
+    if n > 5:
+        if w.endswith("ov") or w.endswith("ův"):
+            return w[:-2]
+        if w.endswith("in"):
+            return _cs_palatalize(w[:-1])
+    return w
+
+
+# ================================================================ Greek
+#
+# Light inflectional stemmer for Modern Greek. DOCUMENTED
+# SIMPLIFICATION: this is NOT the full Ntais (2006) / Snowball Greek
+# algorithm — that rule set hangs on long word-exception lists that
+# cannot be faithfully reproduced here. Instead, the same light
+# treatment used for Arabic (Light10) and Hindi (suffix list) is
+# applied: fold accents + final sigma the way every Greek IR chain
+# does, then strip the single longest REGULAR inflectional ending
+# (the standard noun/adjective/verb paradigms of reference grammars:
+# masc -ος/-ης/-ας, fem -η/-α, -ση/-ξη plurals in -εις/-εων, neuter
+# -ο/-ι/-μα, active ω/εις/ει/ουμε/ετε/ουν + past α/ες/ε/αμε/ατε/αν +
+# -ησ- aorists, mediopassive ομαι/εσαι/εται/ομαστε/εστε/ονται and
+# imperfect ομουν/οσουν/οταν/ονταν), then strip an exposed
+# comparative/superlative marker (the οτερ/οτατ/υτερ/υτατ/ωτερ/ωτατ/
+# εστερ/εστατ set). Guards: a strip must leave >= 3 letters.
+
+_EL_ACCENT_MAP = {
+    "ά": "α", "έ": "ε", "ή": "η", "ί": "ι", "ό": "ο", "ύ": "υ",
+    "ώ": "ω", "ϊ": "ι", "ΐ": "ι", "ϋ": "υ", "ΰ": "υ", "ς": "σ",
+}
+
+# normalized spellings (σ for final ς), longest-first
+_EL_SUFFIXES = tuple(sorted((
+    # neuter -μα paradigm
+    "ματων", "ματοσ", "ματα", "μα",
+    # nominal endings (masc/fem/neut, sg+pl)
+    "ουσ", "ουν", "ουμε", "ετε", "εισ", "εων", "ιων", "ιουσ", "ιου",
+    "ιοσ", "ιοι", "ιο", "ια",
+    "ων", "οσ", "ου", "οι", "εσ", "ησ", "ασ", "αν", "αμε",
+    "ατε", "ει", "ε", "α", "η", "ο", "ι", "ω",
+    # -ησ- aorist forms
+    "ησα", "ησεσ", "ησε", "ησαμε", "ησατε", "ησαν",
+    # mediopassive
+    "ομαι", "εσαι", "εται", "ομαστε", "εστε", "ονται",
+    "ομουν", "οσουν", "οταν", "ονταν",
+), key=lambda s: (-len(s), s)))
+
+# comparative/superlative markers exposed after ending removal
+# (Ntais's degree-suffix set)
+_EL_DEGREE = ("εστερ", "εστατ", "οτερ", "οτατ",
+              "υτερ", "υτατ", "ωτερ", "ωτατ")
+
+
+def stem_el(word: str) -> str:
+    """Greek light stemmer: accent/final-sigma fold + longest regular
+    inflectional ending + exposed degree marker (>=3-letter stem)."""
+    w = "".join(_EL_ACCENT_MAP.get(ch, ch) for ch in word)
+    for s in _EL_SUFFIXES:
+        if w.endswith(s) and len(w) - len(s) >= 3:
+            w = w[: -len(s)]
+            break
+    for s in _EL_DEGREE:
+        if w.endswith(s) and len(w) - len(s) >= 3:
+            w = w[: -len(s)]
+            break
+    return w
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -2820,6 +2960,8 @@ STEMMERS: dict[str, object] = {
     "id": stem_id,
     "hi": stem_hi,
     "ar": stem_ar,
+    "cs": stem_cs,
+    "el": stem_el,
 }
 
 

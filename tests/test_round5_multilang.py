@@ -226,6 +226,8 @@ def test_stemmers_deterministic_and_non_lengthening():
         "id": "abcdefghijklmnoprstuwy",
         "hi": "कखगचजटडतदनपबमयरलवशसहािीुूेैोौं",
         "ar": "ابتثجحدرسصطعفقكلمنهويةىأآًَُّ",
+        "cs": "abcdefghiklmnoprstuvyzáéíýůžščřě",
+        "el": "αβγδεζηθικλμνξοπρστυφχψωάέήίόύώς",
     }
     for lang, fn in STEMMERS.items():
         ab = alphabets[lang]
