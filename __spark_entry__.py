@@ -235,6 +235,24 @@ _EL_FIXTURE = [
 # inflectional ending): forms -> 'βιβλ'
 _EL_VIVLIO_FORMS = ("βιβλίο", "βιβλία", "βιβλίων")
 
+_PL_FIXTURE = [
+    "dom jest wielki",
+    "domy i domach tutaj",
+    "kobieta pisze list",
+    "studentów nie ma",
+]
+# hand-traced through the Polish light rules: forms -> 'dom'
+_PL_DOM_FORMS = ("dom", "domy", "domach")
+
+_UK_FIXTURE = [
+    "книга лежить тут",
+    "книги та книгами",
+    "місто велике гарне",
+    "читають книгу щодня",
+]
+# hand-traced through the Ukrainian light rules: forms -> 'книг'
+_UK_KNYHA_FORMS = ("книга", "книги", "книгами", "книгу")
+
 # CJK segmentation fixture + the hand-traced token stream the oracle
 # replays (built-in dictionary, greedy longest match; kana runs whole)
 _CJK_FIXTURE = [
@@ -1049,6 +1067,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rounded(eng.matches(Term("βιβλ")))
 
     q["text_el_term"] = text_el_term
+
+    def text_pl_term(spark, sf_dir):
+        eng = _multilang_engine(spark, "pl", _PL_FIXTURE)
+        return _rounded(eng.matches(Term("dom")))
+
+    q["text_pl_term"] = text_pl_term
+
+    def text_uk_term(spark, sf_dir):
+        eng = _multilang_engine(spark, "uk", _UK_FIXTURE)
+        return _rounded(eng.matches(Term("книг")))
+
+    q["text_uk_term"] = text_uk_term
 
     # CJK dictionary segmentation (segmentation_token_stream.cpp ICU
     # dictionary break): index the fixed zh/ja fixture with cjk=True
@@ -2381,6 +2411,8 @@ FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN tstats ts
     o["text_ar_term"] = _multilang_sql(_AR_FIXTURE, _AR_KITAB_FORMS)
     o["text_cs_term"] = _multilang_sql(_CS_FIXTURE, _CS_ZENA_FORMS)
     o["text_el_term"] = _multilang_sql(_EL_FIXTURE, _EL_VIVLIO_FORMS)
+    o["text_pl_term"] = _multilang_sql(_PL_FIXTURE, _PL_DOM_FORMS)
+    o["text_uk_term"] = _multilang_sql(_UK_FIXTURE, _UK_KNYHA_FORMS)
 
     # CJK gate: BM25 over the FROZEN hand-traced token stream
     _cjk_vals = ", ".join(

@@ -2916,6 +2916,71 @@ def stem_el(word: str) -> str:
     return w
 
 
+# ================================================================ Polish
+#
+# Light inflectional stemmer. DOCUMENTED SIMPLIFICATION: Polish has
+# no official Snowball algorithm (the standard tool, Stempel, is a
+# trained statistical table that cannot be reproduced here), so the
+# Arabic/Hindi/Greek light treatment applies: strip the single
+# longest REGULAR inflectional ending from the standard declension/
+# conjugation paradigms (noun cases incl. -ach/-ami/-om/-ów/-owi/
+# -em, adjective -ego/-emu/-ych/-ymi/-ym/-ej, present-tense
+# -esz/-emy/-ecie/-asz/-amy/-acie, past -ał/-ała/-ało/-ali/-ały and
+# the -ić/-yć/-ać/-eć infinitives). Consonant mutations at the stem
+# boundary (kobiecie vs kobieta) are NOT undone — the documented
+# light-stemmer trade-off. Guard: >= 3 letters must remain.
+
+_PL_SUFFIXES = tuple(sorted((
+    # noun case endings
+    "ach", "ami", "owie", "owi", "om", "ów", "em", "ie",
+    "i", "y", "e", "a", "ę", "ą", "o", "u",
+    # adjective endings
+    "ego", "emu", "ych", "ymi", "ym", "ej",
+    # verb endings: present, past, infinitive
+    "esz", "emy", "ecie", "asz", "amy", "acie",
+    "ał", "ała", "ało", "ali", "ały",
+    "ił", "iła", "iło", "ili", "iły",
+    "ać", "ić", "yć", "eć",
+), key=lambda s: (-len(s), s)))
+
+
+def stem_pl(word: str) -> str:
+    """Polish light stemmer: longest regular inflectional ending,
+    >= 3-letter stem guard."""
+    for s in _PL_SUFFIXES:
+        if word.endswith(s) and len(word) - len(s) >= 3:
+            return word[: -len(s)]
+    return word
+
+
+# ================================================================ Ukrainian
+#
+# Light inflectional stemmer, same basis and caveats as Polish
+# (no official Snowball algorithm; regular declension/conjugation
+# endings only, boundary mutations like книзі not undone).
+
+_UK_SUFFIXES = tuple(sorted((
+    # noun case endings
+    "ами", "ями", "ові", "еві", "ах", "ях", "ам", "ям",
+    "ів", "їв", "ей", "ою", "ею", "єю", "ом", "ем",
+    "і", "ї", "и", "у", "ю", "а", "я", "е", "о",
+    # adjective endings
+    "ого", "ому", "ими", "іми", "их", "їх", "ий", "ій", "им",
+    # verb endings (present + infinitive + past)
+    "ють", "ать", "ять", "уть", "ємо", "имо", "ете", "ите",
+    "єш", "еш", "иш", "є", "ти", "ла", "ло", "ли",
+), key=lambda s: (-len(s), s)))
+
+
+def stem_uk(word: str) -> str:
+    """Ukrainian light stemmer: longest regular inflectional ending,
+    >= 3-letter stem guard."""
+    for s in _UK_SUFFIXES:
+        if word.endswith(s) and len(word) - len(s) >= 3:
+            return word[: -len(s)]
+    return word
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -2962,6 +3027,8 @@ STEMMERS: dict[str, object] = {
     "ar": stem_ar,
     "cs": stem_cs,
     "el": stem_el,
+    "pl": stem_pl,
+    "uk": stem_uk,
 }
 
 

@@ -228,6 +228,8 @@ def test_stemmers_deterministic_and_non_lengthening():
         "ar": "ابتثجحدرسصطعفقكلمنهويةىأآًَُّ",
         "cs": "abcdefghiklmnoprstuvyzáéíýůžščřě",
         "el": "αβγδεζηθικλμνξοπρστυφχψωάέήίόύώς",
+        "pl": "abcdefghijklmnoprstuwyząćęłńóśźż",
+        "uk": "абвгдежзиклмнопрстуфхцчшщьюяіїєґ",
     }
     for lang, fn in STEMMERS.items():
         ab = alphabets[lang]
@@ -260,17 +262,17 @@ def test_locale_without_stemmer_falls_back_unstemmed():
     # stemmer is optional — locales without one warn and analyze
     # unstemmed, they do not fail
     with pytest.warns(UserWarning, match="without stemming"):
-        a = get_analyzer("text", locale="pl_PL.UTF-8")
-    assert a.name == "text_pl"
-    terms, pos = a.analyze("Wielkie Książki Tutaj")
-    assert terms == ["wielkie", "książki", "tutaj"]  # lowered, unstemmed
+        a = get_analyzer("text", locale="vi_VN.UTF-8")
+    assert a.name == "text_vi"
+    terms, pos = a.analyze("Sách Mới Đây")
+    assert terms == ["sách", "mới", "đây"]  # lowered, unstemmed
     assert pos == [0, 1, 2]
     # explicit stemming=False asks for the unstemmed chain: no warning
     import warnings
 
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        b = get_analyzer("text", locale="pl", stemming=False)
+        b = get_analyzer("text", locale="vi", stemming=False)
     assert b.analyze("Test")[0] == ["test"]
     # unknown LANGUAGE with a registered-name lookup still raises
     with pytest.raises(KeyError):
@@ -295,7 +297,8 @@ def test_stopword_defaults_cover_all_langid_languages():
         warnings.simplefilter("ignore")
         a = get_analyzer("text", locale="pl", stopwords="default")
         b = get_analyzer("text", locale="ar", stopwords="default")
-    assert a.analyze("To jest bardzo wielki dom")[0] == ["wielki", "dom"]
+    # Polish now has a light stemmer, so the chain stems too
+    assert a.analyze("To jest bardzo wielki dom")[0] == ["wielk", "dom"]
     # Arabic now has a stemmer (Light10), so the chain stems too
     assert b.analyze("هذا كتاب جديد في المكتبة")[0] == [
         "كتاب", "جديد", "مكتب",
