@@ -215,6 +215,17 @@ _AR_FIXTURE = [
 # surface forms in the fixture stemming to 'كتاب'
 _AR_KITAB_FORMS = ("الكتاب", "كتابها", "والكتاب")
 
+_HE_FIXTURE = [
+    "הספר על השולחן",
+    "ספרים רבים כאן",
+    "ילדים קוראים ספריו",
+    "הבית גדול מאוד",
+    "וספרים ישנים שם",
+]
+# hand-traced through the Hebrew light rules (fold finals, article
+# prefix, pronominal/plural suffix sweep): forms -> 'ספר'
+_HE_SEFER_FORMS = ("הספר", "ספרים", "ספריו", "וספרים")
+
 _CS_FIXTURE = [
     "žena čte knihu",
     "ženy jsou v praze",
@@ -1055,6 +1066,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rounded(eng.matches(Term("كتاب")))
 
     q["text_ar_term"] = text_ar_term
+
+    def text_he_term(spark, sf_dir):
+        eng = _multilang_engine(spark, "he", _HE_FIXTURE)
+        return _rounded(eng.matches(Term("ספר")))
+
+    q["text_he_term"] = text_he_term
 
     def text_cs_term(spark, sf_dir):
         eng = _multilang_engine(spark, "cs", _CS_FIXTURE)
@@ -2409,6 +2426,7 @@ FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN tstats ts
     o["text_tr_term"] = _multilang_sql(_TR_FIXTURE, _TR_KITAP_FORMS)
     o["text_hi_term"] = _multilang_sql(_HI_FIXTURE, _HI_KITAB_FORMS)
     o["text_ar_term"] = _multilang_sql(_AR_FIXTURE, _AR_KITAB_FORMS)
+    o["text_he_term"] = _multilang_sql(_HE_FIXTURE, _HE_SEFER_FORMS)
     o["text_cs_term"] = _multilang_sql(_CS_FIXTURE, _CS_ZENA_FORMS)
     o["text_el_term"] = _multilang_sql(_EL_FIXTURE, _EL_VIVLIO_FORMS)
     o["text_pl_term"] = _multilang_sql(_PL_FIXTURE, _PL_DOM_FORMS)

@@ -865,7 +865,7 @@ def _make_text_locale(lang: str):
 
 for _lang in (
     "de", "fr", "es", "pt", "it", "nl", "ru", "sv", "da", "no", "fi",
-    "ro", "hu", "tr", "id", "hi", "ar", "cs", "el", "pl", "uk",
+    "ro", "hu", "tr", "id", "hi", "ar", "cs", "el", "pl", "uk", "he",
 ):
     _REGISTRY[f"text_{_lang}"] = _make_text_locale(_lang)
 

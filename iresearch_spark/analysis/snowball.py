@@ -2981,6 +2981,102 @@ def stem_uk(word: str) -> str:
     return word
 
 
+# ================================================================ Hebrew
+#
+# Light stemmer — Hebrew, like Polish/Ukrainian/Greek, has no official
+# Snowball algorithm, and the published dictionary-based analyzers
+# (HebMorph / MILA) need a full morphological lexicon that cannot be
+# reproduced in-sandbox. Same documented basis as the other light
+# stemmers here, shaped like Arabic's Light10 (normalize + ONE prefix
+# + ordered suffix sweep) adapted to Hebrew morphology:
+#
+#   normalize  drop Hebrew points + cantillation (niqqud/teamim; the
+#              in-range punctuation maqaf/paseq/sof-pasuq/nun-hafukha
+#              is NOT dropped — it never reaches the stemmer anyway,
+#              the tokenizer splits on it); fold the five final-letter
+#              forms to their regular forms (ך ם ן ף ץ -> כ מ נ פ צ)
+#              so a stem exposed by suffix removal is byte-equal to
+#              the free-standing surface form (שולחנות - ות == שולחן)
+#   prefix     first matching prefixed particle is removed — ONE
+#              removal; a 1-letter particle needs >= 3 letters left,
+#              a stack >= 2 (a match whose failing length condition
+#              does not stop the scan, as in Light10). The particle
+#              set is deliberately the ARTICLE family only: bare ה
+#              (the), bare ו (and), the ה-final stacks (וה שה מה כשה
+#              ושה ומה וכשה) and כש/וכש. Bare prepositions ב כ ל מ ש
+#              are NOT stripped — lexicon-free stripping of those is
+#              wrong more often than right (שולחן would lose its ש,
+#              מלכות its מ, splitting a word family apart) — the same
+#              discipline as Light10, which strips only the ال family
+#              and و, never bare ب ل ك. The cost (בבית does not
+#              conflate with בית) is the documented light-stemming
+#              trade-off; the benefit is that a family always gets
+#              the same treatment whatever its number/possessor.
+#   suffixes   ordered sweep over the regular pronominal-possessive,
+#              plural/dual and feminine endings (normalized
+#              spellings); several can come off one word
+#              (מידותיו loses יו then ות); each multi-letter strip
+#              keeps >= 2 letters, a single-letter strip >= 3
+#
+# Deliberately light: construct-state changes, irregular plurals and
+# root-internal vowel changes are not undone (they need the lexicon),
+# and even article stripping keeps a residue of ambiguity (a noun
+# genuinely starting with ה loses it) — the standard, documented
+# light-stemming trade-off (cf. Light10's identical ambiguity for و).
+
+# points + cantillation only — U+05BE/U+05C0/U+05C3/U+05C6 are
+# punctuation and excluded
+_HE_MARKS = frozenset(
+    chr(c) for c in range(0x0591, 0x05C8)
+    if c not in (0x05BE, 0x05C0, 0x05C3, 0x05C6)
+)
+_HE_FINALS = {"ך": "כ", "ם": "מ", "ן": "נ", "ף": "פ", "ץ": "צ"}
+
+_HE_PREFIXES = (
+    "וכשה",
+    "כשה", "ושה", "ומה", "וכש",
+    "שה", "מה", "וה", "כש",
+    "ו", "ה",
+)
+# normalized spellings (יך -> יכ, יהם -> יהמ, ...); order = pronominal
+# plurals, his/her-over-plural, singular-stem pronominals, -iyot/dual,
+# plain plurals, then the single letters
+_HE_SUFFIXES = (
+    "יהמ", "יהנ", "יכמ", "יכנ", "ינו", "יכ",
+    "יו", "יה",
+    "המ", "הנ", "כמ", "כנ", "נו",
+    "יות", "יימ",
+    "ות", "ימ",
+    "ה", "י", "ו",
+)
+
+
+def _he_normalize(word: str) -> str:
+    out = []
+    for ch in word:
+        if ch in _HE_MARKS:
+            continue
+        out.append(_HE_FINALS.get(ch, ch))
+    return "".join(out)
+
+
+def stem_he(word: str) -> str:
+    """Hebrew light stemmer (documented light-stemming basis above)."""
+    w = _he_normalize(word)
+    for p in _HE_PREFIXES:
+        if w.startswith(p):
+            keep = len(w) - len(p)
+            if keep >= 3 if len(p) == 1 else keep >= 2:
+                w = w[len(p):]
+                break
+    for s in _HE_SUFFIXES:
+        if w.endswith(s):
+            keep = len(w) - len(s)
+            if keep >= 3 if len(s) == 1 else keep >= 2:
+                w = w[: -len(s)]
+    return w
+
+
 # ---------------------------------------------------------------- memo
 
 class MemoTable:
@@ -3029,6 +3125,7 @@ STEMMERS: dict[str, object] = {
     "el": stem_el,
     "pl": stem_pl,
     "uk": stem_uk,
+    "he": stem_he,
 }
 
 

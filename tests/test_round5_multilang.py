@@ -230,6 +230,7 @@ def test_stemmers_deterministic_and_non_lengthening():
         "el": "αβγδεζηθικλμνξοπρστυφχψωάέήίόύώς",
         "pl": "abcdefghijklmnoprstuwyząćęłńóśźż",
         "uk": "абвгдежзиклмнопрстуфхцчшщьюяіїєґ",
+        "he": "אבגדהוזחטיכלמנסעפצקרשתךםןףץ",
     }
     for lang, fn in STEMMERS.items():
         ab = alphabets[lang]
