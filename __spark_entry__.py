@@ -281,6 +281,23 @@ _CJK_TOKENS = [
     ["東京", "大学", "の", "学生"],
 ]
 
+# Thai dictionary segmentation fixture + the hand-traced token stream
+# (built-in THAI_WORDS, greedy longest match with syllable guards)
+_THAI_FIXTURE = [
+    "ฉันกินข้าวทุกวัน",
+    "เขาอ่านหนังสือ",
+    "นักเรียนอ่านหนังสือในโรงเรียน",
+    "plain english text",
+    "เราเรียนภาษาไทยวันนี้",
+]
+_THAI_TOKENS = [
+    ["ฉัน", "กิน", "ข้าว", "ทุก", "วัน"],
+    ["เขา", "อ่าน", "หนังสือ"],
+    ["นักเรียน", "อ่าน", "หนังสือ", "ใน", "โรงเรียน"],
+    ["plain", "english", "text"],
+    ["เรา", "เรียน", "ภาษาไทย", "วันนี้"],
+]
+
 _DOMAIN_FIXTURE = [
     "https://www.Example.co.uk:443/page",
     "http://user:pw@Sub.Blog.example.com:8080/x",
@@ -1122,6 +1139,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rounded(eng.matches(Term("学习")))
 
     q["cjk_term"] = cjk_term
+
+    # Thai dictionary segmentation (same ICU dictionary-break analogue,
+    # Thai frequency dictionary): index the fixed Thai fixture with
+    # cjk=True and BM25-match one dictionary word. The oracle replays
+    # BM25 over the FROZEN hand-traced token stream (_THAI_TOKENS).
+    def thai_term(spark, sf_dir):
+        from iresearch_spark.analysis.analyzers import get_analyzer
+
+        key = "multilang:thai"
+        if key not in _INDEX_CACHE:
+            df = spark.createDataFrame(
+                list(enumerate(_THAI_FIXTURE)), "doc_id long, text string"
+            )
+            idx = build_index(
+                df,
+                analyzer=get_analyzer("segmentation", cjk=True),
+                bucket_bits=8,
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        eng = SearchEngine(_INDEX_CACHE[key])
+        return _rounded(eng.matches(Term("อ่าน")))
+
+    q["thai_term"] = thai_term
 
     # Lucene SHOULD occurs-flag semantics (round 5 querystring fix):
     # '+batch small' — every batch doc matches, small only boosts
@@ -2443,6 +2485,26 @@ WITH toks(doc_id, term) AS (VALUES {_cjk_vals}),
 tf AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
   WHERE term = '学习' GROUP BY 1
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS ttf FROM dl),
+tstats AS (SELECT CAST(count(*) AS BIGINT) AS df FROM tf)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, ROUND({_score(1.0)}, 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN tstats ts
+"""
+
+    # Thai gate: BM25 over the FROZEN hand-traced token stream
+    _thai_vals = ", ".join(
+        f"({i}, '{tok}')"
+        for i, toks in enumerate(_THAI_TOKENS)
+        for tok in toks
+    )
+    o["thai_term"] = f"""
+WITH toks(doc_id, term) AS (VALUES {_thai_vals}),
+tf AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term = 'อ่าน' GROUP BY 1
 ),
 dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -650,16 +650,36 @@ _CJK_RUN_RE = re.compile(
 )
 
 
+# Thai signs that BIND to the preceding consonant: above/below vowels
+# (U+0E31, U+0E34-0E3A), SARA AM (U+0E33), LAKKHANGYAO (U+0E45), and
+# tone/silencer marks (U+0E47-0E4E). A dictionary match may not END
+# immediately before one of these — it would strand a combining mark
+# at the start of the next token. (MAIYAMOK U+0E46, the standalone
+# repetition sign, is deliberately NOT in the set.)
+_THAI_BOUND = frozenset("ัำิีึืุู"
+                        "ฺๅ็่้๊๋์"
+                        "ํ๎")
+# preposed vowels (written BEFORE the consonant they follow
+# phonetically): a match may not START right after an unmatched one —
+# เ/แ/โ/ใ/ไ belong to the syllable that begins at the match.
+_THAI_PRE = frozenset("เแโใไ")
+
+
 def _make_cjk_tokenize(words: frozenset[str]):
     """Word tokenizer with dictionary segmentation for unspaced CJK —
     the reference's ICU dictionary break
     (segmentation_token_stream.cpp; ICU ships zh/ja/th frequency
     dictionaries). Han runs segment by greedy LONGEST MATCH against
     `words` with single-character fallback (unmatched kanji index as
-    unigrams — searchable, if less precise than a full lexicon); kana
-    and Thai runs stay one token per script run (documented
-    simplification — ICU also consults a dictionary there). Everything
-    non-CJK tokenizes exactly like the plain word tokenizer."""
+    unigrams — searchable, if less precise than a full lexicon). Thai
+    runs use the same greedy longest match with two syllable guards
+    (no match ending before a bound sign, none starting after an
+    unmatched preposed vowel) and SPAN fallback: an unmatched stretch
+    indexes as one token, never per character — a bare combining
+    vowel/tone mark is not a token. Kana runs stay one token per
+    script run (documented simplification — ICU also consults a
+    dictionary there). Everything non-CJK tokenizes exactly like the
+    plain word tokenizer."""
     maxlen = max((len(w) for w in words), default=1)
 
     def _segment_han(run: str) -> list[str]:
@@ -680,6 +700,33 @@ def _make_cjk_tokenize(words: frozenset[str]):
                 i += 1
         return out
 
+    def _segment_thai(run: str) -> list[str]:
+        out: list[str] = []
+        i, n = 0, len(run)
+        span = 0  # start of the current unmatched stretch
+        while i < n:
+            hit = None
+            if not (i > span and run[i - 1] in _THAI_PRE):
+                for L in range(min(maxlen, n - i), 1, -1):
+                    cand = run[i : i + L]
+                    if cand in words:
+                        j = i + L
+                        if j < n and run[j] in _THAI_BOUND:
+                            continue  # would strand a bound sign
+                        hit = cand
+                        break
+            if hit is not None:
+                if span < i:
+                    out.append(run[span:i])
+                out.append(hit)
+                i += len(hit)
+                span = i
+            else:
+                i += 1
+        if span < n:
+            out.append(run[span:])
+        return out
+
     def tok(text: str) -> list[str]:
         out: list[str] = []
         pos = 0
@@ -690,7 +737,9 @@ def _make_cjk_tokenize(words: frozenset[str]):
             c = run[0]
             if "一" <= c <= "鿿" or "㐀" <= c <= "䶿":
                 out.extend(_segment_han(run))
-            else:  # kana / thai run
+            elif "฀" <= c <= "๿":  # Thai run
+                out.extend(_segment_thai(run))
+            else:  # kana run
                 out.append(run)
             pos = m.end()
         if pos < len(text):
@@ -728,9 +777,13 @@ def _segmentation(
     if cjk:
         if word_break != "alpha":
             raise ValueError("cjk segmentation requires word_break='alpha'")
-        from iresearch_spark.analysis.cjk_words import CJK_WORDS
+        from iresearch_spark.analysis.cjk_words import CJK_WORDS, THAI_WORDS
 
-        words = frozenset(cjk_dict) if cjk_dict is not None else CJK_WORDS
+        words = (
+            frozenset(cjk_dict)
+            if cjk_dict is not None
+            else CJK_WORDS | THAI_WORDS
+        )
         tok = _make_cjk_tokenize(words)
         return Analyzer(
             "segmentation",

@@ -33,3 +33,35 @@ CJK_WORDS: frozenset[str] = frozenset(
 映画 音楽 友達 家族 病院 健康 生活 料理 野球 銀行 会議 社員
 """.split()
 )
+
+# High-frequency Thai words for the same longest-match segmenter
+# (ICU's th dictionary break analogue; segmentation_token_stream.cpp).
+# Multi-character words only — unmatched Thai text falls back to ONE
+# span token per unmatched stretch (never per character: a bare
+# combining vowel/tone mark is not a token). Replaced wholesale by
+# the analyzer's `cjk_dict=` option, same as CJK_WORDS.
+THAI_WORDS: frozenset[str] = frozenset(
+    """
+ที่ และ ของ ใน เป็น ได้ ให้ ไม่ มี จะ ว่า มา ไป กับ แต่ หรือ ก็ ถ้า
+เมื่อ จาก โดย ต้อง ถูก แล้ว ยัง อยู่ อย่าง เพราะ เพื่อ กว่า ตาม ด้วย
+นี้ นั้น ซึ่ง คือ ทั้ง ต่อ จึง เคย ควร อาจ กำลัง ทุก บาง หลาย อีก เอง
+ขึ้น ลง ออก เข้า ฉัน ผม คุณ เขา เธอ เรา มัน ท่าน พวก
+คน น้ำ บ้าน เมือง ประเทศ ไทย กรุงเทพ โรงเรียน มหาวิทยาลัย นักเรียน
+นักศึกษา ครู หมอ โรงพยาบาล รถ รถยนต์ รถไฟ เครื่องบิน ถนน ตลาด ร้าน
+อาหาร ข้าว ผลไม้ หนังสือ ภาษา คำ เรื่อง เวลา วัน เดือน ปี วันนี้
+พรุ่งนี้ เช้า เย็น คืน ครอบครัว พ่อ แม่ ลูก พี่ น้อง เพื่อน งาน เงิน
+บาท รัฐบาล การเมือง เศรษฐกิจ สังคม วัฒนธรรม โลก ข่าว เพลง กีฬา
+ฟุตบอล สุขภาพ ทะเล ภูเขา แม่น้ำ ต้นไม้ สัตว์ หมา แมว ช้าง ใจ มือ ตา
+หัว บริษัท ธนาคาร ตำรวจ ทหาร วัด พระ รูป สี เสียง ไฟ ลม ฝน ฟ้า ดิน
+ทอง เหล็ก ไม้ กระดาษ โต๊ะ เก้าอี้ ประตู หน้าต่าง ห้อง ครัว สวน เด็ก
+ผู้หญิง ผู้ชาย
+กิน ดื่ม นอน เดิน วิ่ง พูด บอก ถาม ตอบ อ่าน เขียน เรียน สอน ทำ
+ทำงาน เล่น ดู ฟัง ซื้อ ขาย ใช้ ช่วย รัก ชอบ คิด รู้ เห็น หา พบ เจอ
+เปิด ปิด เริ่ม หยุด รอ ส่ง รับ นั่ง ยืน ขับ บิน ร้อง ยิ้ม จ่าย เก็บ
+สร้าง แก้ เปลี่ยน เลือก ลอง
+ดี ใหม่ เก่า ใหญ่ เล็ก สูง ยาว สั้น ร้อน เย็น เร็ว ช้า สวย มาก น้อย
+แพง ง่าย ยาก สำคัญ สนุก อร่อย หนัก เบา ขาว ดำ แดง เขียว เหลือง
+หนึ่ง สอง สาม สี่ ห้า หก เจ็ด แปด เก้า สิบ ร้อย พัน หมื่น แสน ล้าน
+สวัสดี ขอบคุณ ภาษาไทย คนไทย อาหารไทย ประเทศไทย
+""".split()
+)
