@@ -874,6 +874,14 @@ def _locale_flat_stemmer(lang: str):
     return memo
 
 
+# locales whose text chain tokenizes with the DICTIONARY segmenter —
+# the reference's text analyzer breaks words with an ICU BreakIterator
+# for the locale (text_token_stream.cpp), which is dictionary-based
+# for unspaced scripts; the plain regex tokenizer would index whole
+# runs for these
+_DICT_BREAK_LANGS = frozenset({"zh", "ja", "ko", "th"})
+
+
 def _make_text_locale(lang: str):
     def factory(
         stopwords: Sequence[str] | None = None,
@@ -889,6 +897,26 @@ def _make_text_locale(lang: str):
             from iresearch_spark.analysis.stopwords import stopwords_for
 
             stopwords = stopwords_for(lang)
+        if lang in _DICT_BREAK_LANGS:
+            from iresearch_spark.analysis.cjk_words import (
+                CJK_WORDS,
+                THAI_WORDS,
+            )
+
+            tok = _make_cjk_tokenize(CJK_WORDS | THAI_WORDS)
+            edge = _parse_edge(edge_ngram)
+            return Analyzer(
+                f"text_{lang}",
+                _make_chain(
+                    tok,
+                    lowercase=True,
+                    nfc=True,
+                    accent=accent,
+                    stopwords=frozenset(stopwords) if stopwords else None,
+                    stem_fn=stem_fn,
+                    edge_ngram=edge,
+                ),
+            )
         edge = _parse_edge(edge_ngram)
         flat = (
             _make_arrow_flat(

@@ -79,3 +79,32 @@ def test_indexed_cjk_search(spark):
     eng = SearchEngine(idx)
     assert {r["doc_id"] for r in eng.matches(Term("学习")).collect()} == {0, 1}
     assert {r["doc_id"] for r in eng.matches(Term("中文")).collect()} == {0}
+
+
+def test_text_chain_dict_break_zh_ja():
+    # text(locale=zh|ja) routes through the dictionary segmenter with
+    # the full text chain (NFC + lower + stopwords); stemming is the
+    # optional-stemmer fallback (none exists for zh/ja)
+    import warnings
+
+    from iresearch_spark.analysis.analyzers import get_analyzer
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        zh = get_analyzer("text", locale="zh", stopwords="default")
+        ja = get_analyzer("text", locale="ja_JP.UTF-8", stopwords="default")
+    # 我们 is a zh default stopword; the rest dictionary-segment
+    assert zh.analyze("我们今天学习中文")[0] == ["今天", "学习", "中文"]
+    # の is a ja default stopword; kanji compounds segment, kana stay
+    assert ja.analyze("東京大学の学生です")[0] == ["東京", "大学", "学生", "です"]
+
+
+def test_text_chain_plain_tokenizer_for_spaced_langs():
+    import warnings
+
+    from iresearch_spark.analysis.analyzers import get_analyzer
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vi = get_analyzer("text", locale="vi")
+    assert vi.analyze("tôi học tiếng Việt")[0] == ["tôi", "học", "tiếng", "việt"]

@@ -106,3 +106,19 @@ def test_indexed_thai_search(spark):
     eng = SearchEngine(idx)
     assert {r["doc_id"] for r in eng.matches(Term("กิน")).collect()} == {0, 1}
     assert {r["doc_id"] for r in eng.matches(Term("ข้าว")).collect()} == {0}
+
+
+def test_text_chain_dict_break_th():
+    # the locale-driven text analyzer uses the dictionary segmenter
+    # for unspaced scripts (the reference's ICU BreakIterator is
+    # dictionary-based there); Thai has no Snowball stemmer, so the
+    # chain runs unstemmed (optional-stemmer fallback)
+    import warnings
+
+    from iresearch_spark.analysis.analyzers import get_analyzer
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        a = get_analyzer("text", locale="th")
+    terms, _ = a.analyze("ฉันกินข้าวทุกวัน")
+    assert terms == ["ฉัน", "กิน", "ข้าว", "ทุก", "วัน"]
