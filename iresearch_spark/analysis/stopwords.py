@@ -280,6 +280,15 @@ STOPWORDS: dict[str, frozenset[str]] = {
         чому якщо також вже ще тільки може бути цей яка який які щоб
         ніж через після перед б ж би""".split()
     ),
+    # Thai: because running text is unspaced, these only filter when
+    # the dictionary segmenter (text locale=th / segmentation cjk=True)
+    # has already broken the run into words
+    "th": frozenset(
+        """ที่ และ ของ ใน เป็น ได้ ให้ ไม่ มี จะ ว่า มา ไป กับ แต่
+        หรือ ก็ ถ้า เมื่อ จาก โดย ต้อง ถูก แล้ว ยัง อยู่ อย่าง เพราะ
+        เพื่อ กว่า ตาม ด้วย นี้ นั้น ซึ่ง คือ ทั้ง ต่อ จึง เคย ควร
+        อาจ กำลัง ทุก บาง หลาย อีก เอง ขึ้น ลง ออก เข้า""".split()
+    ),
     "vi": frozenset(
         """và của là có được trong cho với không những các một này đã
         để người khi đến từ như về nhưng còn thì ra nếu vì tại trên

@@ -1,4 +1,4 @@
-"""Round-4: char-trigram language ID over 27 languages (VERDICT r3 #9
+"""Round-4: char-trigram language ID over 28 languages (VERDICT r3 #9
 — a profile-table model, broadcast JVM join, no UDF). Accuracy gate on
 a labeled fixture of natural short sentences."""
 
@@ -47,6 +47,9 @@ FIXTURE = [
     ("uk", "це була одна із найкращих книг що він читав за рік але не із за"),
     ("vi", "đây là một trong những cuốn sách hay nhất của năm cho người đọc không"),
     ("zh", "这是我今年读过的最好的一本书 他不是一个人"),
+    # UNSPACED Thai: only interior trigrams of the profile words can
+    # match (the padded-edge grams need spaces that never occur)
+    ("th", "หนังสือเล่มนี้เป็นของฉันและไม่ได้แพงแต่ว่าดีที่สุด"),
 ]
 
 

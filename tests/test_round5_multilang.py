@@ -286,12 +286,12 @@ def test_stopword_defaults_cover_all_langid_languages():
     # always has a usable stopwords="default"
     from iresearch_spark.analysis.stopwords import stopwords_for
 
-    langs27 = [
+    langs28 = [
         "ar", "cs", "da", "de", "el", "en", "es", "fi", "fr", "he",
         "hi", "hu", "id", "it", "ja", "ko", "nl", "no", "pl", "pt",
-        "ro", "ru", "sv", "tr", "uk", "vi", "zh",
+        "ro", "ru", "sv", "th", "tr", "uk", "vi", "zh",
     ]
-    assert all(stopwords_for(lang) for lang in langs27)
+    assert all(stopwords_for(lang) for lang in langs28)
     import warnings
 
     with warnings.catch_warnings():
