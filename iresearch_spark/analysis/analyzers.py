@@ -951,6 +951,35 @@ for _lang in (
     _REGISTRY[f"text_{_lang}"] = _make_text_locale(_lang)
 
 
+def _make_text_unstemmed(lang: str):
+    # languages the text chain handles WITHOUT a stemmer — zh/ja/ko/th
+    # go through the dictionary segmenter, vi is isolating (no
+    # inflectional morphology); registered so `text_zh` etc. resolve
+    # like every other language's name. Reference parity
+    # (text_token_stream.cpp:507-516): unless the caller explicitly
+    # passes stemming=False, the optional-stemmer fallback WARNS and
+    # analyzes unstemmed — it never fails.
+    base = _make_text_locale(lang)
+
+    def factory(stemming: bool = True, **opts) -> Analyzer:
+        if stemming:
+            import warnings
+
+            warnings.warn(
+                f"no stemmer for locale {lang!r} — text analyzer runs "
+                "without stemming (the reference's optional-stemmer "
+                "fallback)",
+                stacklevel=2,
+            )
+        return base(stemming=False, **opts)
+
+    return factory
+
+
+for _lang in ("zh", "ja", "ko", "th", "vi"):
+    _REGISTRY[f"text_{_lang}"] = _make_text_unstemmed(_lang)
+
+
 @_register("text")
 def _text_locale_dispatch(locale: str = "en", **opts) -> Analyzer:
     """Locale-driven text analyzer — get_analyzer("text", locale="de").

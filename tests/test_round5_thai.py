@@ -122,3 +122,22 @@ def test_text_chain_dict_break_th():
         a = get_analyzer("text", locale="th")
     terms, _ = a.analyze("ฉันกินข้าวทุกวัน")
     assert terms == ["ฉัน", "กิน", "ข้าว", "ทุก", "วัน"]
+
+
+def test_text_names_registered_for_unstemmed_langs():
+    # text_zh/ja/ko/th/vi resolve like every other language's name;
+    # default warns (optional-stemmer fallback), explicit
+    # stemming=False is silent
+    import warnings
+
+    import pytest as _pytest
+
+    from iresearch_spark.analysis.analyzers import get_analyzer
+
+    with _pytest.warns(UserWarning, match="without stemming"):
+        a = get_analyzer("text_th")
+    assert a.analyze("ฉันกินข้าว")[0] == ["ฉัน", "กิน", "ข้าว"]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        b = get_analyzer("text_ko", stemming=False)
+    assert b.analyze("한국어 텍스트")[0] == ["한국어", "텍스트"]
