@@ -298,6 +298,27 @@ _THAI_TOKENS = [
     ["เรา", "เรียน", "ภาษาไทย", "วันนี้"],
 ]
 
+# per-document language routing fixture (analysis/multilang.py): each
+# doc analyzed by ITS language's text chain (stopwords="default"); the
+# frozen token streams are the hand-checked outputs of the per-language
+# chains (each chain separately verified by its own gate/goldens)
+_ROUTED_FIXTURE = [
+    ("the cats and the houses", "en"),
+    ("Die Häuser der Kinder", "de"),
+    ("los gatos corren en las casas", "es"),
+    ("ฉันกินข้าวทุกวัน", "th"),
+    ("我们今天学习中文", "zh"),
+    ("Das Haus ist groß und schön", "de"),
+]
+_ROUTED_TOKENS = [
+    ["cat", "hous"],
+    ["haus", "kind"],
+    ["gat", "corr", "cas"],
+    ["ฉัน", "กิน", "ข้าว", "วัน"],
+    ["今天", "学习", "中文"],
+    ["haus", "gross", "schon"],
+]
+
 _DOMAIN_FIXTURE = [
     "https://www.Example.co.uk:443/page",
     "http://user:pw@Sub.Blog.example.com:8080/x",
@@ -1164,6 +1185,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rounded(eng.matches(Term("อ่าน")))
 
     q["thai_term"] = thai_term
+
+    # per-document language routing: one build_index(lang_col=) pass
+    # over a mixed en/de/es/th/zh fixture, each doc analyzed by its
+    # language's chain; Term('haus') must hit exactly the two German
+    # docs with BM25 computed over the routed token streams
+    def multilang_routed_term(spark, sf_dir):
+        from iresearch_spark.analysis.multilang import lang_routed_analyzer
+
+        key = "multilang:routed"
+        if key not in _INDEX_CACHE:
+            df = spark.createDataFrame(
+                [(i, t, lg) for i, (t, lg) in enumerate(_ROUTED_FIXTURE)],
+                "doc_id long, text string, lang string",
+            )
+            idx = build_index(
+                df,
+                analyzer=lang_routed_analyzer(stopwords="default"),
+                lang_col="lang",
+                bucket_bits=8,
+            )
+            idx.cache()
+            idx.postings.count()
+            _INDEX_CACHE[key] = idx
+        eng = SearchEngine(_INDEX_CACHE[key])
+        return _rounded(eng.matches(Term("haus")))
+
+    q["multilang_routed_term"] = multilang_routed_term
 
     # Lucene SHOULD occurs-flag semantics (round 5 querystring fix):
     # '+batch small' — every batch doc matches, small only boosts
@@ -2505,6 +2553,27 @@ WITH toks(doc_id, term) AS (VALUES {_thai_vals}),
 tf AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
   WHERE term = 'อ่าน' GROUP BY 1
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS ttf FROM dl),
+tstats AS (SELECT CAST(count(*) AS BIGINT) AS df FROM tf)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, ROUND({_score(1.0)}, 6) AS score
+FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN tstats ts
+"""
+
+    # routed-multilingual gate: BM25 over the FROZEN per-language
+    # token streams (same replay shape as cjk/thai)
+    _routed_vals = ", ".join(
+        f"({i}, '{tok}')"
+        for i, toks in enumerate(_ROUTED_TOKENS)
+        for tok in toks
+    )
+    o["multilang_routed_term"] = f"""
+WITH toks(doc_id, term) AS (VALUES {_routed_vals}),
+tf AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term = 'haus' GROUP BY 1
 ),
 dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -353,6 +353,7 @@ def build_segments(
     seg_bits: int = 14,
     with_offsets: bool = False,
     payload_delim: str | None = None,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """Local segment build — the reference's per-writer-thread segment
     (`segment_writer.cpp` + `field_data::invert`) as ONE mapInPandas
@@ -369,8 +370,11 @@ def build_segments(
     block (unique per term, globally doc-ordered). Independent of
     parallelism by construction.
     """
+    cols = [F.col(id_col).cast("long").alias("doc_id"), text_col]
+    if lang_col is not None and lang_col != text_col:
+        cols.append(lang_col)
     arranged = (
-        df.select(F.col(id_col).cast("long").alias("doc_id"), text_col)
+        df.select(*cols)
         .withColumn("_seg", F.shiftright(F.col("doc_id"), seg_bits))
         .repartition("_seg")
         .sortWithinPartitions("_seg", "doc_id")
@@ -379,13 +383,15 @@ def build_segments(
         _make_arrow_segment_gen(
             analyzer, text_col, with_positions, fused=False,
             with_offsets=with_offsets, payload_delim=payload_delim,
+            lang_col=lang_col,
         ),
         POSTINGS_SCHEMA,
     )
 
 
 def _make_arrow_segment_gen(analyzer, text_col, with_positions, fused,
-                            with_offsets=False, payload_delim=None):
+                            with_offsets=False, payload_delim=None,
+                            lang_col=None):
     """Arrow-native partition consumer: walks sorted `_seg` runs with a
     trailing-run carry across batches (zero-copy Table slices), builds
     each segment with _segment_record_batches. Entirely Arrow/numpy —
@@ -419,11 +425,13 @@ def _make_arrow_segment_gen(analyzer, text_col, with_positions, fused,
                 yield from _segment_record_batches(
                     tbl.slice(int(s), int(e - s)), analyzer, text_col,
                     with_positions, fused, with_offsets, payload_delim,
+                    lang_col,
                 )
         if pending is not None and pending.num_rows:
             yield from _segment_record_batches(
                 pending.combine_chunks(), analyzer, text_col,
                 with_positions, fused, with_offsets, payload_delim,
+                lang_col,
             )
 
     return gen
@@ -452,7 +460,7 @@ def _empty_strings(n: int) -> pa.StringArray:
 
 def _segment_record_batches(
     seg_tbl: pa.Table, analyzer, text_col, with_positions, fused,
-    with_offsets=False, payload_delim=None,
+    with_offsets=False, payload_delim=None, lang_col=None,
 ) -> Iterator[pa.RecordBatch]:
     """One segment -> posting-block + norm-block RecordBatches.
 
@@ -476,11 +484,17 @@ def _segment_record_batches(
     texts = seg_tbl.column(text_col)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    ft = (
-        analyzer.analyze_flat_spans(texts)
-        if with_offsets
-        else analyzer.analyze_flat(texts)
-    )
+    if lang_col is not None:
+        # per-document language routing (analysis/multilang.py): the
+        # lang column rode the same shuffle; grouping is within-batch
+        langs = np.asarray(seg_tbl.column(lang_col).to_pylist(), dtype=object)
+        ft = analyzer.analyze_flat_routed(texts, langs)
+    else:
+        ft = (
+            analyzer.analyze_flat_spans(texts)
+            if with_offsets
+            else analyzer.analyze_flat(texts)
+        )
     n_tokens = ft.n_tokens
     # payload split (reference IndexFeatures PAY / payload attribute,
     # token_attributes.hpp:99): the token DICTIONARY is split at the
@@ -958,6 +972,7 @@ def _fused_blocks(
     bkt_expr=None,
     order_col=None,
     sort_field: str | None = None,
+    lang_col: str | None = None,
 ) -> DataFrame:
     spark = df.sparkSession
     map_df = spark.createDataFrame(
@@ -971,6 +986,8 @@ def _fused_blocks(
     # sort can order bucket runs by it; the Arrow gen ignores extras
     ship = [text_col] if sort_field is None or sort_field == text_col \
         else [text_col, sort_field]
+    if lang_col is not None and lang_col not in ship:
+        ship.append(lang_col)
     sel = df.select(F.col(key_col).alias("_key"), *ship)
     if bkt_expr is None:
         bkt_expr = F.pmod(F.xxhash64(F.col("_key")), F.lit(n_buckets)).cast("int")
@@ -987,6 +1004,7 @@ def _fused_blocks(
         _make_arrow_segment_gen(
             analyzer, text_col, with_positions, fused=True,
             with_offsets=with_offsets, payload_delim=payload_delim,
+            lang_col=lang_col,
         ),
         POSTINGS_SCHEMA,
     )
@@ -1001,6 +1019,7 @@ def fused_doc_map(
     bkt_expr=None,
     order_col=None,
     sort_field: str | None = None,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """(key -> doc_id) mapping table via the same slim deterministic
     ranking the fused build uses; carries only key + extra_cols."""
@@ -1048,6 +1067,7 @@ def build_index(
     precision_step: int = 64,
     sort_field: str | None = None,
     sort_ascending: bool = True,
+    lang_col: str | None = None,
 ) -> InvertedIndex:
     """End-to-end index build via local segments (see build_segments).
 
@@ -1084,6 +1104,24 @@ def build_index(
     """
     if norm not in ("norm2", "legacy"):
         raise ValueError(f"norm must be 'norm2' or 'legacy', got {norm!r}")
+    routed = hasattr(analyzer, "analyze_flat_routed") or (
+        not isinstance(analyzer, str)
+        and getattr(analyzer, "name", "") == "lang_routed"
+    )
+    if lang_col is not None:
+        # per-document language routing needs a LangRoutedAnalyzer
+        # (analysis/multilang.py) and has no span path
+        if isinstance(analyzer, str) or not hasattr(
+            analyzer, "analyze_flat_routed"
+        ):
+            raise ValueError(
+                "lang_col requires a LangRoutedAnalyzer "
+                "(iresearch_spark.analysis.multilang.lang_routed_analyzer)"
+            )
+        if with_offsets:
+            raise ValueError("lang_col routing does not support offsets")
+    elif routed:
+        raise ValueError("a LangRoutedAnalyzer requires lang_col=")
     numeric_meta = None
     if numeric_fields:
         from iresearch_spark.index.numeric import dtype_of
@@ -1149,11 +1187,13 @@ def build_index(
             n_buckets, with_offsets=with_offsets,
             payload_delim=payload_delimiter,
             bkt_expr=fused_bkt, order_col=fused_order, sort_field=sort_field,
+            lang_col=lang_col,
         )
     else:
         blocks = build_segments(
             df, analyzer, text_col, id_col, with_positions, seg_bits,
             with_offsets=with_offsets, payload_delim=payload_delimiter,
+            lang_col=lang_col,
         )
     blocks.cache()
 
