@@ -377,6 +377,28 @@ def main():
 
         t_serve = min(timed(_serve)[0] for _ in range(repeat))
         extra["hot_qps"] = round(len(mixed) * 10 / t_serve, 1)
+
+        # multiterm serving (round-5 continuation): Prefix / Wildcard /
+        # Fuzzy answered from the in-memory vocabulary — zero Spark
+        # jobs end-to-end, expansion included (first call per node pays
+        # the vocabulary walk; repeats hit the expansion cache, the
+        # interactive-autocomplete shape)
+        multiterm = [
+            Prefix(topical[0][:4]),
+            Wildcard(f"%{topical[1][2:]}"),
+            Fuzzy(topical[2], distance=1),
+            Or([Prefix(topical[3][:4]), Term(topical[0])]),
+        ]
+
+        def _serve_multi():
+            for q in multiterm * 10:
+                hot.search(q, k=10)
+
+        hot.search(multiterm[0], k=10)  # pay the vocab sort once
+        t_multi = min(timed(_serve_multi)[0] for _ in range(repeat))
+        extra["hot_multiterm_qps"] = round(
+            len(multiterm) * 10 / t_multi, 1
+        )
         pidx.unpersist()
         skew.unpersist()
 

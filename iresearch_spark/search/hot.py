@@ -20,12 +20,23 @@ floor the pruning shows up directly as wall-clock (the cluster path's
 two extra driver-synchronized jobs cost more than the decode they
 save below ~10M postings/query; this path has no such overhead).
 
+Multi-term leaves (Prefix / Wildcard / Range / Fuzzy) are served too:
+the hot segment holds the FULL term dictionary in memory, so expansion
+is a sorted-vocabulary slice / regex walk / banded DP instead of a
+Spark job — `_hot_expansion` mirrors the executor's `_leaf_expansion`
+exactly (same candidate sets, same (df desc, term asc) order, same
+scored_terms_limit / max_terms caps, same matched-but-unscored
+semantics for capped expansions) and SEEDS the cluster engine's
+expansion cache, so a later cluster-path or WAND execution of the same
+node reuses the expansion without a job (the reference's prepared-
+query seek cookies, multiterm_query.cpp:36-100).
+
 Scale story: a hot segment is bounded by `max_bytes` (default 1 GiB of
 blobs) — the serving tier for a 10^12-doc corpus is many such replicas
 over index shards (or time-sliced heads), with the cluster path as the
 long-tail fallback; `HotEngine.search` itself falls back to the
 cluster engine for query shapes it does not serve (variadic phrase
-slots, ranges, fuzzy, wildcards — anything needing term expansion).
+slots — anything else answers in-memory).
 """
 
 from __future__ import annotations
@@ -43,6 +54,7 @@ from iresearch_spark.search.executor import SearchEngine, _make_score_kernel
 
 _G = 13       # doc-range granularity for bound alignment (2^13 docs)
 _SPAN_CAP = 64
+_EXPANSION_LEAVES = (ast.Prefix, ast.Wildcard, ast.Range, ast.Fuzzy)
 
 
 class HotEngine:
@@ -107,6 +119,8 @@ class HotEngine:
         self._decoded: dict[str, list] = {}
         self._decoded_pos: dict[str, tuple] = {}
         self._bounds: dict[str, tuple] = {}
+        self._vocab: tuple | None = None
+        self._expansion: dict = {}
         self.last_wand_stats: dict | None = None
         self._deleted: np.ndarray | None = None
         if index.deleted is not None:
@@ -240,10 +254,190 @@ class HotEngine:
         # pre-impacts index: the loose (max_freq, min_dl) bound
         return c0 * self._g_scalar(float(max_f), float(min_dl))
 
+    # --------------------------------------------------------- expansion
+
+    def _vocab_arrays(self):
+        """Sorted in-memory term dictionary (terms object[], df int64[])
+        — Python str comparison == Spark's UTF8String order (UTF-8 byte
+        order preserves code-point order), so slices match the cluster
+        term intervals exactly."""
+        if self._vocab is None:
+            terms = sorted(self._df)
+            self._vocab = (
+                np.asarray(terms, dtype=object),
+                np.asarray([self._df[t] for t in terms], dtype=np.int64),
+            )
+        return self._vocab
+
+    def _vocab_slice(self, lo, hi, include_min: bool, include_max: bool):
+        terms, dfs = self._vocab_arrays()
+        i = (
+            0
+            if lo is None
+            else int(
+                np.searchsorted(terms, lo, "left" if include_min else "right")
+            )
+        )
+        j = (
+            terms.size
+            if hi is None
+            else int(
+                np.searchsorted(terms, hi, "right" if include_max else "left")
+            )
+        )
+        return terms[i:j], dfs[i:j]
+
+    @staticmethod
+    def _top_by_df(cands, limit: int):
+        """(df desc, term asc) head — executor._expand's orderBy."""
+        return sorted(cands, key=lambda td: (-td[1], td[0]))[:limit]
+
+    def _hot_expansion(self, node):
+        """([(term, df)] expansion, [matched terms], complete) for a
+        multiterm leaf, computed against the in-memory vocabulary —
+        output-identical to executor._leaf_expansion by construction
+        (pinned by parity tests) and seeded into the cluster engine's
+        expansion cache so WAND bound math and any cluster fallback of
+        the same node reuse it without an expansion job."""
+        hit = self._expansion.get(node)
+        if hit is not None:
+            return hit
+        eng = self.engine
+        if isinstance(node, ast.Prefix):
+            limit = min(node.scored_terms_limit, eng.scored_terms_limit)
+            t, d = self._vocab_slice(
+                node.prefix,
+                eng._prefix_successor(node.prefix),
+                True,
+                False,
+            )
+            matched = t.tolist()
+            expanded = self._top_by_df(zip(matched, d.tolist()), limit)
+            complete = len(expanded) < limit
+        elif isinstance(node, ast.Wildcard):
+            import re
+
+            from iresearch_spark.search.executor import _like_to_regex
+
+            limit = min(node.scored_terms_limit, eng.scored_terms_limit)
+            rx = re.compile(_like_to_regex(node.pattern))
+            terms, dfs = self._vocab_arrays()
+            matched, mdf = [], []
+            for t, d in zip(terms.tolist(), dfs.tolist()):
+                if rx.match(t):
+                    matched.append(t)
+                    mdf.append(d)
+            expanded = self._top_by_df(zip(matched, mdf), limit)
+            complete = len(expanded) < limit
+        elif isinstance(node, ast.Range):
+            limit = min(node.scored_terms_limit, eng.scored_terms_limit)
+            t, d = self._vocab_slice(
+                node.min_term,
+                node.max_term,
+                node.include_min,
+                node.include_max,
+            )
+            matched = t.tolist()
+            expanded = self._top_by_df(zip(matched, d.tolist()), limit)
+            complete = len(expanded) < limit
+        elif isinstance(node, ast.Fuzzy):
+            expanded = self._fuzzy_expansion(node)
+            matched = [t for t, _ in expanded]
+            complete = True
+        else:  # pragma: no cover
+            raise TypeError(f"not an expansion leaf: {node}")
+        out = (expanded, matched, complete)
+        self._expansion[node] = out
+        eng._expansion_cache.setdefault(node, (expanded, complete))
+        return out
+
+    def _fuzzy_expansion(self, node: ast.Fuzzy):
+        """executor._fuzzy_candidates against the in-memory vocabulary:
+        same exact-prefix pinning, length band, distance (plain
+        Levenshtein / OSA via the same _osa_distances_batch), and
+        (distance asc, df desc, term asc) max_terms cap."""
+        from iresearch_spark.search.executor import _osa_distances_batch
+
+        q, dmax, plen = node.term, node.distance, len(node.prefix)
+        tlen = len(q)
+        if plen:
+            t, d = self._vocab_slice(
+                node.prefix,
+                self.engine._prefix_successor(node.prefix),
+                True,
+                False,
+            )
+        else:
+            t, d = self._vocab_arrays()
+        if t.size == 0:
+            return []
+        lens = np.fromiter((len(x) for x in t), np.int64, count=t.size)
+        band = (lens >= plen + tlen - dmax) & (lens <= plen + tlen + dmax)
+        t, d = t[band], d[band]
+        if t.size == 0:
+            return []
+        suffixes = (
+            np.asarray([x[plen:] for x in t.tolist()], dtype=object)
+            if plen
+            else t
+        )
+        if node.transpositions:
+            dist = _osa_distances_batch(q, suffixes, dmax)
+        else:
+            dist = _lev_distances_batch(q, suffixes)
+        m = dist <= dmax
+        cand = sorted(
+            zip(dist[m].tolist(), t[m].tolist(), d[m].tolist()),
+            key=lambda x: (x[0], -x[2], x[1]),
+        )[: node.max_terms]
+        return [(term, df) for _, term, df in cand]
+
+    def _expansion_postings(self, node, boost, keep=None):
+        """Scored multiterm leaf -> (doc_ids, scores): the cluster's
+        predicate-scan semantics — EVERY matched term's docs are rows
+        (capped expansions leave beyond-cap terms matched at weight
+        0.0, executor._make_fused_scorer's weights.get(t, 0.0)), scored
+        terms carry c0(df, eff_boost)."""
+        expanded, matched, _complete = self._hot_expansion(node)
+        eff = boost * node.boost
+        w = {t: self.engine._c0(df, eff) for t, df in expanded}
+        parts = []
+        for term in matched:
+            sel = keep.get(term) if keep is not None else None
+            if keep is not None and sel is None:
+                continue  # WAND kept no blocks of this term
+            dd, f, l = self._decode_blocks(term, sel)
+            if dd.size == 0:
+                continue
+            s = self._kernel(np.float64(w.get(term, 0.0)), f, l)
+            parts.append((dd, np.asarray(s, dtype=np.float64)))
+        if not parts:
+            e = np.empty(0, np.int64)
+            return e, np.empty(0, np.float64)
+        if len(parts) == 1:
+            return parts[0]
+        dd = np.concatenate([p[0] for p in parts])
+        ss = np.concatenate([p[1] for p in parts])
+        return _sum_by_doc(dd, ss)
+
+    def _seed_expansions(self, node) -> None:
+        """Pre-compute every expansion leaf of a servable tree so the
+        engine-side _wand_terms / _wand_leaf_boosts calls below hit the
+        seeded cache instead of launching expansion jobs."""
+        if isinstance(node, _EXPANSION_LEAVES):
+            self._hot_expansion(node)
+        elif isinstance(node, (ast.And, ast.Or)):
+            for c in node.children:
+                self._seed_expansions(c)
+        elif isinstance(node, (ast.Not, ast.Should)):
+            self._seed_expansions(node.child)
+
     # -------------------------------------------------------------- eval
 
     def _servable(self, node: ast.Node) -> bool:
         if isinstance(node, (ast.Term, ast.Terms)):
+            return True
+        if isinstance(node, _EXPANSION_LEAVES):
             return True
         if isinstance(node, (ast.Phrase, ast.SamePosition)):
             # plain-string slots only; variadic slots need expansion
@@ -266,6 +460,7 @@ class HotEngine:
                 (r["doc_id"], r["score"])
                 for r in self.engine.search(query, k=k, mode=mode).collect()
             ]
+        self._seed_expansions(norm)
         if mode == "wand":
             terms = self.engine._wand_terms(norm)
             if terms is not None:
@@ -284,6 +479,7 @@ class HotEngine:
                 (r["doc_id"], r["score"])
                 for r in self.engine.matches(query).collect()
             ]
+        self._seed_expansions(norm)
         doc_ids, scores = self._eval(norm, 1.0, None)
         return list(zip(doc_ids.tolist(), scores.tolist()))
 
@@ -348,6 +544,9 @@ class HotEngine:
         executor's _eval/_eval_bool semantics in numpy."""
         if isinstance(node, (ast.Term, ast.Terms)):
             d, s = self._leaf_postings(node, boost, keep)
+            return self._apply_deletes(d, s)
+        if isinstance(node, _EXPANSION_LEAVES):
+            d, s = self._expansion_postings(node, boost, keep)
             return self._apply_deletes(d, s)
         if isinstance(node, (ast.Phrase, ast.SamePosition)):
             d, s = self._eval_positional(node, boost)
@@ -608,6 +807,43 @@ class HotEngine:
         }
         d, s = self._eval(query, 1.0, keep)
         return self._topk(d, s, k)
+
+
+def _lev_distances_batch(q: str, terms) -> np.ndarray:
+    """Plain Levenshtein distance of `q` against a numpy batch of
+    terms — the same vectorized row-DP shape as _osa_distances_batch
+    without the transposition branch; matches Spark's
+    levenshtein(term, q) exactly (code-point edits)."""
+    N = len(terms)
+    if N == 0:
+        return np.zeros(0, dtype=np.int32)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=N)
+    L = int(lens.max())
+    m = len(q)
+    T = np.zeros((N, max(L, 1)), dtype=np.uint32)
+    for r, t in enumerate(terms):
+        if t:
+            T[r, : len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            )
+    qc = (
+        np.frombuffer(q.encode("utf-32-le"), dtype=np.uint32)
+        if m
+        else np.zeros(0, dtype=np.uint32)
+    )
+    prev = np.broadcast_to(
+        np.arange(L + 1, dtype=np.int32), (N, L + 1)
+    ).copy()
+    for i in range(1, m + 1):
+        cur = np.empty((N, L + 1), dtype=np.int32)
+        cur[:, 0] = i
+        for j in range(1, L + 1):
+            cost = (T[:, j - 1] != qc[i - 1]).astype(np.int32)
+            v = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost)
+            np.minimum(v, cur[:, j - 1] + 1, out=v)
+            cur[:, j] = v
+        prev = cur
+    return prev[np.arange(N), lens].astype(np.int32)
 
 
 def _sum_by_doc(d: np.ndarray, s: np.ndarray):

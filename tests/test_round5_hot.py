@@ -124,7 +124,9 @@ def test_hot_same_position(engines):
     assert got == want
 
 
-def test_hot_fallback_for_prefix(engines):
+def test_hot_prefix_served_in_memory(engines):
+    # was the fallback shape until expansion leaves landed on the hot
+    # path (test_round5_hot_expansion.py covers the full matrix)
     eng, hot = engines
     from iresearch_spark.search import Prefix
 
