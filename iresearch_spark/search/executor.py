@@ -1902,11 +1902,9 @@ class SearchEngine:
     def _plain_terms(self, node: ast.Node, acc: list[str]) -> None:
         if isinstance(node, ast.Term):
             acc.append(node.term)
-        elif isinstance(
-            node, (ast.Terms, ast.SamePosition, ast.NgramSimilarity)
-        ):
+        elif isinstance(node, (ast.Terms, ast.NgramSimilarity)):
             acc.extend(node.terms)
-        elif isinstance(node, ast.Phrase):
+        elif isinstance(node, (ast.Phrase, ast.SamePosition)):
             for p in node.terms:  # variadic slots expand at prepare time
                 if isinstance(p, str):
                     acc.append(p)

@@ -426,6 +426,10 @@ class HotEngine:
         seeded cache instead of launching expansion jobs."""
         if isinstance(node, _EXPANSION_LEAVES):
             self._hot_expansion(node)
+        elif isinstance(node, (ast.Phrase, ast.SamePosition)):
+            for p in node.terms:
+                if isinstance(p, _EXPANSION_LEAVES):
+                    self._hot_expansion(p)
         elif isinstance(node, (ast.And, ast.Or)):
             for c in node.children:
                 self._seed_expansions(c)
@@ -440,9 +444,10 @@ class HotEngine:
         if isinstance(node, _EXPANSION_LEAVES):
             return True
         if isinstance(node, (ast.Phrase, ast.SamePosition)):
-            # plain-string slots only; variadic slots need expansion
+            # variadic slots expand against the in-memory vocabulary
             return self._with_positions and all(
-                isinstance(t, str) for t in node.terms
+                isinstance(t, (str, ast.Terms) + _EXPANSION_LEAVES)
+                for t in node.terms
             )
         if isinstance(node, (ast.Not, ast.Should)):
             return self._servable(node.child)
@@ -609,51 +614,88 @@ class HotEngine:
             return ud, us
         raise TypeError(f"unservable node {node!r}")  # pragma: no cover
 
+    def _slot_candidates(self, part):
+        """[(term, df)] per phrase slot — the cluster _slot_candidates
+        against the in-memory vocabulary (expansion leaves share
+        _hot_expansion's caps/order, which equal the cluster _expand
+        calls argument-for-argument)."""
+        if isinstance(part, str):
+            return [(part, self._df.get(part, 0))]
+        if isinstance(part, ast.Terms):
+            return [
+                (t, self._df.get(t, 0)) for t in dict.fromkeys(part.terms)
+            ]
+        if isinstance(part, _EXPANSION_LEAVES):
+            return self._hot_expansion(part)[0]
+        raise TypeError(f"unsupported phrase slot: {part!r}")
+
     def _eval_positional(self, node, boost):
-        """Plain-string Phrase / SamePosition — the cluster
+        """Phrase / SamePosition incl. VARIADIC slots — the cluster
         _eval_positional semantics in numpy: per doc, phrase freq =
-        |intersection over slots of (positions_i − offset_i)|, scored
-        with the SUMMED per-slot c0 (phrase_query.cpp composes per-part
-        scorers over the shared phrase frequency)."""
-        terms = [str(t) for t in node.terms]
+        |intersection over slots of (union of the slot's candidate
+        positions − offset_i)|, scored with the SUMMED per-slot c0,
+        each slot's df being the SUM over its matched variants
+        (phrase_query.cpp composes per-part scorers over the shared
+        phrase frequency)."""
+        slots = [self._slot_candidates(p) for p in node.terms]
         offsets = (
-            list(range(len(terms)))
+            list(range(len(slots)))
             if isinstance(node, ast.Phrase)
-            else [0] * len(terms)
+            else [0] * len(slots)
         )
         eff = boost * node.boost
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-        dfs = [self._df.get(t, 0) for t in terms]
-        if any(df == 0 for df in dfs):
-            return empty
-        # duplicate (term, offset) slots collapse like the cluster's
-        # per-slot dict; distinct slots of the same term keep their own
-        # c0 contribution
-        c0_sum = sum(self.engine._c0(df, 1.0) for df in dfs) * eff
-        per = [self._decode_positions(t) for t in terms]
-        common = per[0][0]
-        for p in per[1:]:
-            common = np.intersect1d(common, p[0], assume_unique=True)
-        if common.size == 0:
+        clean: list[list[str]] = []
+        c0_sum = 0.0
+        for s in slots:
+            s2 = [(t, d) for t, d in dict(s).items() if d > 0]
+            if not s2:
+                return empty  # a slot with no live terms
+            c0_sum += self.engine._c0(sum(d for _, d in s2), 1.0)
+            clean.append([t for t, _ in s2])
+        c0_sum *= eff
+        # per-slot decoded postings + per-slot doc universe (union over
+        # the slot's candidate terms)
+        per_slot: list[list[tuple]] = []
+        common = None
+        for terms in clean:
+            datas = [self._decode_positions(t) for t in terms]
+            docs = datas[0][0]
+            for dd in datas[1:]:
+                docs = np.union1d(docs, dd[0])
+            per_slot.append(datas)
+            common = (
+                docs
+                if common is None
+                else np.intersect1d(common, docs, assume_unique=True)
+            )
+        if common is None or common.size == 0:
             return empty
         freqs = np.empty(common.size, np.int64)
         dls = np.empty(common.size, np.int64)
-        d0, l0 = per[0][0], per[0][1]
         for j in range(common.size):
             doc = common[j]
             inter = None
-            for (d_ids, _dl, pos, offs), off in zip(per, offsets):
-                i = int(np.searchsorted(d_ids, doc))
-                p = pos[offs[i] : offs[i + 1]] - off
+            dl = -1
+            for datas, off in zip(per_slot, offsets):
+                pos_u = None
+                for d_ids, dlc, pos, offs in datas:
+                    i = int(np.searchsorted(d_ids, doc))
+                    if i >= d_ids.size or d_ids[i] != doc:
+                        continue
+                    p = pos[offs[i] : offs[i + 1]] - off
+                    pos_u = p if pos_u is None else np.union1d(pos_u, p)
+                    if dl < 0:
+                        dl = int(dlc[i])
                 inter = (
-                    p
+                    pos_u
                     if inter is None
-                    else np.intersect1d(inter, p, assume_unique=True)
+                    else np.intersect1d(inter, pos_u, assume_unique=True)
                 )
                 if inter.size == 0:
                     break
-            freqs[j] = inter.size
-            dls[j] = l0[int(np.searchsorted(d0, doc))]
+            freqs[j] = 0 if inter is None else inter.size
+            dls[j] = dl
         m = freqs > 0
         if not m.any():
             return empty

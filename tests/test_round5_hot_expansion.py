@@ -180,3 +180,37 @@ def test_hot_expansion_launches_no_cluster_expansion(engines, monkeypatch):
     ):
         assert hot.search(q, k=5)
         assert hot.search(q, k=5, mode="wand") == hot.search(q, k=5)
+
+
+def test_hot_variadic_phrase_parity(engines):
+    """Variadic phrase slots (reference phrase_filter.cpp:75-121
+    visitor) served from the hot segment: per-slot expansion against
+    the in-memory vocabulary, union-of-candidate positions per slot."""
+    from iresearch_spark.search import Phrase, SamePosition, Terms
+
+    eng, hot = engines
+    queries = [
+        Phrase((Prefix("appl"), "banana")),
+        Phrase(("banana", Prefix("b"))),
+        Phrase((Terms(["apple", "ample"]), Wildcard("b_nd"))),
+        Phrase((Fuzzy("aple", distance=1), "café")),
+        Phrase((Range("band", "bind"), "zebra")),
+        Phrase((Prefix("nosuch"), "banana")),  # dead slot -> empty
+        SamePosition((Prefix("app"), "banana")),
+        Phrase((Prefix("appl"), "banana"), boost=2.5),
+    ]
+    for q in queries:
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search(q, k=20).collect()
+        ]
+        got = [(d, round(s, 9)) for d, s in hot.search(q, k=20)]
+        assert got == want, q
+    # unordered matches parity too (exercises freq/dl per doc)
+    q = Phrase((Prefix("appl"), "banana"))
+    want_m = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.matches(q).collect()
+    }
+    got_m = {d: round(s, 9) for d, s in hot.matches(q)}
+    assert got_m == want_m
