@@ -676,10 +676,15 @@ def _make_cjk_tokenize(words: frozenset[str]):
     (no match ending before a bound sign, none starting after an
     unmatched preposed vowel) and SPAN fallback: an unmatched stretch
     indexes as one token, never per character — a bare combining
-    vowel/tone mark is not a token. Kana runs stay one token per
-    script run (documented simplification — ICU also consults a
-    dictionary there). Everything non-CJK tokenizes exactly like the
-    plain word tokenizer."""
+    vowel/tone mark is not a token. HIRAGANA runs segment by
+    FULL-COVER matching: the run splits (greedy-longest among valid
+    covers) only when it is entirely composed of dictionary words —
+    `ですが` → `です`+`が` — and otherwise stays ONE token, so the
+    kana lexicon can never shred an unknown word; katakana runs stay
+    one token per run (a katakana stretch is almost always a single
+    loanword — the remaining, much narrower, simplification vs ICU's
+    frequency-DP break). Everything non-CJK tokenizes exactly like
+    the plain word tokenizer."""
     maxlen = max((len(w) for w in words), default=1)
 
     def _segment_han(run: str) -> list[str]:
@@ -727,6 +732,31 @@ def _make_cjk_tokenize(words: frozenset[str]):
             out.append(run[span:])
         return out
 
+    def _segment_hiragana(run: str) -> list[str]:
+        # full-cover-or-whole: ok[i] marks "run[i:] is coverable by
+        # dictionary words"; cover[i] remembers the LONGEST word at i
+        # that keeps the rest coverable (greedy-longest among valid
+        # covers — the deterministic analogue of ICU's frequency-DP
+        # kana break). ok[0] false -> the run is one token, untouched.
+        n = len(run)
+        ok = [False] * (n + 1)
+        ok[n] = True
+        cover = [0] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            for L in range(min(maxlen, n - i), 0, -1):
+                if ok[i + L] and run[i : i + L] in words:
+                    ok[i] = True
+                    cover[i] = L
+                    break
+        if not ok[0]:
+            return [run]
+        out: list[str] = []
+        i = 0
+        while i < n:
+            out.append(run[i : i + cover[i]])
+            i += cover[i]
+        return out
+
     def tok(text: str) -> list[str]:
         out: list[str] = []
         pos = 0
@@ -739,7 +769,9 @@ def _make_cjk_tokenize(words: frozenset[str]):
                 out.extend(_segment_han(run))
             elif "฀" <= c <= "๿":  # Thai run
                 out.extend(_segment_thai(run))
-            else:  # kana run
+            elif "぀" <= c <= "ゟ":  # hiragana run
+                out.extend(_segment_hiragana(run))
+            else:  # katakana run: one loanword token
                 out.append(run)
             pos = m.end()
         if pos < len(text):
@@ -777,12 +809,16 @@ def _segmentation(
     if cjk:
         if word_break != "alpha":
             raise ValueError("cjk segmentation requires word_break='alpha'")
-        from iresearch_spark.analysis.cjk_words import CJK_WORDS, THAI_WORDS
+        from iresearch_spark.analysis.cjk_words import (
+            CJK_WORDS,
+            KANA_WORDS,
+            THAI_WORDS,
+        )
 
         words = (
             frozenset(cjk_dict)
             if cjk_dict is not None
-            else CJK_WORDS | THAI_WORDS
+            else CJK_WORDS | THAI_WORDS | KANA_WORDS
         )
         tok = _make_cjk_tokenize(words)
         return Analyzer(
@@ -900,10 +936,11 @@ def _make_text_locale(lang: str):
         if lang in _DICT_BREAK_LANGS:
             from iresearch_spark.analysis.cjk_words import (
                 CJK_WORDS,
+                KANA_WORDS,
                 THAI_WORDS,
             )
 
-            tok = _make_cjk_tokenize(CJK_WORDS | THAI_WORDS)
+            tok = _make_cjk_tokenize(CJK_WORDS | THAI_WORDS | KANA_WORDS)
             edge = _parse_edge(edge_ngram)
             return Analyzer(
                 f"text_{lang}",

@@ -65,3 +65,32 @@ THAI_WORDS: frozenset[str] = frozenset(
 สวัสดี ขอบคุณ ภาษาไทย คนไทย อาหารไทย ประเทศไทย
 """.split()
 )
+
+# High-frequency HIRAGANA function words for the kana branch of the
+# same segmenter (ICU's ja dictionary break consults a lexicon over
+# kana runs too). Particles, copula/auxiliary forms, demonstratives,
+# pronouns, question words, conjunctions/adverbs, and the handful of
+# content words conventionally written in kana. A hiragana run splits
+# ONLY when it is entirely composed of these words (full-cover
+# segmentation — see analyzers._make_cjk_tokenize); any run the list
+# cannot fully cover stays ONE token, so a sparse lexicon can never
+# shred an unknown word. Replaced wholesale by `cjk_dict=`.
+KANA_WORDS: frozenset[str] = frozenset(
+    """
+の は を に が と で も へ や か ね よ から まで より など だけ
+ほど しか ばかり こそ さえ でも とか って
+です ます でした ました でしょう ましょう ません だ だった である
+ない なかった たい なら ので のに けど けれど けれども
+する した して しない います いる いた いない ある あります
+ありません あった なる なった なります できる できた できます
+わかる わかった わかります ください
+これ それ あれ どれ ここ そこ あそこ どこ この その あの どの
+こう そう ああ どう こちら そちら あちら どちら
+わたし ぼく きみ あなた だれ なに なん いつ なぜ どうして みんな
+そして しかし また まだ もう とても すごく よく すこし ちょっと
+たくさん ぜんぶ いつも ときどき たぶん もちろん やはり やっぱり
+だから それで つまり ところで さらに すぐ ずっと ほとんど
+こと もの ところ とき ひと ため よう ほう うち まえ あと なか
+こんにちは ありがとう さようなら おはよう すみません ございます
+""".split()
+)

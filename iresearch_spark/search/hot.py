@@ -35,8 +35,10 @@ Scale story: a hot segment is bounded by `max_bytes` (default 1 GiB of
 blobs) — the serving tier for a 10^12-doc corpus is many such replicas
 over index shards (or time-sliced heads), with the cluster path as the
 long-tail fallback; `HotEngine.search` itself falls back to the
-cluster engine for query shapes it does not serve (variadic phrase
-slots — anything else answers in-memory).
+cluster engine for query shapes it does not serve (columnar leaves —
+Exists / NumericRange / GranularRange / Nested — and NgramSimilarity;
+every postings-backed shape, including variadic Phrase / SamePosition
+slots, answers in-memory).
 """
 
 from __future__ import annotations

@@ -29,8 +29,31 @@ def test_zh_unmatched_falls_to_single_chars():
 def test_ja_kanji_and_kana_runs():
     a = _an()
     terms, _ = a.analyze("東京大学の学生です")
-    # kanji compounds via dictionary; hiragana runs stay whole
+    # kanji compounds via dictionary; single-word hiragana runs pass
+    # through the full-cover kana segmenter unchanged
     assert terms == ["東京", "大学", "の", "学生", "です"]
+
+
+def test_hiragana_full_cover_splits():
+    # a hiragana run splits ONLY when entirely composed of dictionary
+    # words (greedy-longest among valid covers)
+    a = _an()
+    assert a.analyze("これはなんですか")[0] == [
+        "これ", "は", "なん", "です", "か",
+    ]
+    assert a.analyze("東京大学の学生でしたが")[0] == [
+        "東京", "大学", "の", "学生", "でした", "が",
+    ]
+    # longest word wins over a shorter sub-cover (でしょう, not で+?)
+    assert a.analyze("そうでしょう")[0] == ["そう", "でしょう"]
+
+
+def test_hiragana_uncoverable_run_stays_whole():
+    # an unknown content word anywhere in the run blocks the cover ->
+    # the whole run is ONE token (the lexicon can never shred)
+    a = _an()
+    assert a.analyze("わたしはがくせい")[0] == ["わたしはがくせい"]
+    assert a.analyze("ひらがなのれんしゅう")[0] == ["ひらがなのれんしゅう"]
 
 
 def test_katakana_run_is_one_token():
