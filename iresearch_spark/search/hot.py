@@ -31,14 +31,24 @@ expansion cache, so a later cluster-path or WAND execution of the same
 node reuses the expansion without a job (the reference's prepared-
 query seek cookies, multiterm_query.cpp:36-100).
 
+Columnar leaves are served in-memory too: stored doc columns pin
+LAZILY on first use (one Arrow collect per column, sorted by doc_id),
+so Exists (incl. name-prefix mode), NumericRange, GranularRange (via
+the stored-column tier — identical semantics to the granular
+dictionary decomposition, which exists only to prune a cluster scan),
+Nested parent/child rollups, AllDocs, Empty, and Cached all answer
+driver-resident. Lazily pinned columns are NOT counted by the
+constructor's postings-blob budget check — a serving replica sizes
+max_bytes for blobs + the columns its query mix touches.
+
 Scale story: a hot segment is bounded by `max_bytes` (default 1 GiB of
 blobs) — the serving tier for a 10^12-doc corpus is many such replicas
 over index shards (or time-sliced heads), with the cluster path as the
 long-tail fallback; `HotEngine.search` itself falls back to the
-cluster engine for query shapes it does not serve (columnar leaves —
-Exists / NumericRange / GranularRange / Nested — and NgramSimilarity;
-every postings-backed shape, including variadic Phrase / SamePosition
-slots, answers in-memory).
+cluster engine for the query shapes it does not serve (NgramSimilarity
+— a per-candidate LCS kernel — Field-scoped multi-field subtrees, and
+GranularRange when the range column exists only in the numeric
+dictionary; every other shape answers in-memory).
 """
 
 from __future__ import annotations
@@ -123,6 +133,9 @@ class HotEngine:
         self._bounds: dict[str, tuple] = {}
         self._vocab: tuple | None = None
         self._expansion: dict = {}
+        self._cols: dict[str, tuple] = {}
+        self._spine: np.ndarray | None = None
+        self._proxy: dict = {}
         self.last_wand_stats: dict | None = None
         self._deleted: np.ndarray | None = None
         if index.deleted is not None:
@@ -435,8 +448,149 @@ class HotEngine:
         elif isinstance(node, (ast.And, ast.Or)):
             for c in node.children:
                 self._seed_expansions(c)
-        elif isinstance(node, (ast.Not, ast.Should)):
+        elif isinstance(node, (ast.Not, ast.Should, ast.Cached, ast.Nested)):
             self._seed_expansions(node.child)
+
+    # ----------------------------------------------------- doc columns
+
+    def _doc_spine(self) -> np.ndarray:
+        """Sorted int64 doc_id array of the docs table, pinned once
+        (AllDocs / Nested parent-membership)."""
+        if self._spine is None:
+            tbl = self.engine.index.docs.select("doc_id").toArrow()
+            ids = tbl.column("doc_id").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            self._spine = np.sort(ids)
+        return self._spine
+
+    def _doc_col(self, name: str):
+        """Pin a stored doc column: (doc_ids sorted int64, valid bool
+        mask, values ndarray) aligned index-for-index. One Arrow
+        collect per column, cached for the engine's lifetime; every
+        pinned column shares the same sorted-doc_id spine (doc ids are
+        unique), so masks from different columns OR together directly
+        (Exists prefix mode)."""
+        hit = self._cols.get(name)
+        if hit is not None:
+            return hit
+        docs = self.engine.index.docs
+        if name not in docs.columns:
+            raise ValueError(
+                f"docs table has no column {name!r}; build the index "
+                "with extra_doc_cols=[...] to store it"
+            )
+        tbl = docs.select("doc_id", name).toArrow()
+        ids = tbl.column("doc_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        col = tbl.column(name).combine_chunks()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        valid = (
+            np.asarray(col.is_valid())[order]
+            if col.null_count
+            else np.ones(ids.size, bool)
+        )
+        vals = col.to_numpy(zero_copy_only=False)[order]
+        hit = (ids, valid, vals)
+        self._cols[name] = hit
+        return hit
+
+    def _numeric_range_docs(self, node) -> np.ndarray:
+        """Matching doc_ids of a NumericRange/GranularRange over the
+        stored column — the cluster predicate in numpy. NULL never
+        matches (valid mask). NaN mirrors the tier the CLUSTER would
+        use for this node: Spark comparison semantics order NaN above
+        every number, so a stored-column NumericRange matches NaN on
+        min-only/unbounded predicates — numpy's IEEE compares (always
+        False) are fixed up to agree; a GranularRange whose column is
+        in the numeric dictionary never matches NaN (the dictionary
+        build filters NULL/NaN, index/numeric.py:147-148), while a
+        dictionary-less GranularRange is the cluster's NumericRange
+        fallback and keeps Spark NaN semantics."""
+        ids, valid, vals = self._doc_col(node.column)
+        ids, v = ids[valid], vals[valid]
+        m = np.ones(v.size, bool)
+        if node.min_val is not None:
+            m &= (
+                (v >= node.min_val)
+                if node.include_min
+                else (v > node.min_val)
+            )
+        if node.max_val is not None:
+            m &= (
+                (v <= node.max_val)
+                if node.include_max
+                else (v < node.max_val)
+            )
+        if v.size and np.issubdtype(np.asarray(v).dtype, np.floating):
+            idx = self.engine.index
+            dict_tier = isinstance(node, ast.GranularRange) and (
+                idx.num_terms is not None
+                and node.column in (idx.numeric_meta or {})
+            )
+            isnan = v != v
+            if dict_tier or node.max_val is not None:
+                m &= ~isnan
+            else:
+                m |= isnan
+        return ids[m]
+
+    def _eval_nested_hot(self, node, boost):
+        """Nested parent/child rollup in numpy — the cluster
+        _eval_nested semantics: child matches (deletes already applied
+        per leaf) map to parents via the pinned parent_col, scores
+        merge per merge_type, parents keep iff matching-child count in
+        [min_children, max_children] and the parent is itself a live
+        doc of this index."""
+        if node.min_children < 1:
+            raise ValueError("min_children must be >= 1")
+        ids, valid, pvals = self._doc_col(node.parent_col)
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        cd, cs = self._eval(node.child, 1.0, None)
+        if cd.size == 0 or ids.size == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ids, cd), ids.size - 1)
+        ok = (ids[pos] == cd) & valid[pos]
+        if not ok.any():
+            return empty
+        par_raw = pvals[pos[ok]]
+        cs = np.asarray(cs)[ok]
+        if par_raw.dtype == object:
+            par = np.asarray(
+                [int(x) for x in par_raw.tolist()], dtype=np.int64
+            )
+        else:
+            par = par_raw.astype(np.int64)
+        order = np.argsort(par, kind="stable")
+        par, cs = par[order], cs[order]
+        bound = np.empty(par.size, bool)
+        bound[0] = True
+        bound[1:] = par[1:] != par[:-1]
+        starts = np.flatnonzero(bound)
+        up = par[starts]
+        nc = np.diff(np.append(starts, par.size))
+        if node.merge_type == "max":
+            us = np.maximum.reduceat(cs, starts)
+        elif node.merge_type == "min":
+            us = np.minimum.reduceat(cs, starts)
+        else:  # sum / noop
+            us = np.add.reduceat(cs, starts)
+        m = nc >= node.min_children
+        if node.max_children is not None:
+            m &= nc <= node.max_children
+        up, us = up[m], us[m]
+        if node.merge_type == "noop":
+            us = np.zeros(us.size, np.float64)
+        else:
+            us = us * float(node.boost * boost)
+        spine = self._doc_spine()
+        if spine.size == 0:
+            return empty
+        p2 = np.minimum(np.searchsorted(spine, up), spine.size - 1)
+        live = spine[p2] == up
+        return self._apply_deletes(up[live], us[live])
 
     # -------------------------------------------------------------- eval
 
@@ -451,10 +605,22 @@ class HotEngine:
                 isinstance(t, (str, ast.Terms) + _EXPANSION_LEAVES)
                 for t in node.terms
             )
-        if isinstance(node, (ast.Not, ast.Should)):
+        if isinstance(node, (ast.Not, ast.Should, ast.Cached)):
             return self._servable(node.child)
         if isinstance(node, (ast.And, ast.Or)):
             return all(self._servable(c) for c in node.children)
+        if isinstance(
+            node, (ast.AllDocs, ast.Empty, ast.Exists, ast.NumericRange)
+        ):
+            return True
+        if isinstance(node, ast.GranularRange):
+            # stored-column tier only; dictionary-only columns fall
+            # back to the cluster's pruned num_terms scan
+            return node.column in self.engine.index.docs.columns
+        if isinstance(node, ast.Nested):
+            return node.parent_col in self.engine.index.docs.columns and (
+                self._servable(node.child)
+            )
         return False
 
     def search(self, query: ast.Node, k: int = 10, mode: str = "exhaustive"):
@@ -558,6 +724,57 @@ class HotEngine:
         if isinstance(node, (ast.Phrase, ast.SamePosition)):
             d, s = self._eval_positional(node, boost)
             return self._apply_deletes(d, s)
+        if isinstance(node, ast.Empty):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if isinstance(node, ast.AllDocs):
+            d = self._doc_spine()
+            s = np.full(
+                d.size, self.engine._const_score(node.boost * boost)
+            )
+            return self._apply_deletes(d, s)
+        if isinstance(node, ast.Exists):
+            if node.prefix_match:
+                cols = [
+                    c
+                    for c in self.engine.index.docs.columns
+                    if c.startswith(node.column)
+                    and c not in ("doc_id", "dl")
+                ]
+                if not cols:
+                    raise ValueError(
+                        f"docs table has no column with prefix "
+                        f"{node.column!r}; build the index with "
+                        "extra_doc_cols=[...] to store them"
+                    )
+                ids, mask, _ = self._doc_col(cols[0])
+                if len(cols) > 1:
+                    mask = mask.copy()
+                    for c in cols[1:]:
+                        mask |= self._doc_col(c)[1]
+            else:
+                ids, mask, _ = self._doc_col(node.column)
+            d = ids[mask]
+            s = np.full(
+                d.size, self.engine._const_score(node.boost * boost)
+            )
+            return self._apply_deletes(d, s)
+        if isinstance(node, (ast.NumericRange, ast.GranularRange)):
+            d = self._numeric_range_docs(node)
+            s = np.full(
+                d.size, self.engine._const_score(node.boost * boost)
+            )
+            return self._apply_deletes(d, s)
+        if isinstance(node, ast.Cached):
+            key = node.child
+            hit = self._proxy.get(key)
+            if hit is None:
+                hit = self._eval(node.child, 1.0, None)
+                self._proxy[key] = hit
+            d, s = hit
+            b = float(node.boost * boost)
+            return (d, s) if b == 1.0 else (d, s * b)
+        if isinstance(node, ast.Nested):
+            return self._eval_nested_hot(node, boost)
         if isinstance(node, (ast.And, ast.Or)):
             b = boost * node.boost
             positives, optional_idx = [], set()
