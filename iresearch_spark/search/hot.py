@@ -45,10 +45,10 @@ Scale story: a hot segment is bounded by `max_bytes` (default 1 GiB of
 blobs) — the serving tier for a 10^12-doc corpus is many such replicas
 over index shards (or time-sliced heads), with the cluster path as the
 long-tail fallback; `HotEngine.search` itself falls back to the
-cluster engine for the query shapes it does not serve (NgramSimilarity
-— a per-candidate LCS kernel — Field-scoped multi-field subtrees, and
-GranularRange when the range column exists only in the numeric
-dictionary; every other shape answers in-memory).
+cluster engine for the query shapes it does not serve (Field-scoped
+multi-field subtrees, and GranularRange when the range column exists
+only in the numeric dictionary; every other shape — including
+NgramSimilarity's per-candidate LCS — answers in-memory).
 """
 
 from __future__ import annotations
@@ -592,6 +592,67 @@ class HotEngine:
         live = spine[p2] == up
         return self._apply_deletes(up[live], us[live])
 
+    def _eval_ngram_sim_hot(self, node, boost):
+        """by_ngram_similarity in-memory — the cluster
+        _eval_ngram_similarity semantics: candidate docs hold >=
+        ceil(threshold*m) occurrences of the query's (present) ngrams;
+        per candidate, LCS of (query ngram sequence, doc's
+        position-ordered ngram stream); similarity = LCS/m, match iff
+        >= threshold, score = boost * similarity (plain f64 multiply,
+        exactly the cluster's lit(boost) * _sim — never rounded
+        through _const_score)."""
+        import math
+
+        if not self._with_positions:
+            raise ValueError("index was built without positions")
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        b = float(boost * node.boost)
+        q_seq = list(node.terms)
+        m = len(q_seq)
+        if m == 0:
+            return empty
+        min_match = max(1, math.ceil(node.threshold * m))
+        uniq = list(dict.fromkeys(q_seq))
+        present = [t for t in uniq if self._df.get(t, 0) > 0]
+        if not present:
+            return empty
+        tcode = {t: k for k, t in enumerate(uniq)}
+        q_codes = [tcode[t] for t in q_seq]
+        d_parts, p_parts, c_parts = [], [], []
+        for t in present:
+            doc_ids, _dls, pos, offs = self._decode_positions(t)
+            if pos.size == 0:
+                continue
+            d_parts.append(np.repeat(doc_ids, np.diff(offs)))
+            p_parts.append(pos)
+            c_parts.append(np.full(pos.size, tcode[t], np.int32))
+        if not d_parts:
+            return empty
+        D = np.concatenate(d_parts)
+        P = np.concatenate(p_parts)
+        C = np.concatenate(c_parts)
+        order = np.lexsort((P, D))
+        D, C = D[order], C[order]
+        udocs, starts_idx = np.unique(D, return_index=True)
+        counts = np.diff(np.append(starts_idx, D.size))
+        out_d, out_s = [], []
+        for ui in np.flatnonzero(counts >= min_match).tolist():
+            codes = C[starts_idx[ui] : starts_idx[ui] + counts[ui]]
+            prev = np.zeros(codes.size + 1, np.int32)
+            for qc in q_codes:
+                cur = np.maximum(prev[1:], prev[:-1] + (codes == qc))
+                np.maximum.accumulate(cur, out=cur)
+                prev[1:] = cur
+            sim = float(prev[-1]) / m
+            if sim >= node.threshold:
+                out_d.append(int(udocs[ui]))
+                out_s.append(b * sim)
+        if not out_d:
+            return empty
+        return self._apply_deletes(
+            np.asarray(out_d, np.int64), np.asarray(out_s, np.float64)
+        )
+
     # -------------------------------------------------------------- eval
 
     def _servable(self, node: ast.Node) -> bool:
@@ -621,6 +682,8 @@ class HotEngine:
             return node.parent_col in self.engine.index.docs.columns and (
                 self._servable(node.child)
             )
+        if isinstance(node, ast.NgramSimilarity):
+            return self._with_positions
         return False
 
     def search(self, query: ast.Node, k: int = 10, mode: str = "exhaustive"):
@@ -775,6 +838,8 @@ class HotEngine:
             return (d, s) if b == 1.0 else (d, s * b)
         if isinstance(node, ast.Nested):
             return self._eval_nested_hot(node, boost)
+        if isinstance(node, ast.NgramSimilarity):
+            return self._eval_ngram_sim_hot(node, boost)
         if isinstance(node, (ast.And, ast.Or)):
             b = boost * node.boost
             positives, optional_idx = [], set()

@@ -235,3 +235,52 @@ def test_hot_columnar_f32_parity(spark):
         )
         got = sorted(hot32.matches(q))
         assert got == want  # const scores round through f32 identically
+
+
+def test_hot_ngram_similarity_matches_cluster(spark):
+    """NgramSimilarity served in-memory: same candidates, same LCS/m
+    similarities, same boost multiply as the cluster's pandas kernel;
+    deletes respected; falls back only when positions are absent."""
+    from iresearch_spark.analysis.analyzers import get_analyzer
+    from iresearch_spark.search import NgramSimilarity
+
+    rng = random.Random(11)
+    alpha = "abcdxyz"
+    docs = [(0, "abcd"), (1, "abxd"), (2, "zabcd"), (3, "dcba")]
+    docs += [
+        (i, "".join(rng.choices(alpha, k=rng.randint(4, 12))))
+        for i in range(4, 120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(
+        df, analyzer=get_analyzer("ngram", min_gram=2, max_gram=2),
+        bucket_bits=7,
+    )
+    eng = SearchEngine(idx)
+    hot = HotEngine(eng)
+    for q in (
+        NgramSimilarity(["ab", "bc", "cd"], threshold=0.9),
+        NgramSimilarity(["ab", "bc", "cd"], threshold=0.3, boost=2.5),
+        NgramSimilarity(["ab", "ab", "cd"], threshold=0.5),  # repeat gram
+        NgramSimilarity(["qq", "zz"], threshold=0.4),        # partly absent
+        Or([Term("ab"), NgramSimilarity(["ab", "bc"], threshold=0.9)]),
+    ):
+        assert hot._servable(q) or isinstance(q, Or)
+        want = _want(eng, q)
+        got = sorted((d, round(s, 6)) for d, s in hot.matches(q))
+        assert got == want, q
+    # deletes
+    idx2 = idx.delete_docs(spark.createDataFrame([(0,)], "doc_id long"))
+    eng2 = SearchEngine(idx2)
+    hot2 = HotEngine(eng2)
+    q = NgramSimilarity(["ab", "bc", "cd"], threshold=0.3)
+    want = _want(eng2, q)
+    got = sorted((d, round(s, 6)) for d, s in hot2.matches(q))
+    assert got == want and 0 not in {d for d, _ in got}
+    # no positions -> not servable (cluster raises the same error)
+    idx3 = build_index(
+        df, analyzer=get_analyzer("ngram", min_gram=2, max_gram=2),
+        bucket_bits=7, with_positions=False,
+    )
+    hot3 = HotEngine(SearchEngine(idx3))
+    assert not hot3._servable(q)
