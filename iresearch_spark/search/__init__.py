@@ -22,5 +22,8 @@ from iresearch_spark.search.ast import (  # noqa: F401
     Wildcard,
 )
 from iresearch_spark.search.executor import SearchEngine  # noqa: F401
-from iresearch_spark.search.hot import HotEngine  # noqa: F401
+from iresearch_spark.search.hot import (  # noqa: F401
+    HotEngine,
+    HotMultiFieldEngine,
+)
 from iresearch_spark.search.multifield import MultiFieldEngine  # noqa: F401

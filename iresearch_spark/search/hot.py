@@ -45,10 +45,11 @@ Scale story: a hot segment is bounded by `max_bytes` (default 1 GiB of
 blobs) — the serving tier for a 10^12-doc corpus is many such replicas
 over index shards (or time-sliced heads), with the cluster path as the
 long-tail fallback; `HotEngine.search` itself falls back to the
-cluster engine for the query shapes it does not serve (Field-scoped
-multi-field subtrees, and GranularRange when the range column exists
-only in the numeric dictionary; every other shape — including
-NgramSimilarity's per-candidate LCS — answers in-memory).
+cluster engine for the query shapes it does not serve (GranularRange
+when the range column exists only in the numeric dictionary; every
+other shape — NgramSimilarity's per-candidate LCS, and Field-scoped
+subtrees through `HotMultiFieldEngine`'s per-field replicas —
+answers in-memory).
 """
 
 from __future__ import annotations
@@ -136,6 +137,7 @@ class HotEngine:
         self._cols: dict[str, tuple] = {}
         self._spine: np.ndarray | None = None
         self._proxy: dict = {}
+        self._field_hots: dict[str, "HotEngine"] | None = None
         self.last_wand_stats: dict | None = None
         self._deleted: np.ndarray | None = None
         if index.deleted is not None:
@@ -450,6 +452,10 @@ class HotEngine:
                 self._seed_expansions(c)
         elif isinstance(node, (ast.Not, ast.Should, ast.Cached, ast.Nested)):
             self._seed_expansions(node.child)
+        elif isinstance(node, ast.Field):
+            hot = (self._field_hots or {}).get(node.field)
+            if hot is not None:
+                hot._seed_expansions(node.child)
 
     # ----------------------------------------------------- doc columns
 
@@ -684,6 +690,13 @@ class HotEngine:
             )
         if isinstance(node, ast.NgramSimilarity):
             return self._with_positions
+        if isinstance(node, ast.Field):
+            fh = self._field_hots
+            return (
+                fh is not None
+                and node.field in fh
+                and fh[node.field]._servable(node.child)
+            )
         return False
 
     def search(self, query: ast.Node, k: int = 10, mode: str = "exhaustive"):
@@ -840,6 +853,18 @@ class HotEngine:
             return self._eval_nested_hot(node, boost)
         if isinstance(node, ast.NgramSimilarity):
             return self._eval_ngram_sim_hot(node, boost)
+        if isinstance(node, ast.Field):
+            fh = self._field_hots or {}
+            hot = fh.get(node.field)
+            if hot is None:
+                raise ValueError(
+                    f"no indexed field {node.field!r} — query a "
+                    "HotMultiFieldEngine over indexes built by "
+                    "build_multi_field_index"
+                )
+            # field-local postings/stats; WAND keep never crosses
+            # fields (the cluster equally has no cross-field wanderator)
+            return hot._eval(node.child, boost * node.boost, None)
         if isinstance(node, (ast.And, ast.Or)):
             b = boost * node.boost
             positives, optional_idx = [], set()
@@ -1133,6 +1158,54 @@ class HotEngine:
         }
         d, s = self._eval(query, 1.0, keep)
         return self._topk(d, s, k)
+
+
+class HotMultiFieldEngine:
+    """Driver-resident MultiFieldEngine: one HotEngine replica per
+    field (each pinning its field's postings and pre-seeding its own
+    expansion cache), Field subtrees route to that field's replica,
+    and cross-field booleans compose in numpy over the shared
+    deterministic doc-id space — exactly the cluster
+    MultiFieldEngine's per-field BM25 + kSum/kMax/kMin merge
+    (search/multifield.py). A single-Field root runs NATIVELY on that
+    field's hot engine, keeping its WAND path; unservable shapes fall
+    back per HotEngine.search."""
+
+    def __init__(self, engine, max_bytes: int = 1 << 30):
+        self.engine = engine
+        self.hots = {
+            f: HotEngine(e, max_bytes=max_bytes)
+            for f, e in engine.engines.items()
+        }
+        for h in self.hots.values():
+            h._field_hots = self.hots
+        self.default = self.hots[engine.index.default_field]
+
+    def _route(self, query: ast.Node):
+        if isinstance(query, ast.Field):
+            hot = self.hots.get(query.field)
+            if hot is None:
+                raise ValueError(
+                    f"no indexed field {query.field!r}; have "
+                    f"{sorted(self.hots)}"
+                )
+            child = query.child
+            if query.boost != 1.0:
+                import dataclasses
+
+                child = dataclasses.replace(
+                    child, boost=child.boost * query.boost
+                )
+            return hot, child
+        return self.default, query
+
+    def search(self, query: ast.Node, k: int = 10, mode: str = "exhaustive"):
+        hot, q = self._route(query)
+        return hot.search(q, k=k, mode=mode)
+
+    def matches(self, query: ast.Node):
+        hot, q = self._route(query)
+        return hot.matches(q)
 
 
 def _lev_distances_batch(q: str, terms) -> np.ndarray:
