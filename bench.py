@@ -31,6 +31,7 @@ from iresearch_spark.ops import dedup, similarity
 from iresearch_spark.search import (
     And,
     Fuzzy,
+    Not,
     Or,
     Phrase,
     Prefix,
@@ -398,6 +399,30 @@ def main():
         t_multi = min(timed(_serve_multi)[0] for _ in range(repeat))
         extra["hot_multiterm_qps"] = round(
             len(multiterm) * 10 / t_multi, 1
+        )
+
+        # columnar serving (round-5 continuation): postings leaves
+        # composed with stored-column filters (Exists / NumericRange
+        # over the url sort column) answered from the lazily pinned
+        # doc columns — the filtered-search shape, zero Spark jobs
+        # after the one-time column pin
+        from iresearch_spark.search import Exists, NumericRange
+
+        lo, hi = "https://site1", "https://site5"  # ~44% of site ids
+        columnar = [
+            And([Term(topical[0]), NumericRange("url", lo, hi)]),
+            And([Or([Term(t) for t in topical]), Exists("url")]),
+            Or([Term(topical[1]), Not(NumericRange("url", hi, None))]),
+        ]
+
+        def _serve_col():
+            for q in columnar * 10:
+                hot.search(q, k=10)
+
+        hot.search(columnar[0], k=10)  # pay the column pin once
+        t_col = min(timed(_serve_col)[0] for _ in range(repeat))
+        extra["hot_columnar_qps"] = round(
+            len(columnar) * 10 / t_col, 1
         )
         pidx.unpersist()
         skew.unpersist()
