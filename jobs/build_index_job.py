@@ -34,6 +34,14 @@ def main():
     ap.add_argument("--sort-field", default=None)
     ap.add_argument("--sort-desc", action="store_true")
     ap.add_argument(
+        "--lang-col",
+        default=None,
+        help="per-document language routing: analyze each doc with its "
+        "language's text chain (column values = lang-id codes, e.g. "
+        "the pages table's `lang`); one unified dictionary, still a "
+        "single shuffle",
+    )
+    ap.add_argument(
         "--encrypt-keys",
         default=None,
         help="master-key secrets file (name:base64 lines): seal every "
@@ -78,16 +86,25 @@ def main():
     from iresearch_spark.index.builder import build_index
 
     df = spark.read.parquet(args.input)
+    analyzer = args.analyzer
+    if args.lang_col:
+        # per-document routing: one text chain per language, the CLI
+        # --analyzer value is superseded (build_index requires a
+        # LangRoutedAnalyzer when lang_col is set)
+        from iresearch_spark.analysis.multilang import lang_routed_analyzer
+
+        analyzer = lang_routed_analyzer()
     idx = build_index(
         df,
         text_col=args.text_col,
         id_col=args.id_col,
         sort_key=args.sort_key if args.id_col is None else None,
-        analyzer=args.analyzer,
+        analyzer=analyzer,
         with_positions=not args.no_positions,
         seg_bits=args.seg_bits,
         sort_field=args.sort_field,
         sort_ascending=not args.sort_desc,
+        lang_col=args.lang_col,
     )
     enc = None
     if args.encrypt_keys:
