@@ -79,6 +79,7 @@ class HotEngine:
     def __init__(self, engine: SearchEngine, max_bytes: int = 1 << 30):
         self.engine = engine
         self._kernel = _make_score_kernel(engine._scorer_params())
+        self._max_bytes = max_bytes
         index = engine.index
         size = index.postings.select(
             (
@@ -91,6 +92,7 @@ class HotEngine:
                 f"({max_bytes >> 20} MiB) — serve it sharded, or use "
                 "the cluster path"
             )
+        self._blob_bytes = int(size or 0)
         cols = [
             "term", "n_docs", "first_doc", "last_doc",
             "docs", "dls", "block_impacts", "block_max_freq",
@@ -150,6 +152,74 @@ class HotEngine:
                     dtype=np.int64,
                 )
             )
+
+    # ------------------------------------------------------------ memory
+
+    def memory_stats(self) -> dict:
+        """Actual driver residency of this replica vs its budget — the
+        number a serving fleet watches when packing replicas onto a
+        host. `blob_bytes` is what the constructor's budget check
+        guards (compact docs+dls codec blobs); everything else grows
+        lazily with the query mix: positions blobs ride along when the
+        index has them, decoded blocks / positions / WAND bounds are
+        per-term caches, and pinned doc columns (Exists/NumericRange/
+        Nested) count their full payload including string bytes.
+        `resident_bytes` is the sum of all of it."""
+        pos_blob = 0
+        if self._with_positions:
+            pos_blob = sum(
+                len(b[8]) for bl in self._blocks.values() for b in bl
+                if b[8] is not None
+            )
+        decoded = sum(
+            a.nbytes
+            for slots in self._decoded.values()
+            for hit in slots
+            if hit is not None
+            for a in hit
+        )
+        decoded_pos = sum(
+            a.nbytes for hit in self._decoded_pos.values() for a in hit
+        )
+        bounds = sum(
+            a.nbytes for hit in self._bounds.values() for a in hit
+        )
+
+        def _arr_bytes(a) -> int:
+            n = int(a.nbytes)
+            if a.dtype == object:
+                n += sum(
+                    len(x.encode("utf-8")) if isinstance(x, str)
+                    else len(x) if isinstance(x, (bytes, bytearray))
+                    else 0
+                    for x in a
+                )
+            return n
+
+        cols = sum(
+            _arr_bytes(a) for hit in self._cols.values() for a in hit
+        )
+        vocab = (
+            sum(_arr_bytes(a) for a in self._vocab) if self._vocab else 0
+        )
+        spine = self._spine.nbytes if self._spine is not None else 0
+        stats = {
+            "budget_bytes": self._max_bytes,
+            "blob_bytes": self._blob_bytes,
+            "positions_blob_bytes": pos_blob,
+            "decoded_bytes": decoded + decoded_pos,
+            "bounds_bytes": bounds,
+            "pinned_column_bytes": cols + spine,
+            "vocab_bytes": vocab,
+            "n_terms": len(self._blocks),
+            "n_terms_decoded": len(self._decoded),
+            "n_pinned_columns": len(self._cols),
+        }
+        stats["resident_bytes"] = (
+            stats["blob_bytes"] + pos_blob + stats["decoded_bytes"]
+            + bounds + stats["pinned_column_bytes"] + vocab
+        )
+        return stats
 
     # ------------------------------------------------------------ decode
 
@@ -1206,6 +1276,22 @@ class HotMultiFieldEngine:
     def matches(self, query: ast.Node):
         hot, q = self._route(query)
         return hot.matches(q)
+
+    def memory_stats(self) -> dict:
+        """Per-field residency plus fleet totals (see
+        HotEngine.memory_stats) — the budget applies per field replica,
+        so `budget_bytes` here is the per-field budget, not a sum."""
+        per_field = {f: h.memory_stats() for f, h in self.hots.items()}
+        total = {
+            k: sum(s[k] for s in per_field.values())
+            for k in next(iter(per_field.values()))
+            if k != "budget_bytes"
+        }
+        total["budget_bytes"] = next(
+            iter(per_field.values())
+        )["budget_bytes"]
+        total["fields"] = per_field
+        return total
 
 
 def _lev_distances_batch(q: str, terms) -> np.ndarray:

@@ -188,3 +188,26 @@ def test_hot_absent_terms_empty_not_crash(engines):
     ):
         assert hot.search(q, k=5) == []
         assert hot.matches(q) == []
+
+
+def test_hot_memory_stats(engines):
+    eng, hot = engines
+    s0 = hot.memory_stats()
+    assert s0["blob_bytes"] > 0
+    assert s0["blob_bytes"] <= s0["budget_bytes"]
+    assert s0["n_terms"] == len(hot._blocks)
+    assert s0["resident_bytes"] >= s0["blob_bytes"] + s0["positions_blob_bytes"]
+    # residency grows monotonically with use: decode caches + vocab
+    hot.search(Or([Term("quick"), Term("lazy")]), k=10)
+    hot.search(parse_query("qui*"), k=10)  # pins the vocab
+    s1 = hot.memory_stats()
+    assert s1["decoded_bytes"] > 0
+    assert s1["n_terms_decoded"] >= 2
+    assert s1["vocab_bytes"] > 0
+    assert s1["resident_bytes"] > s0["resident_bytes"]
+    # blob accounting matches the constructor's budget-check sum
+    import numpy as np
+
+    blob = sum(len(b[3]) + len(b[4]) for bl in hot._blocks.values() for b in bl)
+    # budget check counts the empty-term stats row too, so >= blocks sum
+    assert s1["blob_bytes"] >= blob

@@ -95,3 +95,14 @@ def test_hot_multifield_unknown_field(mf):
         hot.matches(Field("nope", Term("x")))
     with pytest.raises(ValueError, match="no indexed field"):
         hot.matches(And([Field("body", Term("alpha")), Field("nope", Term("x"))]))
+
+
+def test_hot_multifield_memory_stats(mf):
+    eng, hot = mf
+    s = hot.memory_stats()
+    assert set(s["fields"]) == {"title", "body"}
+    assert s["blob_bytes"] == sum(
+        f["blob_bytes"] for f in s["fields"].values()
+    )
+    assert s["budget_bytes"] == s["fields"]["title"]["budget_bytes"]
+    assert s["resident_bytes"] >= s["blob_bytes"]
