@@ -41,6 +41,11 @@ driver-resident. Lazily pinned columns are NOT counted by the
 constructor's postings-blob budget check — a serving replica sizes
 max_bytes for blobs + the columns its query mix touches.
 
+Occurrence features ride along: when the index carries OFFS/PAY blobs
+(with_offsets / payload_delimiter at build), `highlight()` and
+`payloads()` decode them in-memory — the same rows as the cluster
+APIs, ms-latency snippet/payload serving next to the top-k itself.
+
 Scale story: a hot segment is bounded by `max_bytes` (default 1 GiB of
 blobs) — the serving tier for a 10^12-doc corpus is many such replicas
 over index shards (or time-sliced heads), with the cluster path as the
@@ -101,6 +106,14 @@ class HotEngine:
         self._with_positions = bool(index.with_positions)
         if self._with_positions:
             cols.append("positions")
+        self._with_offsets = bool(getattr(index, "with_offsets", False))
+        self._with_payloads = bool(getattr(index, "with_payloads", False))
+        aux_cols = []
+        if self._with_offsets:
+            aux_cols += ["off_starts", "off_lens"]
+        if self._with_payloads:
+            aux_cols += ["pay_lens", "pay_bytes"]
+        cols += aux_cols
         slim = index.postings.filter(F.col("term") != "").select(*cols)
         # Arrow collect: Row-object conversion of a ~10^5-block index
         # took ~90 s; the Arrow table lands in ~2 s
@@ -119,18 +132,33 @@ class HotEngine:
             if self._with_positions
             else [None] * len(terms_c)
         )
+        aux_c = (
+            list(
+                zip(*(tbl.column(c).to_pylist() for c in aux_cols))
+            )
+            if aux_cols
+            else [None] * len(terms_c)
+        )
         self._blocks: dict[str, list] = defaultdict(list)
+        # per-term occurrence-feature blobs (OFFS/PAY), block-aligned
+        # with _blocks after the sort below (first_doc is unique per
+        # term, so sorting both by it keeps them index-for-index)
+        self._aux: dict[str, list] = defaultdict(list)
         self._df: dict[str, int] = defaultdict(int)
-        for t, nd, fd, ld, db, lb, imp, mf, md, pb in zip(
+        for t, nd, fd, ld, db, lb, imp, mf, md, pb, ax in zip(
             terms_c, nd_c, fd_c, ld_c, docs_c, dls_c, imp_c, mf_c, md_c,
-            pos_c,
+            pos_c, aux_c,
         ):
             self._blocks[t].append(
                 (int(fd), int(ld), int(nd), db, lb, imp, int(mf), int(md), pb)
             )
+            if ax is not None:
+                self._aux[t].append((int(fd), ax))
         for t, bl in self._blocks.items():
             bl.sort(key=lambda b: b[0])
             self._df[t] = sum(b[2] for b in bl)
+        for t, al in self._aux.items():
+            al.sort(key=lambda a: a[0])
         self._decoded: dict[str, list] = {}
         self._decoded_pos: dict[str, tuple] = {}
         self._bounds: dict[str, tuple] = {}
@@ -171,6 +199,13 @@ class HotEngine:
                 len(b[8]) for bl in self._blocks.values() for b in bl
                 if b[8] is not None
             )
+        aux_blob = sum(
+            len(part)
+            for al in self._aux.values()
+            for _fd, ax in al
+            for part in ax
+            if part is not None
+        )
         decoded = sum(
             a.nbytes
             for slots in self._decoded.values()
@@ -207,6 +242,7 @@ class HotEngine:
             "budget_bytes": self._max_bytes,
             "blob_bytes": self._blob_bytes,
             "positions_blob_bytes": pos_blob,
+            "occurrence_blob_bytes": aux_blob,
             "decoded_bytes": decoded + decoded_pos,
             "bounds_bytes": bounds,
             "pinned_column_bytes": cols + spine,
@@ -216,7 +252,8 @@ class HotEngine:
             "n_pinned_columns": len(self._cols),
         }
         stats["resident_bytes"] = (
-            stats["blob_bytes"] + pos_blob + stats["decoded_bytes"]
+            stats["blob_bytes"] + pos_blob + aux_blob
+            + stats["decoded_bytes"]
             + bounds + stats["pinned_column_bytes"] + vocab
         )
         return stats
@@ -801,6 +838,100 @@ class HotEngine:
         self._seed_expansions(norm)
         doc_ids, scores = self._eval(norm, 1.0, None)
         return list(zip(doc_ids.tolist(), scores.tolist()))
+
+    def _live_occurrences(self, term: str, block: int, keep):
+        """Per-occurrence (owner_doc int64[], occ_sel bool[]) of one
+        posting block after the keep-set and delete-mask filters —
+        shared by highlight()/payloads(). occ_sel indexes the block's
+        occurrence streams (freq-expanded posting order)."""
+        d, f, _dl = self._decode_blocks(term, [block])
+        owner = np.repeat(d, f)
+        sel = np.ones(owner.size, bool)
+        if keep is not None:
+            sel &= np.isin(owner, keep)
+        if self._deleted is not None and self._deleted.size:
+            pos = np.searchsorted(self._deleted, owner)
+            pos = np.minimum(pos, self._deleted.size - 1)
+            sel &= self._deleted[pos] != owner
+        return owner, sel, f
+
+    def highlight(self, terms, doc_ids=None):
+        """In-memory SearchEngine.highlight(): character spans of the
+        given (already-analyzed) terms as a list of
+        (doc_id, term, start, length) tuples, one per occurrence,
+        sorted by (term, doc_id, start) — same rows as the cluster
+        DataFrame, zero Spark jobs. Requires with_offsets=True;
+        `doc_ids` (iterable of ints, e.g. a top-k result) restricts
+        the decode like the cluster API."""
+        if not self._with_offsets:
+            raise ValueError("index was built without offsets")
+        keep = None
+        if doc_ids is not None:
+            keep = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        out = []
+        for term in sorted(set(terms)):
+            al = self._aux.get(term, [])
+            for i, (_fd, ax) in enumerate(al):
+                owner, sel, f = self._live_occurrences(term, i, keep)
+                if not sel.any():
+                    continue
+                starts = codec.decode_position_lists(
+                    ax[0], f
+                ).astype(np.int64)
+                lens = codec.varint_decode(ax[1]).astype(np.int64)
+                for doc, s, ln in zip(
+                    owner[sel].tolist(),
+                    starts[sel].tolist(),
+                    lens[sel].tolist(),
+                ):
+                    out.append((doc, term, s, ln))
+        out.sort()
+        return out
+
+    def payloads(self, terms, doc_ids=None):
+        """In-memory SearchEngine.payloads(): per-occurrence payload
+        bytes as a list of (doc_id, term, occurrence, payload bytes)
+        tuples, occurrence 1-based in position order, sorted by
+        (term, doc_id, occurrence). Requires payload_delimiter at
+        build time; `doc_ids` restricts like highlight()."""
+        if not self._with_payloads:
+            raise ValueError("index was built without payloads")
+        keep = None
+        if doc_ids is not None:
+            keep = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        pay_at = 2 if self._with_offsets else 0
+        out = []
+        for term in sorted(set(terms)):
+            al = self._aux.get(term, [])
+            for i, (_fd, ax) in enumerate(al):
+                owner, sel, f = self._live_occurrences(term, i, keep)
+                if not sel.any():
+                    continue
+                lens = codec.varint_decode(ax[pay_at]).astype(np.int64)
+                offs = np.concatenate(
+                    ([0], np.cumsum(lens))
+                ).astype(np.int64)
+                slab = ax[pay_at + 1]
+                # occurrence index within its doc, 1-based
+                row_start = np.concatenate(
+                    ([0], np.cumsum(f))
+                ).astype(np.int64)
+                occ = (
+                    np.arange(owner.size, dtype=np.int64)
+                    - np.repeat(row_start[:-1], f)
+                    + 1
+                )
+                for j in np.flatnonzero(sel).tolist():
+                    out.append(
+                        (
+                            int(owner[j]),
+                            term,
+                            int(occ[j]),
+                            bytes(slab[offs[j]:offs[j + 1]]),
+                        )
+                    )
+        out.sort()
+        return out
 
     def _topk(self, doc_ids, scores, k):
         if doc_ids.size == 0:

@@ -198,16 +198,94 @@ def test_hot_memory_stats(engines):
     assert s0["n_terms"] == len(hot._blocks)
     assert s0["resident_bytes"] >= s0["blob_bytes"] + s0["positions_blob_bytes"]
     # residency grows monotonically with use: decode caches + vocab
+    # (>= not >: the module-scoped fixture may already be warm)
     hot.search(Or([Term("quick"), Term("lazy")]), k=10)
     hot.search(parse_query("qui*"), k=10)  # pins the vocab
     s1 = hot.memory_stats()
     assert s1["decoded_bytes"] > 0
     assert s1["n_terms_decoded"] >= 2
     assert s1["vocab_bytes"] > 0
-    assert s1["resident_bytes"] > s0["resident_bytes"]
+    assert s1["resident_bytes"] >= s0["resident_bytes"]
+    assert s1["resident_bytes"] >= s1["blob_bytes"] + s1["decoded_bytes"]
     # blob accounting matches the constructor's budget-check sum
     import numpy as np
 
     blob = sum(len(b[3]) + len(b[4]) for bl in hot._blocks.values() for b in bl)
     # budget check counts the empty-term stats row too, so >= blocks sum
     assert s1["blob_bytes"] >= blob
+
+
+def test_hot_highlight_matches_cluster(spark):
+    from iresearch_spark.index.builder import build_index as _bi
+
+    rows = [
+        (0, "The quick brown Fox jumps"),
+        (1, "quick   quick fox"),
+        (2, "a lone token"),
+        (3, ""),
+        (4, "Fox FOX fox"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = _bi(df, analyzer="simple", bucket_bits=4, with_offsets=True)
+    eng = SearchEngine(idx)
+    hot = HotEngine(eng)
+    terms = ["fox", "quick"]
+    want = sorted(
+        (r["doc_id"], r["term"], r["start"], r["length"])
+        for r in eng.highlight(terms).collect()
+    )
+    assert hot.highlight(terms) == want
+    # doc-restricted decode
+    top = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    want_r = sorted(
+        (r["doc_id"], r["term"], r["start"], r["length"])
+        for r in eng.highlight(terms, doc_ids=top).collect()
+    )
+    assert hot.highlight(terms, doc_ids=[1, 4]) == want_r
+    # occurrence blobs are accounted in residency
+    assert hot.memory_stats()["occurrence_blob_bytes"] > 0
+    # deletes suppress occurrences on both paths
+    idx2 = idx.delete_docs(spark.createDataFrame([(4,)], "doc_id long"))
+    eng2 = SearchEngine(idx2)
+    hot2 = HotEngine(eng2)
+    want_d = sorted(
+        (r["doc_id"], r["term"], r["start"], r["length"])
+        for r in eng2.highlight(terms).collect()
+    )
+    assert hot2.highlight(terms) == want_d
+    assert all(d != 4 for d, *_ in hot2.highlight(terms))
+
+
+def test_hot_payloads_matches_cluster(spark):
+    from iresearch_spark.index.builder import build_index as _bi
+
+    rows = [
+        (0, "red|r1 blue|b1 red|r2"),
+        (1, "blue|b2 plain red|r3"),
+        (2, "green|g1 green|g2 green|g3"),
+        (3, "red|r4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = _bi(df, analyzer="simple", bucket_bits=4, payload_delimiter="|")
+    eng = SearchEngine(idx)
+    hot = HotEngine(eng)
+    for terms in (["red"], ["red", "green", "blue"]):
+        want = sorted(
+            (r["doc_id"], r["term"], r["occurrence"], bytes(r["payload"]))
+            for r in eng.payloads(terms).collect()
+        )
+        assert hot.payloads(terms) == want
+    top = spark.createDataFrame([(0,), (3,)], "doc_id long")
+    want_r = sorted(
+        (r["doc_id"], r["term"], r["occurrence"], bytes(r["payload"]))
+        for r in eng.payloads(["red"], doc_ids=top).collect()
+    )
+    assert hot.payloads(["red"], doc_ids=[0, 3]) == want_r
+
+
+def test_hot_highlight_requires_offsets(engines):
+    _eng, hot = engines
+    with pytest.raises(ValueError, match="without offsets"):
+        hot.highlight(["quick"])
+    with pytest.raises(ValueError, match="without payloads"):
+        hot.payloads(["quick"])
