@@ -826,6 +826,20 @@ class HotEngine:
         doc_ids, scores = self._eval(norm, 1.0, None)
         return self._topk(doc_ids, scores, k)
 
+    def search_many(
+        self, queries: dict, k: int = 10, mode: str = "exhaustive"
+    ) -> dict:
+        """Batched top-k: {name: [(doc_id, score), ...]} with each
+        entry identical to search(). The cluster search_many exists to
+        amortize the ~0.3 s/job floor across queries; here there is no
+        job floor, so the batch is a plain loop — the shared state
+        (decoded blocks, expansion cache, pinned columns) is the
+        amortization, warmed across the batch automatically."""
+        return {
+            name: self.search(q, k=k, mode=mode)
+            for name, q in queries.items()
+        }
+
     def matches(self, query: ast.Node):
         """All matching (doc_id, score), unordered (cluster
         matches() analogue)."""
@@ -838,6 +852,57 @@ class HotEngine:
         self._seed_expansions(norm)
         doc_ids, scores = self._eval(norm, 1.0, None)
         return list(zip(doc_ids.tolist(), scores.tolist()))
+
+    def top_docs(self, k: int = 10, query=None, columns=None):
+        """First k live docs in index order (doc_id asc) — the hot
+        analogue of SearchEngine.top_docs: on a sorted index doc-id
+        order IS (sort_field, sort_key) order, so this is the
+        early-termination "newest matching first" shape with zero
+        Spark jobs. Returns a list of dicts. Columns default to
+        ["doc_id"] here (the replica pins only the stored columns you
+        ask for — one Arrow collect each, then cached); unservable
+        query shapes fall back to the cluster path."""
+        cols = list(columns) if columns else ["doc_id"]
+        if query is not None:
+            norm = planner.normalize(query)
+            if not self._servable(norm):
+                out_cols = cols if columns else None
+                rows = self.engine.top_docs(
+                    k, query=query, columns=out_cols
+                ).collect()
+                return [
+                    {c: r[c] for c in cols} if columns else r.asDict()
+                    for r in rows
+                ]
+            self._seed_expansions(norm)
+            ids, _ = self._eval(norm, 1.0, None)
+            ids = np.unique(ids)
+        else:
+            ids = self._doc_spine()
+        if self._deleted is not None and self._deleted.size and ids.size:
+            pos = np.searchsorted(self._deleted, ids)
+            pos = np.minimum(pos, self._deleted.size - 1)
+            ids = ids[self._deleted[pos] != ids]
+        head = ids[: int(k)]
+        pinned = {
+            c: self._doc_col(c) for c in cols if c != "doc_id"
+        }
+        out = []
+        for d in head.tolist():
+            row = {}
+            for c in cols:
+                if c == "doc_id":
+                    row[c] = int(d)
+                    continue
+                cids, valid, vals = pinned[c]
+                j = int(np.searchsorted(cids, d))
+                if j >= cids.size or cids[j] != d or not valid[j]:
+                    row[c] = None
+                else:
+                    v = vals[j]
+                    row[c] = v.item() if isinstance(v, np.generic) else v
+            out.append(row)
+        return out
 
     def _live_occurrences(self, term: str, block: int, keep):
         """Per-occurrence (owner_doc int64[], occ_sel bool[]) of one

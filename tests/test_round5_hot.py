@@ -289,3 +289,70 @@ def test_hot_highlight_requires_offsets(engines):
         hot.highlight(["quick"])
     with pytest.raises(ValueError, match="without payloads"):
         hot.payloads(["quick"])
+
+
+def test_hot_top_docs_matches_cluster(spark):
+    from iresearch_spark.index.builder import build_index as _bi
+
+    rows = [
+        (f"u{i:02d}", 100 - i, f"alpha {'beta' if i % 3 == 0 else 'gamma'} t{i % 4}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, n long, text string")
+    idx = _bi(
+        df, analyzer="simple", id_col=None, sort_key="url",
+        sort_field="n", sort_ascending=False, bucket_bits=6,
+        extra_doc_cols=["url", "n"],
+    )
+    eng = SearchEngine(idx)
+    hot = HotEngine(eng)
+    want = [
+        (r["doc_id"], r["url"], r["n"])
+        for r in eng.top_docs(k=7, columns=["doc_id", "url", "n"]).collect()
+    ]
+    got = [
+        (r["doc_id"], r["url"], r["n"])
+        for r in hot.top_docs(k=7, columns=["doc_id", "url", "n"])
+    ]
+    assert got == want
+    # query-restricted early termination
+    q = Term("beta")
+    want_q = [
+        (r["doc_id"], r["n"])
+        for r in eng.top_docs(k=5, query=q, columns=["doc_id", "n"]).collect()
+    ]
+    got_q = [
+        (r["doc_id"], r["n"])
+        for r in hot.top_docs(k=5, query=q, columns=["doc_id", "n"])
+    ]
+    assert got_q == want_q
+    # deletes respected
+    first = want[0][0]
+    idx2 = idx.delete_docs(spark.createDataFrame([(first,)], "doc_id long"))
+    hot2 = HotEngine(SearchEngine(idx2))
+    got_d = hot2.top_docs(k=3)
+    assert all(r["doc_id"] != first for r in got_d)
+    assert [r["doc_id"] for r in got_d] == [
+        r["doc_id"]
+        for r in SearchEngine(idx2).top_docs(k=3, columns=["doc_id"]).collect()
+    ]
+
+
+def test_hot_search_many_matches_cluster(engines):
+    eng, hot = engines
+    tasks = {
+        "t1": Term("quick"),
+        "t2": And([Term("quick"), Term("lazy")]),
+        "t3": Or([Term("fox"), Term("dog")], min_match=1),
+        "t4": Phrase(("quick", "brown")),
+    }
+    got = hot.search_many(tasks, k=8)
+    rows = eng.search_many(tasks, k=8).collect()
+    want = {}
+    for r in rows:
+        want.setdefault(r["query"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    assert set(got) == set(tasks)
+    for name in tasks:
+        assert [(d, round(s, 9)) for d, s in got[name]] == want.get(name, [])
