@@ -158,6 +158,25 @@ def main():
         t0 = time.perf_counter()
         hot = HotEngine(engine, max_bytes=args.hot_max_bytes)
         timings["hot_pin_sec"] = round(time.perf_counter() - t0, 4)
+        if args.batched:
+            best, res = None, None
+            for _ in range(max(args.repeat, 2)):
+                t0 = time.perf_counter()
+                res = hot.search_many(tasks, k=args.k, mode=args.mode)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            for category in tasks:
+                rows = res.get(category) or []
+                print(
+                    f"{category}: top1="
+                    f"{(rows[0][0], round(rows[0][1], 4)) if rows else None}"
+                )
+            timings["batch_total"] = round(best, 6)
+            timings["batch_qps"] = round(len(tasks) / best, 1) if best else None
+            print(f"batch: {best*1000:.2f}ms for {len(tasks)} tasks "
+                  f"({timings['batch_qps']} q/s)")
+            print(json.dumps(timings))
+            return
         for category, node in tasks.items():
             best, rows = None, None
             for _ in range(max(args.repeat, 2)):

@@ -356,3 +356,30 @@ def test_hot_search_many_matches_cluster(engines):
     assert set(got) == set(tasks)
     for name in tasks:
         assert [(d, round(s, 9)) for d, s in got[name]] == want.get(name, [])
+
+
+def test_hot_concurrent_serving(engines):
+    """A serving replica answers from a request thread pool: 8 threads
+    x 25 mixed-shape queries each against ONE HotEngine, on a COLD
+    engine (so the lazy decode/expansion/column caches are populated
+    under contention), must produce exactly the single-threaded
+    results. The caches are grow-only dicts mutated under the GIL;
+    this pins that contract."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    eng, _ = engines
+    hot = HotEngine(eng)  # cold: caches fill concurrently
+    tasks = [(i % len(QUERIES), QUERIES[i % len(QUERIES)]) for i in range(200)]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(ex.map(lambda t: (t[0], hot.search(t[1], k=10)), tasks))
+    want = {i: hot.search(q, k=10) for i, q in enumerate(QUERIES)}
+    for i, res in got:
+        assert res == want[i]
+    # WAND mode under the same contention (bound caches shared too)
+    hot2 = HotEngine(eng)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got2 = list(
+            ex.map(lambda t: (t[0], hot2.search(t[1], k=10, mode="wand")), tasks)
+        )
+    for i, res in got2:
+        assert res == want[i]
