@@ -1,0 +1,294 @@
+"""Spark-free embedded serving: load a SAVED index directory with
+pyarrow alone and serve it through the hot path — no SparkSession, no
+JVM, no cluster.
+
+The reference is an embeddable LIBRARY: a process links it, opens a
+segment directory with `irs::directory_reader` (mmapped files,
+core/index/directory_reader.hpp) and answers queries in-process. The
+cluster `SearchEngine` is the right analogue at 10^12 docs, and
+`HotEngine` removes the per-query job floor — but it still needed a
+live SparkSession to collect the posting blobs. This module closes the
+last gap: `HotEngine.from_dir(path)` (and
+`HotMultiFieldEngine.from_dir`) reads the index tables straight from
+the saved parquet layout with `pyarrow.dataset` and builds the same
+driver-resident replica, so a serving host needs only Python + pyarrow
++ numpy — `python jobs/search_job.py --embedded ...` serves without
+spark-submit at all.
+
+Identity: the replica is built from the SAME parquet bytes the Spark
+collect would read, and every scoring/expansion/WAND helper the hot
+path uses (`_c0`, `_scorer_params`, `_wand_terms`, vocabulary
+expansion, the score kernel) is pure Python over the manifest's field
+stats — so results are identical to the Spark-built HotEngine, which
+is differential-tested against the cluster engine
+(tests/test_round5_embedded.py pins from_dir == Spark-built hot ==
+cluster for every query shape, both score dtypes, WAND included).
+
+Boundaries (all raise with a clear message, nothing silently degrades):
+- encrypted indexes need the JVM KMS plug-in -> load with Spark;
+- the few shapes the hot path itself does not serve (GranularRange on
+  a dictionary-only column) have no cluster to fall back to here;
+- `EmbeddedEngine` exposes ONLY the scoring-math surface of
+  SearchEngine — its cluster entry points raise RuntimeError.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from types import SimpleNamespace
+
+from iresearch_spark.index.model import FieldStats, InvertedIndex
+from iresearch_spark.search.executor import SearchEngine
+from iresearch_spark.search.scorers import get_scorer
+
+_BLOB_COLS = ("docs", "dls")
+
+
+def _parquet_files(path: str) -> list[str]:
+    """All data files of one saved table dir (Spark writes _SUCCESS
+    markers next to them; a postings dir nests `_tb=N/` hive subdirs —
+    recursive glob covers both layouts)."""
+    files = sorted(
+        glob.glob(os.path.join(glob.escape(path), "**", "*.parquet"),
+                  recursive=True)
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    return files
+
+
+class LocalTable:
+    """pyarrow-backed stand-in for the slim DataFrame surface the hot
+    path reads (`.columns`, `.select(...).toArrow()`, `.collect()`):
+    column-projected scans of one saved table dir, no Spark."""
+
+    def __init__(self, path: str, columns: list[str] | None = None):
+        self._path = path
+        self._cols = columns
+
+    @property
+    def columns(self) -> list[str]:
+        import pyarrow.parquet as pq
+
+        if self._cols is not None:
+            return list(self._cols)
+        return list(pq.read_schema(_parquet_files(self._path)[0]).names)
+
+    def select(self, *cols) -> "LocalTable":
+        return LocalTable(self._path, [c for c in cols])
+
+    def toArrow(self):
+        import pyarrow.dataset as ds
+
+        return ds.dataset(_parquet_files(self._path), format="parquet").to_table(
+            columns=self._cols
+        )
+
+    def collect(self) -> list[dict]:
+        return self.toArrow().to_pylist()
+
+
+class LocalIndex:
+    """Manifest-backed facade with exactly the InvertedIndex attributes
+    the hot path touches; postings come through `postings_arrow` (one
+    projected pyarrow scan) instead of a Spark collect."""
+
+    def __init__(self, path: str, manifest: dict):
+        self.path = path
+        self.manifest = manifest
+        self.field_stats = FieldStats(
+            n_docs=manifest["n_docs"],
+            total_term_freq=manifest["total_term_freq"],
+            max_dl=manifest.get("max_dl"),
+        )
+        self.norm = manifest.get("norm", "norm2")
+        self.with_positions = manifest["with_positions"]
+        self.with_offsets = manifest.get("with_offsets", False)
+        self.with_payloads = manifest.get("with_payloads", False)
+        self.analyzer_name = manifest.get("analyzer")
+        self.numeric_meta = manifest.get("numeric_meta")
+        self.precision_step = manifest.get("precision_step", 64)
+        self.sort_field = manifest.get("sort_field")
+        self.sort_ascending = manifest.get("sort_ascending", True)
+        self.docs = LocalTable(os.path.join(path, "docs"))
+        self.deleted = (
+            LocalTable(os.path.join(path, "deleted"))
+            if manifest.get("has_deleted")
+            else None
+        )
+        self.num_terms = (
+            LocalTable(os.path.join(path, "num_terms"))
+            if self.numeric_meta
+            else None
+        )
+
+    # ------------------------------------------------------- postings
+
+    def postings_meta_blob_bytes(self) -> int:
+        """Upper-bound residency estimate of the docs+dls codec blobs
+        from parquet FOOTER statistics only (uncompressed column-chunk
+        bytes include per-value length prefixes, so this slightly
+        overcounts the exact blob sum) — the pre-read guard that keeps
+        `from_dir` from materializing an index far beyond its budget
+        before the exact post-read check can refuse it."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in _parquet_files(os.path.join(self.path, "postings")):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for c in range(g.num_columns):
+                    col = g.column(c)
+                    if col.path_in_schema in _BLOB_COLS:
+                        total += col.total_uncompressed_size
+        return total
+
+    def postings_arrow(self, cols: list[str]):
+        """The slim postings table (projected columns, `term != ''`
+        vocabulary rows only) plus the EXACT docs+dls blob byte count
+        over ALL rows — the same number the Spark path's length-sum agg
+        produces for the budget check and memory_stats."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        files = _parquet_files(os.path.join(self.path, "postings"))
+        have = set(ds.dataset(files, format="parquet").schema.names)
+        read = [c for c in cols if c in have]
+        tbl = ds.dataset(files, format="parquet").to_table(columns=read)
+        size = sum(
+            int(pc.sum(pc.binary_length(tbl.column(c))).as_py() or 0)
+            for c in _BLOB_COLS
+        )
+        for c in cols:
+            if c not in have:
+                # pre-round-5 index without the impacts column: null-fill
+                # so the ingest sees one schema (WAND uses the loose
+                # (max_freq, min_dl) bound then, same as the Spark load)
+                tbl = tbl.append_column(c, pa.nulls(tbl.num_rows))
+        tbl = tbl.filter(pc.invert(pc.equal(tbl.column("term"), "")))
+        return tbl.select(cols), size
+
+
+def load_local_index(path: str) -> LocalIndex:
+    """Read a saved index dir's manifest into a LocalIndex — follows a
+    snapshot-committed index's pointer (or `snapshot_id=` time travel
+    via `load_local_index(os.path.join(path, data_dir))` after reading
+    the log yourself); refuses encrypted indexes (decryption lives in
+    the JVM KMS plug-in — serve those through the cluster path)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if "snapshot_pointer" in manifest:
+        snaps = {s["id"]: s for s in InvertedIndex._read_snapshot_log(path)}
+        sid = manifest["snapshot_pointer"]
+        return load_local_index(os.path.join(path, snaps[sid]["data_dir"]))
+    enc = manifest.get("encryption")
+    if enc:
+        raise ValueError(
+            "index is encrypted (footer key "
+            f"{enc.get('footer_key')!r} via {enc.get('kms_client_class')}); "
+            "the embedded path has no KMS plug-in — load it with "
+            "InvertedIndex.load(spark, path, encryption=...) instead"
+        )
+    return LocalIndex(path, manifest)
+
+
+class EmbeddedEngine(SearchEngine):
+    """The scoring-math surface of SearchEngine over a LocalIndex:
+    everything the hot path calls (`_c0`, `_const_score`,
+    `_scorer_params`, `_wand_terms`, `_prefix_successor`, the
+    expansion cache HotEngine seeds) is inherited pure Python; every
+    cluster entry point raises. `is_embedded` steers HotEngine's
+    constructor to the pyarrow postings read."""
+
+    is_embedded = True
+
+    def __init__(
+        self,
+        index: LocalIndex,
+        scorer: str | object = "bm25",
+        scored_terms_limit: int = 1024,
+        score_dtype: str = "float64",
+    ):
+        self.index = index
+        self.scorer = get_scorer(scorer) if isinstance(scorer, str) else scorer
+        # norm-variant scorer adjustment, same as SearchEngine.__init__
+        # (the reference picks the scorer path from the segment's norm
+        # feature, bm25.cpp:445-489)
+        if getattr(index, "norm", "norm2") == "legacy":
+            import dataclasses
+
+            if hasattr(self.scorer, "norm") and self.scorer.norm != "legacy":
+                self.scorer = dataclasses.replace(self.scorer, norm="legacy")
+            elif hasattr(self.scorer, "with_norms"):
+                self.scorer = dataclasses.replace(
+                    self.scorer, with_norms=True
+                )
+        if score_dtype not in ("float64", "float32"):
+            raise ValueError(
+                f"score_dtype must be float64/float32, got {score_dtype!r}"
+            )
+        self.score_dtype = score_dtype
+        self.scored_terms_limit = scored_terms_limit
+        self.collect_wand_stats = False
+        self.last_wand_stats = None
+        self.wand_min_postings = 0
+        self.wand_driver_meta_cap = 0
+        self._df_cache = {}
+        self._proxy_cache = {}
+        self._expansion_cache = {}
+        self._stats_preloaded = False
+
+    def _max_dl(self) -> int:
+        fs = self.index.field_stats
+        if fs.max_dl is None:  # pre-max_dl manifest: one projected scan
+            import pyarrow.compute as pc
+
+            t = self.index.docs.select("dl").toArrow()
+            fs.max_dl = int(pc.max(t.column("dl")).as_py() or 0)
+        return fs.max_dl
+
+    def _no_cluster(self, *a, **kw):
+        raise RuntimeError(
+            "embedded index has no cluster path: this query shape is "
+            "not hot-servable and there is no SparkSession to fall "
+            "back to — load the index with InvertedIndex.load(spark, "
+            "path) for cluster execution"
+        )
+
+    search = matches = top_docs = search_many = preload_stats = _no_cluster
+    explain = _no_cluster
+
+    def _leaf_expansion(self, node):
+        hit = self._expansion_cache.get(node)
+        if hit is not None:
+            return hit
+        self._no_cluster()
+
+
+def load_local_multifield(path: str):
+    """Multifield dir (field=<name>/ per-field indexes +
+    multifield.json) -> the minimal facade HotMultiFieldEngine needs
+    (`.engines` per field, `.index.default_field`)."""
+
+    def facade(scorer="bm25", score_dtype="float64", scored_terms_limit=1024):
+        with open(os.path.join(path, "multifield.json")) as fh:
+            manifest = json.load(fh)
+        engines = {
+            f: EmbeddedEngine(
+                load_local_index(os.path.join(path, f"field={f}")),
+                scorer=scorer,
+                score_dtype=score_dtype,
+                scored_terms_limit=scored_terms_limit,
+            )
+            for f in manifest["fields"]
+        }
+        return SimpleNamespace(
+            engines=engines,
+            index=SimpleNamespace(default_field=manifest["default_field"]),
+        )
+
+    return facade

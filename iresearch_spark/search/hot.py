@@ -86,18 +86,6 @@ class HotEngine:
         self._kernel = _make_score_kernel(engine._scorer_params())
         self._max_bytes = max_bytes
         index = engine.index
-        size = index.postings.select(
-            (
-                F.sum(F.length("docs") + F.length("dls"))
-            ).alias("bytes")
-        ).collect()[0]["bytes"]
-        if size is not None and size > max_bytes:
-            raise ValueError(
-                f"index blobs ({size >> 20} MiB) exceed the hot budget "
-                f"({max_bytes >> 20} MiB) — serve it sharded, or use "
-                "the cluster path"
-            )
-        self._blob_bytes = int(size or 0)
         cols = [
             "term", "n_docs", "first_doc", "last_doc",
             "docs", "dls", "block_impacts", "block_max_freq",
@@ -114,11 +102,75 @@ class HotEngine:
         if self._with_payloads:
             aux_cols += ["pay_lens", "pay_bytes"]
         cols += aux_cols
-        slim = index.postings.filter(F.col("term") != "").select(*cols)
-        # Arrow collect: Row-object conversion of a ~10^5-block index
-        # took ~90 s; the Arrow table lands in ~2 s
-        tbl = slim.toArrow()
+
+        def _over_budget(size):
+            raise ValueError(
+                f"index blobs ({size >> 20} MiB) exceed the hot budget "
+                f"({max_bytes >> 20} MiB) — serve it sharded, or use "
+                "the cluster path"
+            )
+
+        if getattr(engine, "is_embedded", False):
+            # Spark-free path (search/embedded.py): the blobs come off
+            # the saved parquet layout via pyarrow. The footer-stats
+            # estimate guards the read (refuse before materializing an
+            # index far past the budget); the exact length-sum check
+            # after it matches the Spark path's semantics.
+            meta = index.postings_meta_blob_bytes()
+            if meta > max_bytes * 2:
+                _over_budget(meta)
+            tbl, size = index.postings_arrow(cols)
+            if size > max_bytes:
+                _over_budget(size)
+        else:
+            size = index.postings.select(
+                (
+                    F.sum(F.length("docs") + F.length("dls"))
+                ).alias("bytes")
+            ).collect()[0]["bytes"]
+            if size is not None and size > max_bytes:
+                _over_budget(size)
+            slim = index.postings.filter(F.col("term") != "").select(*cols)
+            # Arrow collect: Row-object conversion of a ~10^5-block
+            # index took ~90 s; the Arrow table lands in ~2 s
+            tbl = slim.toArrow()
+        self._blob_bytes = int(size or 0)
         terms_c = tbl.column("term").to_pylist()
+        self._ingest(tbl, terms_c, cols, aux_cols, index)
+
+    @classmethod
+    def from_dir(
+        cls,
+        path: str,
+        scorer: str | object = "bm25",
+        score_dtype: str = "float64",
+        scored_terms_limit: int = 1024,
+        max_bytes: int = 1 << 30,
+    ) -> "HotEngine":
+        """Spark-free replica of a SAVED index: read the parquet layout
+        with pyarrow (no SparkSession, no JVM) and serve it in-process
+        — the reference's embedded `directory_reader` deployment shape
+        (core/index/directory_reader.hpp). Results are identical to a
+        Spark-built HotEngine (differential-tested); shapes the hot
+        path cannot serve raise instead of falling back (there is no
+        cluster here), and encrypted indexes are refused (the KMS
+        plug-in is JVM-side)."""
+        from iresearch_spark.search.embedded import (
+            EmbeddedEngine,
+            load_local_index,
+        )
+
+        return cls(
+            EmbeddedEngine(
+                load_local_index(path),
+                scorer=scorer,
+                score_dtype=score_dtype,
+                scored_terms_limit=scored_terms_limit,
+            ),
+            max_bytes=max_bytes,
+        )
+
+    def _ingest(self, tbl, terms_c, cols, aux_cols, index):
         nd_c = tbl.column("n_docs").to_pylist()
         fd_c = tbl.column("first_doc").to_pylist()
         ld_c = tbl.column("last_doc").to_pylist()
@@ -1446,6 +1498,30 @@ class HotMultiFieldEngine:
         for h in self.hots.values():
             h._field_hots = self.hots
         self.default = self.hots[engine.index.default_field]
+
+    @classmethod
+    def from_dir(
+        cls,
+        path: str,
+        scorer: str | object = "bm25",
+        score_dtype: str = "float64",
+        scored_terms_limit: int = 1024,
+        max_bytes: int = 1 << 30,
+    ) -> "HotMultiFieldEngine":
+        """Spark-free multifield replica of a SAVED multifield dir
+        (field=<name>/ per-field indexes + multifield.json): one
+        embedded HotEngine per field, same routing/compose semantics —
+        see HotEngine.from_dir for the embedded-path boundaries."""
+        from iresearch_spark.search.embedded import load_local_multifield
+
+        return cls(
+            load_local_multifield(path)(
+                scorer=scorer,
+                score_dtype=score_dtype,
+                scored_terms_limit=scored_terms_limit,
+            ),
+            max_bytes=max_bytes,
+        )
 
     def _route(self, query: ast.Node):
         if isinstance(query, ast.Field):

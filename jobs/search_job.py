@@ -17,7 +17,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+try:
+    import iresearch_spark  # noqa: F401  (spark-submit ships the zip)
+except ModuleNotFoundError:
+    # plain `python jobs/search_job.py --embedded ...`: resolve the
+    # package from the repo checkout next to this script
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
@@ -88,6 +96,15 @@ def main():
         "others fall back to the cluster path transparently)",
     )
     ap.add_argument(
+        "--embedded",
+        action="store_true",
+        help="serve a SAVED plaintext index with NO SparkSession at "
+        "all (plain `python jobs/search_job.py --embedded ...` — "
+        "pyarrow reads the parquet layout, search/embedded.py); "
+        "implies --hot; multi-segment/encrypted dirs need the "
+        "cluster path",
+    )
+    ap.add_argument(
         "--hot-max-bytes", type=int, default=1 << 30,
         help="hot-segment blob budget; a larger index refuses to pin",
     )
@@ -106,6 +123,81 @@ def main():
         "encrypted index (add --jars jars/iresearch-kms.jar on a "
         "cluster)")
     args = ap.parse_args()
+
+    if not args.tasks and not args.query:
+        raise SystemExit("pass --tasks FILE and/or --query STRING")
+    tasks = {}
+    if args.tasks:
+        with open(args.tasks) as f:
+            for line in f:
+                category, node = parse_task(line)
+                if node is not None:
+                    tasks[category] = node
+    if args.query:
+        from iresearch_spark.search.querystring import parse_query
+
+        tasks["Query"] = parse_query(args.query)
+
+    def serve_hot(hot, timings):
+        if args.batched:
+            best, res = None, None
+            for _ in range(max(args.repeat, 2)):
+                t0 = time.perf_counter()
+                res = hot.search_many(tasks, k=args.k, mode=args.mode)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            for category in tasks:
+                rows = res.get(category) or []
+                print(
+                    f"{category}: top1="
+                    f"{(rows[0][0], round(rows[0][1], 4)) if rows else None}"
+                )
+            timings["batch_total"] = round(best, 6)
+            timings["batch_qps"] = (
+                round(len(tasks) / best, 1) if best else None
+            )
+            print(f"batch: {best*1000:.2f}ms for {len(tasks)} tasks "
+                  f"({timings['batch_qps']} q/s)")
+            print(json.dumps(timings))
+            return
+        for category, node in tasks.items():
+            best, rows = None, None
+            for _ in range(max(args.repeat, 2)):
+                t0 = time.perf_counter()
+                rows = hot.search(node, k=args.k, mode=args.mode)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[category] = round(best, 6)
+            print(
+                f"{category}: {best*1000:.2f}ms top1="
+                f"{(rows[0][0], round(rows[0][1], 4)) if rows else None}"
+            )
+        total = sum(
+            v for k, v in timings.items()
+            if k not in ("hot_pin_sec", "embedded_pin_sec")
+        )
+        timings["hot_qps"] = round(len(tasks) / total, 1) if total else None
+        print(json.dumps(timings))
+
+    if args.embedded:
+        # NO SparkSession: pyarrow reads the saved parquet layout and
+        # the replica answers in-process (search/embedded.py)
+        if args.encrypt_keys:
+            raise SystemExit(
+                "--embedded cannot decrypt (the KMS plug-in is "
+                "JVM-side); drop --encrypt-keys and serve through "
+                "spark-submit instead"
+            )
+        from iresearch_spark.search.hot import HotEngine
+
+        t0 = time.perf_counter()
+        hot = HotEngine.from_dir(
+            args.index, scorer=args.scorer, max_bytes=args.hot_max_bytes
+        )
+        serve_hot(
+            hot, {"embedded_pin_sec": round(time.perf_counter() - t0, 4)}
+        )
+        return
 
     from iresearch_spark.index.model import InvertedIndex
     from iresearch_spark.search import SearchEngine
@@ -137,61 +229,15 @@ def main():
         preload_stats=not args.no_preload_stats,
     )
 
-    if not args.tasks and not args.query:
-        raise SystemExit("pass --tasks FILE and/or --query STRING")
-    tasks = {}
-    if args.tasks:
-        with open(args.tasks) as f:
-            for line in f:
-                category, node = parse_task(line)
-                if node is not None:
-                    tasks[category] = node
-    if args.query:
-        from iresearch_spark.search.querystring import parse_query
-
-        tasks["Query"] = parse_query(args.query)
-
     timings = {}
     if args.hot:
         from iresearch_spark.search.hot import HotEngine
 
         t0 = time.perf_counter()
         hot = HotEngine(engine, max_bytes=args.hot_max_bytes)
-        timings["hot_pin_sec"] = round(time.perf_counter() - t0, 4)
-        if args.batched:
-            best, res = None, None
-            for _ in range(max(args.repeat, 2)):
-                t0 = time.perf_counter()
-                res = hot.search_many(tasks, k=args.k, mode=args.mode)
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            for category in tasks:
-                rows = res.get(category) or []
-                print(
-                    f"{category}: top1="
-                    f"{(rows[0][0], round(rows[0][1], 4)) if rows else None}"
-                )
-            timings["batch_total"] = round(best, 6)
-            timings["batch_qps"] = round(len(tasks) / best, 1) if best else None
-            print(f"batch: {best*1000:.2f}ms for {len(tasks)} tasks "
-                  f"({timings['batch_qps']} q/s)")
-            print(json.dumps(timings))
-            return
-        for category, node in tasks.items():
-            best, rows = None, None
-            for _ in range(max(args.repeat, 2)):
-                t0 = time.perf_counter()
-                rows = hot.search(node, k=args.k, mode=args.mode)
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[category] = round(best, 6)
-            print(
-                f"{category}: {best*1000:.2f}ms top1="
-                f"{(rows[0][0], round(rows[0][1], 4)) if rows else None}"
-            )
-        total = sum(v for k, v in timings.items() if k != "hot_pin_sec")
-        timings["hot_qps"] = round(len(tasks) / total, 1) if total else None
-        print(json.dumps(timings))
+        serve_hot(
+            hot, {"hot_pin_sec": round(time.perf_counter() - t0, 4)}
+        )
         return
     if args.batched:
         best, rows = None, None
