@@ -179,6 +179,21 @@ def main():
     t_hot_docs = min(timed(_serve_docs)[0] for _ in range(repeat))
     extra["hot_docs_qps"] = round(len(hot_tasks) * 10 / t_hot_docs, 1)
 
+    # EMBEDDED replica of the same saved index dir: pyarrow-only load,
+    # no Spark anywhere in the serve path (search/embedded.py) — pin
+    # time is the deploy cost of a serving host, qps the same queries
+    # as hot_docs_qps (results identical, test_round5_embedded.py)
+    t_pin, hot_emb = timed(lambda: HotEngine.from_dir(ix_dir))
+    extra["embedded_pin_sec"] = round(t_pin, 4)
+    hot_emb.search(hot_tasks[0], k=10)  # warm
+
+    def _serve_emb():
+        for qn in hot_tasks * 10:
+            hot_emb.search(qn, k=10)
+
+    t_emb = min(timed(_serve_emb)[0] for _ in range(repeat))
+    extra["embedded_qps"] = round(len(hot_tasks) * 10 / t_emb, 1)
+
     # batched task set: ONE job for all queries (search_many) — the
     # scheduling floor is paid once, stages run concurrently; this is
     # the serving-mode throughput number
