@@ -179,6 +179,17 @@ def load_local_index(path: str) -> LocalIndex:
     via `load_local_index(os.path.join(path, data_dir))` after reading
     the log yourself); refuses encrypted indexes (decryption lives in
     the JVM KMS plug-in — serve those through the cluster path)."""
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        if os.path.isdir(os.path.join(path, "segments")):
+            raise ValueError(
+                f"{path} is an INCREMENTAL index dir (segments/): the "
+                "multi-segment merged view needs Spark — consolidate "
+                "it first (jobs/consolidate_job.py) and serve the "
+                "compacted dir embedded"
+            )
+        raise FileNotFoundError(
+            f"{path} has no manifest.json — not a saved index dir"
+        )
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     if "snapshot_pointer" in manifest:

@@ -272,3 +272,14 @@ def test_embedded_zero_jvm(saved):
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.startswith("OK")
+
+
+def test_embedded_refuses_incremental_dir(tmp_path):
+    p = tmp_path / "inc"
+    (p / "segments").mkdir(parents=True)
+    with pytest.raises(ValueError, match="INCREMENTAL"):
+        HotEngine.from_dir(str(p))
+    q = tmp_path / "empty"
+    q.mkdir()
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        HotEngine.from_dir(str(q))
