@@ -59,14 +59,104 @@ def _parquet_files(path: str) -> list[str]:
     return files
 
 
+class EmbeddedDecryption:
+    """Python-side decryption of a SEALED index (Parquet Modular
+    Encryption) for the embedded path — the pyarrow twin of the JVM
+    `ConfKmsClient` (jars/src/.../ConfKmsClient.java): pyarrow's C++
+    key tools parse the parquet-mr key-material format (double
+    wrapping, PKMT1) natively, so the only custom piece is the
+    master-key unwrap, whose `irv:<version>:<base64 AES-GCM(nonce||
+    ct||tag)>` local-wrap format is replicated here with the
+    `cryptography` AESGCM primitive. Construct from the SAME
+    `IndexEncryption` object (or key file) the cluster jobs use."""
+
+    def __init__(self, encryption):
+        import pyarrow.parquet.encryption as pe
+
+        self._pe = pe
+        master = {
+            n: (dict(v) if isinstance(v, dict) else {1: v})
+            for n, v in encryption.master_keys.items()
+        }
+
+        class _PyConfKms(pe.KmsClient):
+            def __init__(self, kms_connection_config):
+                pe.KmsClient.__init__(self)
+
+            def wrap_key(self, key_bytes, master_key_identifier):
+                import os as _os
+
+                vs = master[master_key_identifier]
+                ver = max(vs)
+                nonce = _os.urandom(12)
+                ct = _aesgcm(vs[ver]).encrypt(nonce, bytes(key_bytes), None)
+                import base64 as _b64
+
+                return f"irv:{ver}:" + _b64.b64encode(nonce + ct).decode()
+
+            def unwrap_key(self, wrapped_key, master_key_identifier):
+                import base64 as _b64
+
+                vs = master.get(master_key_identifier)
+                if vs is None:
+                    raise ValueError(
+                        f"unknown master key: {master_key_identifier}"
+                    )
+                wk = wrapped_key
+                if wk.startswith("irv:"):
+                    vstr, _, rest = wk[4:].partition(":")
+                    key = vs.get(int(vstr))
+                    if key is None:
+                        raise ValueError(
+                            f"master key {master_key_identifier} version "
+                            f"{vstr} not held (rotated? add the old "
+                            "version)"
+                        )
+                    data = _b64.b64decode(rest)
+                    return _aesgcm(key).decrypt(data[:12], data[12:], None)
+                # pre-versioning wrap: try newest..oldest
+                data = _b64.b64decode(wk)
+                err = None
+                for _, key in sorted(vs.items(), reverse=True):
+                    try:
+                        return _aesgcm(key).decrypt(
+                            data[:12], data[12:], None
+                        )
+                    except Exception as e:  # wrong version: tag fails
+                        err = e
+                raise err
+
+        self._factory = pe.CryptoFactory(_PyConfKms)
+        self._conn = pe.KmsConnectionConfig()
+
+    def file_props(self):
+        """Fresh FileDecryptionProperties for a footer/metadata read."""
+        return self._factory.file_decryption_properties(
+            self._conn, self._pe.DecryptionConfiguration()
+        )
+
+
+
+def _aesgcm(key: bytes):
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    return AESGCM(key)
+
+
 class LocalTable:
     """pyarrow-backed stand-in for the slim DataFrame surface the hot
     path reads (`.columns`, `.select(...).toArrow()`, `.collect()`):
     column-projected scans of one saved table dir, no Spark."""
 
-    def __init__(self, path: str, columns: list[str] | None = None):
+    def __init__(
+        self,
+        path: str,
+        columns: list[str] | None = None,
+        decryption: EmbeddedDecryption | None = None,
+    ):
         self._path = path
         self._cols = columns
+        self._dec = decryption
 
     @property
     def columns(self) -> list[str]:
@@ -74,15 +164,39 @@ class LocalTable:
 
         if self._cols is not None:
             return list(self._cols)
-        return list(pq.read_schema(_parquet_files(self._path)[0]).names)
+        f = _parquet_files(self._path)[0]
+        if self._dec is not None:
+            return list(
+                pq.ParquetFile(
+                    f, decryption_properties=self._dec.file_props()
+                ).schema_arrow.names
+            )
+        return list(pq.read_schema(f).names)
 
     def select(self, *cols) -> "LocalTable":
-        return LocalTable(self._path, [c for c in cols])
+        return LocalTable(self._path, [c for c in cols], self._dec)
 
     def toArrow(self):
         import pyarrow.dataset as ds
 
-        return ds.dataset(_parquet_files(self._path), format="parquet").to_table(
+        files = _parquet_files(self._path)
+        if self._dec is not None:
+            # encrypted path reads per file through ParquetFile: the
+            # dataset scanner does not finalize modular decryption of
+            # these files, and pyarrow's GCM module decryptor races
+            # under threaded multi-column reads (intermittent "Failed
+            # decryption finalization") — single-threaded decode is
+            # deterministic and only affects replica PIN time
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            return pa.concat_tables(
+                pq.ParquetFile(
+                    f, decryption_properties=self._dec.file_props()
+                ).read(columns=self._cols, use_threads=False)
+                for f in files
+            )
+        return ds.dataset(files, format="parquet").to_table(
             columns=self._cols
         )
 
@@ -95,9 +209,15 @@ class LocalIndex:
     the hot path touches; postings come through `postings_arrow` (one
     projected pyarrow scan) instead of a Spark collect."""
 
-    def __init__(self, path: str, manifest: dict):
+    def __init__(
+        self,
+        path: str,
+        manifest: dict,
+        decryption: EmbeddedDecryption | None = None,
+    ):
         self.path = path
         self.manifest = manifest
+        self._dec = decryption
         self.field_stats = FieldStats(
             n_docs=manifest["n_docs"],
             total_term_freq=manifest["total_term_freq"],
@@ -112,14 +232,14 @@ class LocalIndex:
         self.precision_step = manifest.get("precision_step", 64)
         self.sort_field = manifest.get("sort_field")
         self.sort_ascending = manifest.get("sort_ascending", True)
-        self.docs = LocalTable(os.path.join(path, "docs"))
+        self.docs = LocalTable(os.path.join(path, "docs"), None, decryption)
         self.deleted = (
-            LocalTable(os.path.join(path, "deleted"))
+            LocalTable(os.path.join(path, "deleted"), None, decryption)
             if manifest.get("has_deleted")
             else None
         )
         self.num_terms = (
-            LocalTable(os.path.join(path, "num_terms"))
+            LocalTable(os.path.join(path, "num_terms"), None, decryption)
             if self.numeric_meta
             else None
         )
@@ -137,7 +257,12 @@ class LocalIndex:
 
         total = 0
         for f in _parquet_files(os.path.join(self.path, "postings")):
-            meta = pq.ParquetFile(f).metadata
+            meta = pq.ParquetFile(
+                f,
+                decryption_properties=(
+                    self._dec.file_props() if self._dec is not None else None
+                ),
+            ).metadata
             for rg in range(meta.num_row_groups):
                 g = meta.row_group(rg)
                 for c in range(g.num_columns):
@@ -153,12 +278,11 @@ class LocalIndex:
         produces for the budget check and memory_stats."""
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.dataset as ds
 
-        files = _parquet_files(os.path.join(self.path, "postings"))
-        have = set(ds.dataset(files, format="parquet").schema.names)
+        t = LocalTable(os.path.join(self.path, "postings"), None, self._dec)
+        have = set(t.columns)
         read = [c for c in cols if c in have]
-        tbl = ds.dataset(files, format="parquet").to_table(columns=read)
+        tbl = t.select(*read).toArrow()
         size = sum(
             int(pc.sum(pc.binary_length(tbl.column(c))).as_py() or 0)
             for c in _BLOB_COLS
@@ -173,12 +297,14 @@ class LocalIndex:
         return tbl.select(cols), size
 
 
-def load_local_index(path: str) -> LocalIndex:
+def load_local_index(path: str, encryption=None) -> LocalIndex:
     """Read a saved index dir's manifest into a LocalIndex — follows a
     snapshot-committed index's pointer (or `snapshot_id=` time travel
     via `load_local_index(os.path.join(path, data_dir))` after reading
-    the log yourself); refuses encrypted indexes (decryption lives in
-    the JVM KMS plug-in — serve those through the cluster path)."""
+    the log yourself). A SEALED index needs `encryption=` (the same
+    `IndexEncryption` object the cluster jobs use, or anything with a
+    `master_keys` dict): pyarrow then decrypts pages and footers
+    in-process through `EmbeddedDecryption` — no JVM, same keys."""
     if not os.path.exists(os.path.join(path, "manifest.json")):
         if os.path.isdir(os.path.join(path, "segments")):
             raise ValueError(
@@ -195,16 +321,19 @@ def load_local_index(path: str) -> LocalIndex:
     if "snapshot_pointer" in manifest:
         snaps = {s["id"]: s for s in InvertedIndex._read_snapshot_log(path)}
         sid = manifest["snapshot_pointer"]
-        return load_local_index(os.path.join(path, snaps[sid]["data_dir"]))
+        return load_local_index(
+            os.path.join(path, snaps[sid]["data_dir"]), encryption
+        )
     enc = manifest.get("encryption")
-    if enc:
+    if enc and encryption is None:
         raise ValueError(
             "index is encrypted (footer key "
             f"{enc.get('footer_key')!r} via {enc.get('kms_client_class')}); "
-            "the embedded path has no KMS plug-in — load it with "
-            "InvertedIndex.load(spark, path, encryption=...) instead"
+            "pass encryption=IndexEncryption(...) with the master keys "
+            "(decrypted in-process via pyarrow, no JVM needed)"
         )
-    return LocalIndex(path, manifest)
+    dec = EmbeddedDecryption(encryption) if enc else None
+    return LocalIndex(path, manifest, dec)
 
 
 class EmbeddedEngine(SearchEngine):

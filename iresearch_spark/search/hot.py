@@ -146,6 +146,7 @@ class HotEngine:
         score_dtype: str = "float64",
         scored_terms_limit: int = 1024,
         max_bytes: int = 1 << 30,
+        encryption=None,
     ) -> "HotEngine":
         """Spark-free replica of a SAVED index: read the parquet layout
         with pyarrow (no SparkSession, no JVM) and serve it in-process
@@ -153,8 +154,9 @@ class HotEngine:
         (core/index/directory_reader.hpp). Results are identical to a
         Spark-built HotEngine (differential-tested); shapes the hot
         path cannot serve raise instead of falling back (there is no
-        cluster here), and encrypted indexes are refused (the KMS
-        plug-in is JVM-side)."""
+        cluster here). A SEALED index decrypts in-process when
+        `encryption=` carries the master keys (EmbeddedDecryption —
+        pyarrow modular decryption, still no JVM)."""
         from iresearch_spark.search.embedded import (
             EmbeddedEngine,
             load_local_index,
@@ -162,7 +164,7 @@ class HotEngine:
 
         return cls(
             EmbeddedEngine(
-                load_local_index(path),
+                load_local_index(path, encryption=encryption),
                 scorer=scorer,
                 score_dtype=score_dtype,
                 scored_terms_limit=scored_terms_limit,

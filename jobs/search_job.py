@@ -181,18 +181,19 @@ def main():
 
     if args.embedded:
         # NO SparkSession: pyarrow reads the saved parquet layout and
-        # the replica answers in-process (search/embedded.py)
+        # the replica answers in-process (search/embedded.py); a
+        # sealed index decrypts in-process from the same key file
+        enc = None
         if args.encrypt_keys:
-            raise SystemExit(
-                "--embedded cannot decrypt (the KMS plug-in is "
-                "JVM-side); drop --encrypt-keys and serve through "
-                "spark-submit instead"
-            )
+            from iresearch_spark.index.encryption import IndexEncryption
+
+            enc = IndexEncryption.from_key_file(args.encrypt_keys)
         from iresearch_spark.search.hot import HotEngine
 
         t0 = time.perf_counter()
         hot = HotEngine.from_dir(
-            args.index, scorer=args.scorer, max_bytes=args.hot_max_bytes
+            args.index, scorer=args.scorer, max_bytes=args.hot_max_bytes,
+            encryption=enc,
         )
         serve_hot(
             hot, {"embedded_pin_sec": round(time.perf_counter() - t0, 4)}

@@ -283,3 +283,74 @@ def test_embedded_refuses_incremental_dir(tmp_path):
     q.mkdir()
     with pytest.raises(FileNotFoundError, match="manifest"):
         HotEngine.from_dir(str(q))
+
+
+# ---------------------------------------------------------- encrypted
+
+
+def _kms_available():
+    from iresearch_spark.index.encryption import _kms_jar_path
+
+    return _kms_jar_path() is not None
+
+
+@pytest.mark.skipif(
+    not _kms_available(), reason="jars/iresearch-kms.jar not built"
+)
+def test_embedded_serves_sealed_index(spark, tmp_path):
+    """A Parquet-Modular-Encrypted index serves EMBEDDED with the same
+    master keys: EmbeddedDecryption replicates the JVM ConfKmsClient's
+    irv:-versioned local wrap python-side (pyarrow's C++ key tools
+    handle the parquet-mr double-wrapped key material), so a serving
+    host needs keys but still no JVM. Results must equal the keyed
+    Spark hot replica; wrong keys must fail loudly; missing keys keep
+    the refusal."""
+    from iresearch_spark.index.encryption import IndexEncryption
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choices(VOCAB, k=rng.randint(4, 25))))
+        for i in range(400)
+    ]
+    idx = build_index(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        id_col="doc_id",
+        text_col="text",
+    )
+    # versioned master keys: the JVM wraps under the NEWEST (v2) and
+    # records it in the irv: header the python unwrap must parse
+    enc = IndexEncryption(
+        {"k0": {1: b"0123456789abcdef", 2: b"fedcba9876543210"}}
+    )
+    path = str(tmp_path / "sealed")
+    idx.save(path, encryption=enc)
+    one = next(
+        f for f in os.listdir(os.path.join(path, "docs"))
+        if f.endswith(".parquet")
+    )
+    with open(os.path.join(path, "docs", one), "rb") as fh:
+        assert fh.read(4) == b"PARE"  # actually sealed
+
+    hot = HotEngine(
+        SearchEngine(
+            InvertedIndex.load(spark, path, encryption=enc).cache()
+        )
+    )
+    emb = HotEngine.from_dir(path, encryption=enc)
+    for q in (
+        Term("quick"),
+        And([Term("quick"), Term("lazy")]),
+        Phrase(("quick", "brown")),
+        Prefix("ra"),
+        Fuzzy("quik", distance=1),
+    ):
+        assert emb.search(q, k=10, mode="wand") == hot.search(q, k=10)
+    assert emb._blob_bytes == hot._blob_bytes
+
+    # no keys -> refusal names the footer key
+    with pytest.raises(ValueError, match="encrypted"):
+        HotEngine.from_dir(path)
+    # wrong keys -> decryption fails loudly (GCM tag), nothing decodes
+    bad = IndexEncryption({"k0": b"xxxxxxxxxxxxxxxx"})
+    with pytest.raises(Exception):
+        HotEngine.from_dir(path, encryption=bad)
