@@ -178,7 +178,33 @@ class HotEngine:
         ld_c = tbl.column("last_doc").to_pylist()
         docs_c = tbl.column("docs").to_pylist()
         dls_c = tbl.column("dls").to_pylist()
-        imp_c = tbl.column("block_impacts").to_pylist()
+        # impacts: vectorized extraction — to_pylist() of the
+        # list<struct<tf,dl>> column builds a dict per pair and was
+        # >half of replica pin time at 28k terms; slicing the flattened
+        # child arrays gives each block a (tf int32[], dl int32[]) pair
+        # of numpy views instead
+        impcol = tbl.column("block_impacts").combine_chunks()
+        n_rows = len(impcol)
+        if impcol.null_count == n_rows:
+            imp_c = [None] * n_rows  # pre-impacts index
+        else:
+            _offs = impcol.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            _vals = impcol.values
+            _tfv = _vals.field("tf").to_numpy(zero_copy_only=False)
+            _dlv = _vals.field("dl").to_numpy(zero_copy_only=False)
+            _ok = (
+                np.ones(n_rows, bool)
+                if impcol.null_count == 0
+                else ~np.asarray(impcol.is_null())
+            )
+            imp_c = [
+                (_tfv[_offs[i]:_offs[i + 1]], _dlv[_offs[i]:_offs[i + 1]])
+                if _ok[i]
+                else None
+                for i in range(n_rows)
+            ]
         mf_c = tbl.column("block_max_freq").to_pylist()
         md_c = tbl.column("block_min_dl").to_pylist()
         pos_c = (
@@ -425,9 +451,10 @@ class HotEngine:
 
     def _block_ub(self, entry, c0: float) -> float:
         first, last, n, _docs, _dls, impacts, max_f, min_dl, _pb = entry
-        if impacts:
+        if impacts is not None and len(impacts[0]):
             return c0 * max(
-                self._g_scalar(p["tf"], p["dl"]) for p in impacts
+                self._g_scalar(tf, dl)
+                for tf, dl in zip(impacts[0].tolist(), impacts[1].tolist())
             )
         # pre-impacts index: the loose (max_freq, min_dl) bound
         return c0 * self._g_scalar(float(max_f), float(min_dl))
