@@ -268,8 +268,23 @@ cites it.
 {json.dumps(raw, indent=1)}
 ```
 """
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # preserve hand-appended sections (## headings after the record):
+    # only the auto-generated scaling record up to the first appended
+    # section is replaced
+    path = "/root/repo/BENCH/BASELINE.md"
+    keep = ""
+    try:
+        with open(path) as f:
+            old = f.read()
+        # the generated record uses only '#' and bold headings; every
+        # '## ' section is hand-appended
+        i = old.find("\n## ")
+        if i != -1:
+            keep = old[i:]
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
+        f.write(md + keep)
     print(json.dumps({
         "eff_2_to_8": round(e28, 3), "eff_8_to_32": round(e832, 3),
         "cpu_ratio_2_to_8": round(cpu_ratio_28, 3),
