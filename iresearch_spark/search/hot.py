@@ -135,8 +135,7 @@ class HotEngine:
             # index took ~90 s; the Arrow table lands in ~2 s
             tbl = slim.toArrow()
         self._blob_bytes = int(size or 0)
-        terms_c = tbl.column("term").to_pylist()
-        self._ingest(tbl, terms_c, cols, aux_cols, index)
+        self._ingest(tbl, cols, aux_cols, index)
 
     @classmethod
     def from_dir(
@@ -172,12 +171,56 @@ class HotEngine:
             max_bytes=max_bytes,
         )
 
-    def _ingest(self, tbl, terms_c, cols, aux_cols, index):
-        nd_c = tbl.column("n_docs").to_pylist()
-        fd_c = tbl.column("first_doc").to_pylist()
-        ld_c = tbl.column("last_doc").to_pylist()
-        docs_c = tbl.column("docs").to_pylist()
-        dls_c = tbl.column("dls").to_pylist()
+    def _ingest(self, tbl, cols, aux_cols, index):
+        import pyarrow.compute as pc
+
+        # ONE C-side sort by (term, first_doc): every term's block list
+        # comes out contiguous and first_doc-ordered (first_doc is
+        # unique per term), replacing both the per-row python grouping
+        # loop and 30k+ per-term sorts — at ~1M posting blocks this cut
+        # replica pin time ~2.5x on top of the impacts fix
+        if tbl.num_rows:
+            tbl = tbl.take(
+                pc.sort_indices(
+                    tbl,
+                    sort_keys=[
+                        ("term", "ascending"),
+                        ("first_doc", "ascending"),
+                    ],
+                )
+            )
+        terms_c = tbl.column("term").to_pylist()
+        self._nd_a = tbl.column("n_docs").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        self._fd_a = tbl.column("first_doc").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        self._ld_a = tbl.column("last_doc").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        self._mf_a = tbl.column("block_max_freq").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        self._md_a = tbl.column("block_min_dl").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # blob columns STAY as arrow arrays: materializing 3M python
+        # bytes objects up front was most of replica pin time (and
+        # ~100s of MB of object overhead at 1M blocks); _bl() converts
+        # per TERM on first touch, so only queried terms ever pay
+        self._bin_docs = tbl.column("docs").combine_chunks()
+        self._bin_dls = tbl.column("dls").combine_chunks()
+        self._bin_pos = (
+            tbl.column("positions").combine_chunks()
+            if self._with_positions
+            else None
+        )
+        self._bin_aux = (
+            [tbl.column(c).combine_chunks() for c in aux_cols]
+            if aux_cols
+            else None
+        )
         # impacts: vectorized extraction — to_pylist() of the
         # list<struct<tf,dl>> column builds a dict per pair and was
         # >half of replica pin time at 28k terms; slicing the flattened
@@ -186,60 +229,110 @@ class HotEngine:
         impcol = tbl.column("block_impacts").combine_chunks()
         n_rows = len(impcol)
         if impcol.null_count == n_rows:
-            imp_c = [None] * n_rows  # pre-impacts index
+            self._imp_a = None  # pre-impacts index: loose bounds
         else:
-            _offs = impcol.offsets.to_numpy(zero_copy_only=False).astype(
-                np.int64
+            self._imp_a = (
+                impcol.values.field("tf").to_numpy(zero_copy_only=False),
+                impcol.values.field("dl").to_numpy(zero_copy_only=False),
+                impcol.offsets.to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                (
+                    np.ones(n_rows, bool)
+                    if impcol.null_count == 0
+                    else ~np.asarray(impcol.is_null())
+                ),
             )
-            _vals = impcol.values
-            _tfv = _vals.field("tf").to_numpy(zero_copy_only=False)
-            _dlv = _vals.field("dl").to_numpy(zero_copy_only=False)
-            _ok = (
-                np.ones(n_rows, bool)
-                if impcol.null_count == 0
-                else ~np.asarray(impcol.is_null())
-            )
-            imp_c = [
-                (_tfv[_offs[i]:_offs[i + 1]], _dlv[_offs[i]:_offs[i + 1]])
-                if _ok[i]
-                else None
-                for i in range(n_rows)
-            ]
-        mf_c = tbl.column("block_max_freq").to_pylist()
-        md_c = tbl.column("block_min_dl").to_pylist()
-        pos_c = (
-            tbl.column("positions").to_pylist()
-            if self._with_positions
-            else [None] * len(terms_c)
-        )
-        aux_c = (
-            list(
-                zip(*(tbl.column(c).to_pylist() for c in aux_cols))
-            )
-            if aux_cols
-            else [None] * len(terms_c)
-        )
-        self._blocks: dict[str, list] = defaultdict(list)
-        # per-term occurrence-feature blobs (OFFS/PAY), block-aligned
-        # with _blocks after the sort below (first_doc is unique per
-        # term, so sorting both by it keeps them index-for-index)
-        self._aux: dict[str, list] = defaultdict(list)
+        # contiguous per-term row spans of the sorted columns; _bl()
+        # materializes a term's block-tuple list from its span on first
+        # touch (the per-term analogue of the lazy block decode cache)
+        self._spans: dict[str, tuple] = {}
+        self._blocks: dict[str, list] = {}
+        self._aux: dict[str, list] = {}
         self._df: dict[str, int] = defaultdict(int)
-        for t, nd, fd, ld, db, lb, imp, mf, md, pb, ax in zip(
-            terms_c, nd_c, fd_c, ld_c, docs_c, dls_c, imp_c, mf_c, md_c,
-            pos_c, aux_c,
-        ):
-            self._blocks[t].append(
-                (int(fd), int(ld), int(nd), db, lb, imp, int(mf), int(md), pb)
-            )
-            if ax is not None:
-                self._aux[t].append((int(fd), ax))
-        for t, bl in self._blocks.items():
-            bl.sort(key=lambda b: b[0])
-            self._df[t] = sum(b[2] for b in bl)
-        for t, al in self._aux.items():
-            al.sort(key=lambda a: a[0])
+        n = len(terms_c)
+        if n:
+            tarr = np.asarray(terms_c, dtype=object)
+            brk = np.nonzero(tarr[1:] != tarr[:-1])[0] + 1
+            starts = np.concatenate(([0], brk)).astype(np.int64)
+            ends = np.concatenate((brk, [n])).astype(np.int64)
+            dfs = np.add.reduceat(self._nd_a, starts)
+            for s, e, dfv in zip(
+                starts.tolist(), ends.tolist(), dfs.tolist()
+            ):
+                t = terms_c[s]
+                self._spans[t] = (s, e)
+                self._df[t] = int(dfv)
         self._decoded: dict[str, list] = {}
+        self._run_init_tail(index)
+
+    def _bl(self, term: str) -> list:
+        """The term's block-tuple list
+        (first, last, n, docs_blob, dls_blob, (tf[], dl[])|None,
+        max_freq, min_dl, pos_blob|None), first_doc-ordered —
+        materialized from the column arrays' row span on first touch
+        and cached (only queried terms ever build python tuples)."""
+        hit = self._blocks.get(term)
+        if hit is not None:
+            return hit
+        span = self._spans.get(term)
+        if span is None:
+            return []
+        s, e = span
+        if self._imp_a is None:
+            imp = [None] * (e - s)
+        else:
+            tfv, dlv, offs, ok = self._imp_a
+            imp = [
+                (tfv[offs[i]:offs[i + 1]], dlv[offs[i]:offs[i + 1]])
+                if ok[i]
+                else None
+                for i in range(s, e)
+            ]
+        pos = (
+            self._bin_pos[s:e].to_pylist()
+            if self._bin_pos is not None
+            else [None] * (e - s)
+        )
+        out = list(
+            zip(
+                self._fd_a[s:e].tolist(),
+                self._ld_a[s:e].tolist(),
+                self._nd_a[s:e].tolist(),
+                self._bin_docs[s:e].to_pylist(),
+                self._bin_dls[s:e].to_pylist(),
+                imp,
+                self._mf_a[s:e].tolist(),
+                self._md_a[s:e].tolist(),
+                pos,
+            )
+        )
+        self._blocks[term] = out
+        return out
+
+    def _auxl(self, term: str) -> list:
+        """The term's (first_doc, (aux blobs...)) list (OFFS/PAY
+        occurrence features), block-aligned with _bl(term) — same lazy
+        per-term materialization."""
+        if self._bin_aux is None:
+            return []
+        hit = self._aux.get(term)
+        if hit is not None:
+            return hit
+        span = self._spans.get(term)
+        if span is None:
+            return []
+        s, e = span
+        out = list(
+            zip(
+                self._fd_a[s:e].tolist(),
+                zip(*(a[s:e].to_pylist() for a in self._bin_aux)),
+            )
+        )
+        self._aux[term] = out
+        return out
+
+    def _run_init_tail(self, index):
         self._decoded_pos: dict[str, tuple] = {}
         self._bounds: dict[str, tuple] = {}
         self._vocab: tuple | None = None
@@ -273,18 +366,18 @@ class HotEngine:
         per-term caches, and pinned doc columns (Exists/NumericRange/
         Nested) count their full payload including string bytes.
         `resident_bytes` is the sum of all of it."""
-        pos_blob = 0
-        if self._with_positions:
-            pos_blob = sum(
-                len(b[8]) for bl in self._blocks.values() for b in bl
-                if b[8] is not None
-            )
-        aux_blob = sum(
-            len(part)
-            for al in self._aux.values()
-            for _fd, ax in al
-            for part in ax
-            if part is not None
+        import pyarrow.compute as pc
+
+        def _bin_total(arr) -> int:
+            if arr is None or len(arr) == 0:
+                return 0
+            return int(pc.sum(pc.binary_length(arr)).as_py() or 0)
+
+        pos_blob = _bin_total(self._bin_pos)
+        aux_blob = (
+            sum(_bin_total(a) for a in self._bin_aux)
+            if self._bin_aux is not None
+            else 0
         )
         decoded = sum(
             a.nbytes
@@ -327,7 +420,7 @@ class HotEngine:
             "bounds_bytes": bounds,
             "pinned_column_bytes": cols + spine,
             "vocab_bytes": vocab,
-            "n_terms": len(self._blocks),
+            "n_terms": len(self._spans),
             "n_terms_decoded": len(self._decoded),
             "n_pinned_columns": len(self._cols),
         }
@@ -345,7 +438,7 @@ class HotEngine:
         a WAND-pruned read only ever decodes surviving blocks. idxs:
         iterable of block indices (None = all). Returns concatenated
         (doc_ids, freqs, dls)."""
-        bl = self._blocks.get(term, [])
+        bl = self._bl(term)
         slots = self._decoded.get(term)
         if slots is None:
             slots = [None] * len(bl)
@@ -384,7 +477,7 @@ class HotEngine:
         hit = self._decoded_pos.get(term)
         if hit is not None:
             return hit
-        bl = self._blocks.get(term, [])
+        bl = self._bl(term)
         d_parts, l_parts, p_parts, f_parts = [], [], [], []
         for first, last, n, docs_b, dls_b, _i, _mf, _md, pos_b in bl:
             if pos_b is None:
@@ -418,7 +511,7 @@ class HotEngine:
         hit = self._bounds.get(term)
         if hit is not None:
             return hit
-        bl = self._blocks.get(term, [])
+        bl = self._bl(term)
         g = np.empty(len(bl), np.float64)
         s0 = np.empty(len(bl), np.int64)
         s1 = np.empty(len(bl), np.int64)
@@ -1016,7 +1109,7 @@ class HotEngine:
             keep = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
         out = []
         for term in sorted(set(terms)):
-            al = self._aux.get(term, [])
+            al = self._auxl(term)
             for i, (_fd, ax) in enumerate(al):
                 owner, sel, f = self._live_occurrences(term, i, keep)
                 if not sel.any():
@@ -1048,7 +1141,7 @@ class HotEngine:
         pay_at = 2 if self._with_offsets else 0
         out = []
         for term in sorted(set(terms)):
-            al = self._aux.get(term, [])
+            al = self._auxl(term)
             for i, (_fd, ax) in enumerate(al):
                 owner, sel, f = self._live_occurrences(term, i, keep)
                 if not sel.any():

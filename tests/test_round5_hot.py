@@ -195,7 +195,7 @@ def test_hot_memory_stats(engines):
     s0 = hot.memory_stats()
     assert s0["blob_bytes"] > 0
     assert s0["blob_bytes"] <= s0["budget_bytes"]
-    assert s0["n_terms"] == len(hot._blocks)
+    assert s0["n_terms"] == len(hot._spans)
     assert s0["resident_bytes"] >= s0["blob_bytes"] + s0["positions_blob_bytes"]
     # residency grows monotonically with use: decode caches + vocab
     # (>= not >: the module-scoped fixture may already be warm)
@@ -210,7 +210,9 @@ def test_hot_memory_stats(engines):
     # blob accounting matches the constructor's budget-check sum
     import numpy as np
 
-    blob = sum(len(b[3]) + len(b[4]) for bl in hot._blocks.values() for b in bl)
+    blob = sum(
+        len(b[3]) + len(b[4]) for t in hot._spans for b in hot._bl(t)
+    )
     # budget check counts the empty-term stats row too, so >= blocks sum
     assert s1["blob_bytes"] >= blob
 
