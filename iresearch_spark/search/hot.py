@@ -1671,6 +1671,16 @@ class HotMultiFieldEngine:
         hot, q = self._route(query)
         return hot.matches(q)
 
+    def search_many(
+        self, queries: dict, k: int = 10, mode: str = "exhaustive"
+    ) -> dict:
+        """Batched top-k over routed fields (see HotEngine.search_many:
+        the warmth of the shared per-field caches is the batching)."""
+        return {
+            name: self.search(q, k=k, mode=mode)
+            for name, q in queries.items()
+        }
+
     def memory_stats(self) -> dict:
         """Per-field residency plus fleet totals (see
         HotEngine.memory_stats) — the budget applies per field replica,

@@ -188,13 +188,22 @@ def main():
             from iresearch_spark.index.encryption import IndexEncryption
 
             enc = IndexEncryption.from_key_file(args.encrypt_keys)
-        from iresearch_spark.search.hot import HotEngine
+        from iresearch_spark.search.hot import (
+            HotEngine,
+            HotMultiFieldEngine,
+        )
 
         t0 = time.perf_counter()
-        hot = HotEngine.from_dir(
-            args.index, scorer=args.scorer, max_bytes=args.hot_max_bytes,
-            encryption=enc,
-        )
+        if os.path.exists(os.path.join(args.index, "multifield.json")):
+            hot = HotMultiFieldEngine.from_dir(
+                args.index, scorer=args.scorer,
+                max_bytes=args.hot_max_bytes,
+            )
+        else:
+            hot = HotEngine.from_dir(
+                args.index, scorer=args.scorer,
+                max_bytes=args.hot_max_bytes, encryption=enc,
+            )
         serve_hot(
             hot, {"embedded_pin_sec": round(time.perf_counter() - t0, 4)}
         )

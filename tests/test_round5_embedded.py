@@ -354,3 +354,29 @@ def test_embedded_serves_sealed_index(spark, tmp_path):
     bad = IndexEncryption({"k0": b"xxxxxxxxxxxxxxxx"})
     with pytest.raises(Exception):
         HotEngine.from_dir(path, encryption=bad)
+
+
+def test_embedded_multifield_search_many(spark, tmp_path):
+    from iresearch_spark.index.multifield import build_multi_field_index
+    from iresearch_spark.search.hot import HotMultiFieldEngine
+
+    rng = random.Random(9)
+    rows = [
+        (i, " ".join(rng.choices(VOCAB, k=6)),
+         " ".join(rng.choices(VOCAB, k=3)))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string, title string")
+    m = build_multi_field_index(
+        df, fields=["body", "title"], sort_key="doc_id",
+        default_field="body",
+    )
+    p = str(tmp_path / "mf2")
+    m.save(p)
+    emb = HotMultiFieldEngine.from_dir(p)
+    tasks = {
+        "a": Term("quick"),
+        "b": ast.Field("title", Term("lazy")),
+    }
+    got = emb.search_many(tasks, k=5)
+    assert got == {n: emb.search(q, k=5) for n, q in tasks.items()}
