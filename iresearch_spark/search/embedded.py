@@ -128,6 +128,7 @@ class EmbeddedDecryption:
 
         self._factory = pe.CryptoFactory(_PyConfKms)
         self._conn = pe.KmsConnectionConfig()
+        self._client_cls = _PyConfKms  # direct wrap/unwrap testability
 
     def file_props(self):
         """Fresh FileDecryptionProperties for a footer/metadata read."""

@@ -380,3 +380,46 @@ def test_embedded_multifield_search_many(spark, tmp_path):
     }
     got = emb.search_many(tasks, k=5)
     assert got == {n: emb.search(q, k=5) for n, q in tasks.items()}
+
+
+def test_embedded_kms_wrap_unwrap_roundtrip():
+    """Property: the python ConfKmsClient twin round-trips any key
+    under any master-key version, records the version in the irv:
+    header, refuses wrong master keys (GCM tag) and unknown key
+    names — the local-wrap format pinned against the JVM client's
+    KeyToolkit.encryptKeyLocally output."""
+    from hypothesis import given, settings, strategies as st
+
+    from iresearch_spark.index.encryption import IndexEncryption
+    from iresearch_spark.search.embedded import EmbeddedDecryption
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        dek=st.binary(min_size=16, max_size=16),
+        master=st.binary(min_size=16, max_size=16),
+        other=st.binary(min_size=16, max_size=16),
+        ver=st.integers(min_value=1, max_value=9),
+    )
+    def prop(dek, master, other, ver):
+        dec = EmbeddedDecryption(
+            IndexEncryption({"k0": {ver: master}, "alt": other})
+        )
+        client = dec._client_cls(None)
+        w = client.wrap_key(dek, "k0")
+        assert w.startswith(f"irv:{ver}:")
+        assert client.unwrap_key(w, "k0") == dek
+        if other != master:
+            try:
+                client.unwrap_key(w, "alt")
+                raise AssertionError("wrong master key must fail")
+            except AssertionError:
+                raise
+            except Exception:
+                pass  # GCM tag failure
+        try:
+            client.unwrap_key(w, "missing")
+            raise AssertionError("unknown key name must raise")
+        except ValueError:
+            pass
+
+    prop()
