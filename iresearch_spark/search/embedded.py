@@ -25,7 +25,13 @@ is differential-tested against the cluster engine
 cluster for every query shape, both score dtypes, WAND included).
 
 Boundaries (all raise with a clear message, nothing silently degrades):
-- encrypted indexes need the JVM KMS plug-in -> load with Spark;
+- a SEALED index serves embedded when `encryption=` carries the master
+  keys (EmbeddedDecryption: python twin of the JVM ConfKmsClient over
+  pyarrow modular decryption) — but one sealed with
+  external_key_material=True (rotation sidecars) stays on the cluster
+  path (pyarrow's python binding cannot locate sidecar key material);
+- incremental (multi-segment) dirs need the cluster merge — refused
+  with a pointer to consolidate_job;
 - the few shapes the hot path itself does not serve (GranularRange on
   a dictionary-only column) have no cluster to fall back to here;
 - `EmbeddedEngine` exposes ONLY the scoring-math surface of
@@ -332,6 +338,19 @@ def load_local_index(path: str, encryption=None) -> LocalIndex:
             f"{enc.get('footer_key')!r} via {enc.get('kms_client_class')}); "
             "pass encryption=IndexEncryption(...) with the master keys "
             "(decrypted in-process via pyarrow, no JVM needed)"
+        )
+    if enc and enc.get("external_key_material"):
+        # pyarrow's python binding cannot pass the data-file path the
+        # C++ key tools need to locate _KEY_MATERIAL_FOR_*.json
+        # sidecars (no file_path parameter on
+        # file_decryption_properties as of pyarrow 16) — rotation-
+        # enabled indexes stay on the cluster path
+        raise ValueError(
+            "index was sealed with external_key_material=True (key "
+            "rotation sidecars): pyarrow cannot read sidecar key "
+            "material from python — serve it through the cluster "
+            "path, or save with internal key material for embedded "
+            "serving"
         )
     dec = EmbeddedDecryption(encryption) if enc else None
     return LocalIndex(path, manifest, dec)

@@ -423,3 +423,22 @@ def test_embedded_kms_wrap_unwrap_roundtrip():
             pass
 
     prop()
+
+
+def test_embedded_refuses_external_key_material(tmp_path):
+    p = tmp_path / "extix"
+    p.mkdir()
+    (p / "manifest.json").write_text(json.dumps({
+        "version": 1, "n_docs": 1, "total_term_freq": 1,
+        "with_positions": True, "analyzer": "simple",
+        "encryption": {"footer_key": "k0",
+                       "kms_client_class": "ConfKmsClient",
+                       "external_key_material": True},
+    }))
+    from iresearch_spark.index.encryption import IndexEncryption
+
+    with pytest.raises(ValueError, match="external_key_material"):
+        HotEngine.from_dir(
+            str(p),
+            encryption=IndexEncryption({"k0": b"0123456789abcdef"}),
+        )
