@@ -442,3 +442,22 @@ def test_embedded_refuses_external_key_material(tmp_path):
             str(p),
             encryption=IndexEncryption({"k0": b"0123456789abcdef"}),
         )
+
+
+def test_embedded_concurrent_serving(saved):
+    """The lazy per-term materialization caches (_bl/_auxl, decode,
+    bounds, expansion) fill under a multi-threaded request pool on a
+    COLD from_dir replica exactly as single-threaded (idempotent
+    grow-only dicts under the GIL)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    emb = HotEngine.from_dir(saved)
+    qs = QUERIES[:12]
+    tasks = [(i % len(qs), qs[i % len(qs)]) for i in range(144)]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(
+            ex.map(lambda t: (t[0], emb.search(t[1], k=10, mode="wand")), tasks)
+        )
+    want = {i: emb.search(q, k=10, mode="wand") for i, q in enumerate(qs)}
+    for i, res in got:
+        assert res == want[i]
