@@ -16,8 +16,23 @@ form those analyzers already take (`model={"vocab": ..., "labels":
     input and output matrices. Supervised models map words -> input
     rows and labels -> output rows, which is exactly what the
     classification analyzer's softmax-over-label-vectors needs.
-    Quantized (.ftz) models are rejected with a clear error (export
-    to .vec instead). Subword (minn/maxn > 0, bucket > 0) models are
+  * `.ftz` — the QUANTIZED binary format (same magic; the quant flag
+    byte before each matrix selects a product-quantized layout).
+    Each quantized matrix stores per-row uint8 codes over `nsubq`
+    subquantizers with 256 centroids each (`dsub` dims per
+    subquantizer, `lastdsub` for the tail) plus, when `qnorm` is
+    set, a separately quantized per-row norm (a 1-d product
+    quantizer over the original row norms). Rows are reconstructed
+    densely at load (norm * concat of the coded centroids — the
+    exact `QuantMatrix::addRowToVector` math), so the analyzers see
+    the same embedding-table form as a dense `.bin`. Quantized
+    models may also carry a PRUNED dictionary (`pruneidx`): the
+    n-gram hash space maps through the pruneidx table onto the
+    surviving rows of the input matrix, and grams that were pruned
+    away simply don't contribute (fastText `Dictionary::pushHash`
+    semantics).
+
+    Subword (minn/maxn > 0, bucket > 0) models are
     fully composed: each in-vocab word vector is the MEAN of the
     word's own input row and its character-n-gram rows (fastText
     getWordVector semantics), and the returned model carries an
@@ -99,16 +114,31 @@ class SubwordVectors:
     matrix: vector(word) = mean of its subword-gram rows (fastText's
     getWordVector for an out-of-vocabulary word). Picklable — rides
     the Spark task broadcast inside analyzer closures the same way
-    the embedding table does. Holds ONLY the `bucket x dim` n-gram
-    block, not the word rows."""
+    the embedding table does. Holds ONLY the n-gram block, not the
+    word rows. For PRUNED (.ftz `quantize -cutoff`) models the block
+    holds just the surviving gram rows and `pruneidx` maps hash-space
+    gram ids onto them; pruned-away grams contribute nothing
+    (Dictionary::pushHash)."""
 
-    def __init__(self, gram_mat: np.ndarray, minn: int, maxn: int):
+    def __init__(
+        self,
+        gram_mat: np.ndarray,
+        minn: int,
+        maxn: int,
+        bucket: int | None = None,
+        pruneidx: dict[int, int] | None = None,
+    ):
         self.gram_mat = np.ascontiguousarray(gram_mat, dtype=np.float32)
         self.minn = int(minn)
         self.maxn = int(maxn)
+        # Unpruned models: the block IS the full hash space.
+        self.bucket = int(bucket) if bucket is not None else gram_mat.shape[0]
+        self.pruneidx = pruneidx
 
     def __call__(self, token: str):
-        ids = subword_ids(token, self.gram_mat.shape[0], self.minn, self.maxn)
+        ids = subword_ids(token, self.bucket, self.minn, self.maxn)
+        if self.pruneidx is not None:
+            ids = [self.pruneidx[i] for i in ids if i in self.pruneidx]
         if not ids:
             return None
         return self.gram_mat[ids].mean(axis=0)
@@ -172,9 +202,65 @@ def load_model(path: str) -> dict[str, dict[str, np.ndarray]]:
     return split_labels(load_vec(path))
 
 
+_PQ_KSUB = 256  # fastText ProductQuantizer nbits_ = 8 -> 1 << 8 centroids
+
+
+def _read_product_quantizer(f) -> dict:
+    """ProductQuantizer::save layout: dim, nsubq, dsub, lastdsub
+    (int32 each) then `dim * 256` float32 centroids. Subquantizer m's
+    centroid c lives at `(m*256 + c) * dsub` — except the LAST
+    subquantizer, whose 256 centroids of `lastdsub` dims are packed
+    contiguously from `(nsubq-1) * 256 * dsub`."""
+    dim, nsubq, dsub, lastdsub = struct.unpack("<4i", f.read(16))
+    cents = np.frombuffer(f.read(4 * dim * _PQ_KSUB), dtype="<f4")
+    return {"dim": dim, "nsubq": nsubq, "dsub": dsub,
+            "lastdsub": lastdsub, "centroids": cents}
+
+
+def _pq_decode(pq: dict, codes: np.ndarray) -> np.ndarray:
+    """Vectorized ProductQuantizer::addcode over all rows: codes is
+    (m, nsubq) uint8; returns the dense (m, dim) float32 matrix."""
+    m = codes.shape[0]
+    nsubq, dsub, lastdsub = pq["nsubq"], pq["dsub"], pq["lastdsub"]
+    out = np.empty((m, pq["dim"]), dtype=np.float32)
+    cents = pq["centroids"]
+    for j in range(nsubq - 1):
+        block = cents[j * _PQ_KSUB * dsub : (j + 1) * _PQ_KSUB * dsub]
+        out[:, j * dsub : (j + 1) * dsub] = block.reshape(_PQ_KSUB, dsub)[
+            codes[:, j]
+        ]
+    last = cents[(nsubq - 1) * _PQ_KSUB * dsub :]
+    out[:, (nsubq - 1) * dsub :] = last.reshape(_PQ_KSUB, lastdsub)[
+        codes[:, -1]
+    ]
+    return out
+
+
+def _read_quant_matrix(f) -> np.ndarray:
+    """QuantMatrix::save layout -> densely reconstructed rows:
+    qnorm (int8), m/n (int64), codesize (int32), `codesize` uint8
+    codes, the ProductQuantizer, and when qnorm is set the per-row
+    norm codes (m uint8) + the 1-d norm quantizer. Row i =
+    norm_i * concat_m(centroid(m, code[i, m])) — the exact
+    QuantMatrix::addRowToVector reconstruction."""
+    (qnorm,) = struct.unpack("<b", f.read(1))
+    m, _n = struct.unpack("<2q", f.read(16))
+    (codesize,) = struct.unpack("<i", f.read(4))
+    codes = np.frombuffer(f.read(codesize), dtype=np.uint8)
+    pq = _read_product_quantizer(f)
+    mat = _pq_decode(pq, codes.reshape(m, pq["nsubq"]))
+    if qnorm:
+        norm_codes = np.frombuffer(f.read(m), dtype=np.uint8)
+        npq = _read_product_quantizer(f)
+        # dim=1 quantizer: centroid c is just centroids[c]
+        mat *= npq["centroids"][norm_codes][:, None]
+    return mat
+
+
 def load_bin(path: str) -> dict[str, dict[str, np.ndarray]]:
-    """Parse a (non-quantized) fastText .bin supervised/skipgram model:
-    words map to input-matrix rows, labels to output-matrix rows."""
+    """Parse a fastText .bin / .ftz supervised/skipgram model: words
+    map to input-matrix rows, labels to output-matrix rows; quantized
+    matrices are densely reconstructed at load (see module header)."""
     with open(path, "rb") as f:
         magic, version = struct.unpack("<ii", f.read(8))
         if magic != FASTTEXT_MAGIC:
@@ -199,30 +285,48 @@ def load_bin(path: str) -> dict[str, dict[str, np.ndarray]]:
             (_count,) = struct.unpack("<q", f.read(8))
             (etype,) = struct.unpack("<b", f.read(1))
             entries.append((chars.decode("utf-8"), etype))
+        # Pruned (.ftz cutoff) dictionaries carry the gram-id ->
+        # surviving-input-row map; pruneidx_size is -1 (or 0) when no
+        # grams are mapped — the shape check below then decides whether
+        # a full gram block is present.
+        pruneidx: dict[int, int] | None = None
         if pruneidx_size > 0:
-            f.read(8 * pruneidx_size)  # (int32, int32) pairs
-        # input matrix
+            pairs = np.frombuffer(
+                f.read(8 * pruneidx_size), dtype="<i4"
+            ).reshape(pruneidx_size, 2)
+            pruneidx = {int(a): int(b) for a, b in pairs}
+        # input matrix: dense, or product-quantized (.ftz)
         (quant_in,) = struct.unpack("<b", f.read(1))
         if quant_in:
-            raise ValueError(
-                "quantized fastText model (.ftz) — export to .vec and "
-                "load that instead"
+            in_mat = _read_quant_matrix(f)
+        else:
+            m, n = struct.unpack("<2q", f.read(16))
+            in_mat = np.frombuffer(f.read(4 * m * n), dtype="<f4").reshape(
+                m, n
             )
-        m, n = struct.unpack("<2q", f.read(16))
-        in_mat = np.frombuffer(f.read(4 * m * n), dtype="<f4").reshape(m, n)
-        (quant_out,) = struct.unpack("<b", f.read(1))
-        if quant_out:
-            raise ValueError("quantized output matrix — export to .vec")
-        mo, no = struct.unpack("<2q", f.read(16))
-        out_mat = np.frombuffer(f.read(4 * mo * no), dtype="<f4").reshape(
-            mo, no
-        )
+        # The next byte is args->qout: the output matrix is quantized
+        # only when the model is quantized AND qout was set.
+        (qout,) = struct.unpack("<b", f.read(1))
+        if quant_in and qout:
+            out_mat = _read_quant_matrix(f)
+        else:
+            mo, no = struct.unpack("<2q", f.read(16))
+            out_mat = np.frombuffer(f.read(4 * mo * no), dtype="<f4").reshape(
+                mo, no
+            )
     # Subword models: the input matrix is (nwords + bucket) x dim and a
     # word's vector is the mean of its own row plus its n-gram rows
     # (getWordVector). Word-row-only models (bucket == 0 or maxn == 0,
-    # e.g. default supervised) keep the plain row mapping.
+    # e.g. default supervised) keep the plain row mapping. Pruned
+    # dictionaries keep only len(pruneidx) gram rows after the words.
+    gram_rows = (
+        len(pruneidx) if pruneidx is not None else _bucket
+    )
     has_subwords = (
-        _maxn > 0 and _bucket > 0 and in_mat.shape[0] == nwords + _bucket
+        _maxn > 0
+        and _bucket > 0
+        and gram_rows > 0
+        and in_mat.shape[0] == nwords + gram_rows
     )
     gram_mat = in_mat[nwords:] if has_subwords else None
     vocab: dict[str, np.ndarray] = {}
@@ -234,6 +338,8 @@ def load_bin(path: str) -> dict[str, dict[str, np.ndarray]]:
             if wi < in_mat.shape[0]:
                 if has_subwords and word != EOS:
                     ids = subword_ids(word, _bucket, _minn, _maxn)
+                    if pruneidx is not None:
+                        ids = [pruneidx[i] for i in ids if i in pruneidx]
                     rows = np.concatenate(
                         [in_mat[wi : wi + 1], gram_mat[ids]]
                     )
@@ -257,5 +363,7 @@ def load_bin(path: str) -> dict[str, dict[str, np.ndarray]]:
         )
     model = {"vocab": vocab, "labels": labels}
     if has_subwords:
-        model["oov"] = SubwordVectors(gram_mat, _minn, _maxn)
+        model["oov"] = SubwordVectors(
+            gram_mat, _minn, _maxn, bucket=_bucket, pruneidx=pruneidx
+        )
     return model

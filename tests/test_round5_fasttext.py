@@ -285,3 +285,206 @@ def test_nearest_neighbors_oov_via_subwords(tmp_path):
     # bare-table form (no oov): OOV emits nothing, positions unchanged
     a0 = get_analyzer("nearest_neighbors", model=model["vocab"], top_k=1)
     assert a0.analyze("catt") == ([], [])
+
+
+# ---------------------------------------------------------------------------
+# Quantized (.ftz) models: product-quantized matrices reconstructed at
+# load, optional quantized output matrix (qout), pruned dictionaries.
+# ---------------------------------------------------------------------------
+
+from iresearch_spark.analysis.fasttext_io import load_model as _lm  # noqa: F401
+
+
+def _pq_pack(mat, dsub):
+    """Exact-by-construction PQ encoding: row i's code in every
+    subquantizer is i, and centroid i of subquantizer j equals row i's
+    j-th subvector — so spec-conformant decode reproduces `mat`
+    bit-for-bit. Returns (nsubq, dsub, lastdsub, centroids, codes)."""
+    m, dim = mat.shape
+    assert m <= 256
+    nsubq = (dim + dsub - 1) // dsub
+    lastdsub = dim - (nsubq - 1) * dsub
+    cents = np.zeros(dim * 256, dtype="<f4")
+    codes = np.zeros((m, nsubq), dtype=np.uint8)
+    for j in range(nsubq):
+        d = dsub if j < nsubq - 1 else lastdsub
+        sub = mat[:, j * dsub : j * dsub + d]
+        block = j * 256 * dsub
+        for i in range(m):
+            codes[i, j] = i
+            cents[block + i * d : block + i * d + d] = sub[i]
+    return nsubq, dsub, lastdsub, cents, codes
+
+
+def _write_quant_matrix(f, mat, qnorm=True, dsub=2):
+    """QuantMatrix::save layout (the caller writes the quant flag)."""
+    mat = np.asarray(mat, dtype=np.float32)
+    m, dim = mat.shape
+    if qnorm:
+        norms = np.linalg.norm(mat, axis=1).astype(np.float32)
+        coded = mat / norms[:, None]
+    else:
+        coded = mat
+    nsubq, dsub, lastdsub, cents, codes = _pq_pack(coded, dsub)
+    f.write(struct.pack("<b", 1 if qnorm else 0))
+    f.write(struct.pack("<2q", m, dim))
+    f.write(struct.pack("<i", codes.size))
+    f.write(codes.tobytes())
+    f.write(struct.pack("<4i", dim, nsubq, dsub, lastdsub))
+    f.write(cents.tobytes())
+    if qnorm:
+        ncents = np.zeros(256, dtype="<f4")
+        ncents[:m] = norms
+        f.write(np.arange(m, dtype=np.uint8).tobytes())
+        f.write(struct.pack("<4i", 1, 1, 1, 1))
+        f.write(ncents.tobytes())
+
+
+def _write_ftz(path, qnorm=True, qout=False, dsub=2):
+    """A spec-conformant quantized supervised model over VOCAB/LABELS."""
+    words = list(VOCAB)
+    labels = [f"__label__{k}" for k in LABELS]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", FASTTEXT_MAGIC, 12))
+        f.write(struct.pack("<12i", 3, 5, 5, 1, 5, 1, 3, 3, 0, 0, 0, 100))
+        f.write(struct.pack("<d", 1e-4))
+        f.write(struct.pack(
+            "<3i", len(words) + len(labels), len(words), len(labels)
+        ))
+        f.write(struct.pack("<2q", 100, 0))  # pruned-to-nothing gram space
+        for w in words:
+            f.write(w.encode() + b"\x00" + struct.pack("<qb", 7, 0))
+        for lb in labels:
+            f.write(lb.encode() + b"\x00" + struct.pack("<qb", 3, 1))
+        in_mat = np.asarray([VOCAB[w] for w in words], dtype=np.float32)
+        f.write(struct.pack("<b", 1))  # quant input
+        _write_quant_matrix(f, in_mat, qnorm=qnorm, dsub=dsub)
+        out_mat = np.asarray(list(LABELS.values()), dtype=np.float32)
+        f.write(struct.pack("<b", 1 if qout else 0))
+        if qout:
+            _write_quant_matrix(f, out_mat, qnorm=qnorm, dsub=dsub)
+        else:
+            f.write(struct.pack("<2q", out_mat.shape[0], out_mat.shape[1]))
+            f.write(out_mat.astype("<f4").tobytes())
+
+
+def test_ftz_roundtrip_qnorm(tmp_path):
+    p = str(tmp_path / "m.ftz")
+    _write_ftz(p, qnorm=True)
+    model = load_bin(p)
+    assert set(model["vocab"]) == set(VOCAB)
+    for w, v in VOCAB.items():
+        np.testing.assert_allclose(model["vocab"][w], v, atol=1e-6)
+    np.testing.assert_allclose(model["labels"]["vehicle"], [0.0, 1.0, 0.0])
+
+
+def test_ftz_roundtrip_no_qnorm(tmp_path):
+    p = str(tmp_path / "m2.ftz")
+    _write_ftz(p, qnorm=False)
+    model = load_bin(p)
+    for w, v in VOCAB.items():
+        np.testing.assert_allclose(model["vocab"][w], v, atol=1e-6)
+
+
+def test_ftz_qout(tmp_path):
+    p = str(tmp_path / "m3.ftz")
+    _write_ftz(p, qout=True)
+    model = load_bin(p)
+    for k, v in LABELS.items():
+        np.testing.assert_allclose(model["labels"][k], v, atol=1e-6)
+
+
+def test_ftz_uneven_dsub_tail(tmp_path):
+    # dim=3 with dsub=2 -> nsubq=2, lastdsub=1: exercises the packed
+    # tail-subquantizer centroid layout
+    p = str(tmp_path / "m4.ftz")
+    _write_ftz(p, qnorm=True, dsub=2)
+    model = load_bin(p)
+    np.testing.assert_allclose(model["vocab"]["dog"], VOCAB["dog"], atol=1e-6)
+
+
+def test_ftz_classification_analyzer(tmp_path):
+    p = str(tmp_path / "m5.ftz")
+    _write_ftz(p, qnorm=True, qout=True)
+    model = load_model(p)  # magic-detected like .bin
+    a = get_analyzer("classification", model=model)
+    assert a.analyze("the cat and the dog") == (["animal"], [0])
+    assert a.analyze("car bus car")[0] == ["vehicle"]
+
+
+def _write_ftz_pruned(path, gram_keep):
+    """Quantized SUBWORD model with a pruned dictionary: only the gram
+    hash-ids in `gram_keep` survive, mapped (in order) onto the gram
+    rows after the words — the `quantize -cutoff` file shape."""
+    words = list(VOCAB)
+    labels = [f"__label__{k}" for k in LABELS]
+    pruneidx = {g: i for i, g in enumerate(gram_keep)}
+    gram_mat = np.asarray(
+        [[float(i + 1), 0.5 * i, -1.0] for i in range(len(gram_keep))],
+        dtype=np.float32,
+    )
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", FASTTEXT_MAGIC, 12))
+        f.write(struct.pack(
+            "<12i", 3, 5, 5, 1, 5, 1, 3, 3, BUCKET, MINN, MAXN, 100
+        ))
+        f.write(struct.pack("<d", 1e-4))
+        f.write(struct.pack(
+            "<3i", len(words) + len(labels), len(words), len(labels)
+        ))
+        f.write(struct.pack("<2q", 100, len(pruneidx)))
+        for w in words:
+            f.write(w.encode() + b"\x00" + struct.pack("<qb", 7, 0))
+        for lb in labels:
+            f.write(lb.encode() + b"\x00" + struct.pack("<qb", 3, 1))
+        for g, row in pruneidx.items():
+            f.write(struct.pack("<2i", g, row))
+        in_mat = np.concatenate(
+            [np.asarray([VOCAB[w] for w in words], dtype=np.float32), gram_mat]
+        )
+        f.write(struct.pack("<b", 1))
+        _write_quant_matrix(f, in_mat, qnorm=True, dsub=2)
+        out_mat = np.asarray(list(LABELS.values()), dtype=np.float32)
+        f.write(struct.pack("<b", 0))
+        f.write(struct.pack("<2q", out_mat.shape[0], out_mat.shape[1]))
+        f.write(out_mat.astype("<f4").tobytes())
+    return pruneidx, gram_mat
+
+
+def test_ftz_pruned_subword_composition(tmp_path):
+    ids_cat = subword_ids("cat", BUCKET, MINN, MAXN)
+    keep = sorted(set(ids_cat[:2]))  # survive only some of cat's grams
+    p = str(tmp_path / "pr.ftz")
+    pruneidx, gram_mat = _write_ftz_pruned(p, keep)
+    model = load_bin(p)
+    # in-vocab composition: word row + ONLY the surviving grams
+    for w, base in VOCAB.items():
+        ids = [
+            pruneidx[i]
+            for i in subword_ids(w, BUCKET, MINN, MAXN)
+            if i in pruneidx
+        ]
+        want = np.concatenate(
+            [np.asarray([base], dtype=np.float32), gram_mat[ids]]
+        ).mean(axis=0)
+        np.testing.assert_allclose(model["vocab"][w], want, atol=1e-5)
+    # OOV composer maps through pruneidx and drops pruned grams
+    sv = model["oov"]
+    assert sv.pruneidx == pruneidx and sv.bucket == BUCKET
+    ids_zzz = [
+        pruneidx[i]
+        for i in subword_ids("zzz", BUCKET, MINN, MAXN)
+        if i in pruneidx
+    ]
+    if ids_zzz:
+        np.testing.assert_allclose(
+            sv("zzz"), gram_mat[ids_zzz].mean(axis=0), atol=1e-5
+        )
+    else:
+        assert sv("zzz") is None
+    # an OOV token none of whose grams survived contributes nothing
+    all_pruned = [t for t in ("qqqq", "xyxy", "jjjj")
+                  if not any(i in pruneidx
+                             for i in subword_ids(t, BUCKET, MINN, MAXN))]
+    for t in all_pruned:
+        assert sv(t) is None
