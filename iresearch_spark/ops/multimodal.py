@@ -214,3 +214,144 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "sample_ts", "payload")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM decode is pure numpy (no media library), so the
+# audio path ships a REAL decoder even in this sandbox; compressed
+# formats (mp3/ogg/...) remain the stubbed step.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("rms", T.FloatType(), True),
+        T.StructField("zero_crossing_rate", T.FloatType(), True),
+        T.StructField("spectral_centroid_hz", T.FloatType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+_WAV_PCM_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/WAVE payload -> (float32 mono samples in [-1, 1],
+    sample_rate, channels). Walks the chunk list (fmt may be followed
+    by fact/LIST/cue before data), supports PCM (format 1: 8-bit
+    unsigned, 16/32-bit signed) and IEEE float32 (format 3), averages
+    channels to mono. Raises ValueError on anything else — compressed
+    WAV subformats are the stubbed step, like non-WAV containers."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = np.frombuffer(payload[pos + 4 : pos + 8], dtype="<u4")
+        size = int(size)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels = np.frombuffer(body[0:4], dtype="<u2")
+            (rate,) = np.frombuffer(body[4:8], dtype="<u4")
+            (bits,) = np.frombuffer(body[14:16], dtype="<u2")
+            fmt = (int(audio_fmt), int(channels), int(rate), int(bits))
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_fmt, channels, rate, bits = fmt
+    if channels < 1 or rate < 1:
+        raise ValueError("corrupt fmt chunk")
+    if audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(
+            data[: len(data) - len(data) % 4], dtype="<f4"
+        ).astype(np.float32)
+    elif audio_fmt == 1 and bits in _WAV_PCM_DTYPES:
+        dt = np.dtype(_WAV_PCM_DTYPES[bits]).newbyteorder("<")
+        step = dt.itemsize
+        x = np.frombuffer(data[: len(data) - len(data) % step], dtype=dt)
+        if bits == 8:  # unsigned, midpoint 128
+            x = (x.astype(np.float32) - 128.0) / 128.0
+        else:
+            x = x.astype(np.float32) / float(2 ** (bits - 1))
+    else:
+        raise ValueError(
+            f"unsupported WAVE encoding (format {audio_fmt}, {bits}-bit) — "
+            "only PCM 8/16/32 and float32 decode natively"
+        )
+    frames = len(x) // channels
+    x = x[: frames * channels]
+    if channels > 1:
+        x = x.reshape(frames, channels).mean(axis=1)
+    return x, rate, channels
+
+
+def _audio_feature_row(samples: np.ndarray, rate: int):
+    """(rms, zero-crossing rate per sample, spectral centroid in Hz)
+    of a mono float signal — the classic cheap audio descriptors."""
+    if samples.size == 0:
+        return 0.0, 0.0, 0.0
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    signs = np.signbit(samples)
+    zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) / max(
+        samples.size - 1, 1
+    )
+    mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    freqs = np.fft.rfftfreq(samples.size, d=1.0 / rate)
+    denom = mag.sum()
+    centroid = float((freqs * mag).sum() / denom) if denom > 0 else 0.0
+    return rms, zcr, centroid
+
+
+def audio_features(
+    media: DataFrame, use_real_decoder: bool = True
+) -> DataFrame:
+    """Audio payloads -> (sample_rate, channels, duration_ms, rms,
+    zero-crossing rate, spectral centroid), Arrow-batched via
+    mapInPandas, no shuffle (payloads processed where they live — the
+    same partitioning contract as feature_extract).
+
+    WAV/PCM payloads decode for REAL (numpy RIFF walk — no media
+    library needed); non-WAV payloads are the stubbed step: with
+    use_real_decoder=True they come back ok=False (a compressed-codec
+    decode needs an external library this environment lacks), and with
+    use_real_decoder=False they get the deterministic fake features so
+    pipelines exercise the full batch shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "sample_rate", "channels", "duration_ms", "rms",
+                "zero_crossing_rate", "spectral_centroid_hz", "ok",
+            )}
+            for payload in pdf["payload"]:
+                row = None
+                if payload is not None and len(payload) >= 12 \
+                        and payload[:4] == b"RIFF":
+                    try:
+                        x, rate, ch = decode_wav(payload)
+                        rms, zcr, cen = _audio_feature_row(x, rate)
+                        row = (rate, ch, int(round(1000.0 * x.size / rate)),
+                               rms, zcr, cen, True)
+                    except ValueError:
+                        row = None
+                if row is None and not use_real_decoder \
+                        and payload is not None:
+                    f = _fake_feature(payload, 4)
+                    row = (0, 0, len(payload), float(f[0]), float(f[1]),
+                           float(f[2]), True)
+                if row is None:
+                    row = (None, None, None, None, None, None, False)
+                for k, v in zip(out, row):
+                    out[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **out})
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
