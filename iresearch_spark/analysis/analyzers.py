@@ -1300,6 +1300,48 @@ _TAILORING_SPECS: dict[str, dict] = {
                      "ž": ("z", 1)},
            "contract": {"ch": ("h", 1)}},
     "de_phonebook": {"expand": {"ä": "ae", "ö": "oe", "ü": "ue"}},
+    # CLDR pl: &A<ą &C<ć &E<ę &L<ł &N<ń &O<ó &S<ś &Z<ź<ż
+    "pl": {"after": {"ą": ("a", 1), "ć": ("c", 1), "ę": ("e", 1),
+                     "ł": ("l", 1), "ń": ("n", 1), "ó": ("o", 1),
+                     "ś": ("s", 1), "ź": ("z", 1), "ż": ("z", 2)}},
+    # CLDR ro: &A<ă<â &I<î &S<ș &T<ț; cedilla forms ş/ţ are legacy
+    # spellings of the comma-below letters (secondary-equal)
+    "ro": {"after": {"ă": ("a", 1), "â": ("a", 2), "î": ("i", 1),
+                     "ș": ("s", 1), "ț": ("t", 1)},
+           "equiv": {"ş": "ș", "ţ": "ț"}},
+    # CLDR hu: digraph contractions cs/dz/dzs/gy/ly/ny/sz/ty/zs as new
+    # primaries after their first letter; ö (with ő secondary-after)
+    # and ü (ű) are new letters after o/u. Short/long vowel pairs
+    # (a/á, e/é, ...) differ at the secondary level, which the NFD
+    # combining-mark path already yields.
+    "hu": {"after": {"ö": ("o", 1), "ü": ("u", 1)},
+           "equiv": {"ő": "ö", "ű": "ü"},
+           "contract": {"cs": ("c", 1), "dz": ("d", 1), "dzs": ("d", 2),
+                        "gy": ("g", 1), "ly": ("l", 1), "ny": ("n", 1),
+                        "sz": ("s", 1), "ty": ("t", 1), "zs": ("z", 1)}},
+    # CLDR lt: č/š/ž as new primaries; y is primary-equal to i
+    # (sorted as i with a secondary difference)
+    "lt": {"after": {"č": ("c", 1), "š": ("s", 1), "ž": ("z", 1)},
+           "equiv": {"y": "i"}},
+    # CLDR et: š/z/ž re-slot after s; õ/ä/ö/ü are new letters after w
+    # (x and y then follow naturally from their root weights)
+    "et": {"after": {"š": ("s", 1), "z": ("s", 2), "ž": ("s", 3),
+                     "õ": ("w", 1), "ä": ("w", 2), "ö": ("w", 3),
+                     "ü": ("w", 4)}},
+    # CLDR is: acute vowels are distinct letters after their base;
+    # ð after d; þ/æ/ö close the alphabet after z
+    "is": {"after": {"á": ("a", 1), "ð": ("d", 1), "é": ("e", 1),
+                     "í": ("i", 1), "ó": ("o", 1), "ú": ("u", 1),
+                     "ý": ("y", 1), "þ": ("z", 1), "æ": ("z", 2),
+                     "ö": ("z", 3)}},
+    # CLDR vi: ă/â after a, đ after d, ê after e, ô/ơ after o, ư after
+    # u; tone marks stay combining -> secondary level automatically
+    "vi": {"after": {"ă": ("a", 1), "â": ("a", 2), "đ": ("d", 1),
+                     "ê": ("e", 1), "ô": ("o", 1), "ơ": ("o", 2),
+                     "ư": ("u", 1)}},
+    # CLDR fr-CA: [backwards 2] — accents compare from the END of the
+    # string at the secondary level (côte < coté)
+    "fr_ca": {"backwards2": True},
 }
 _TAILORINGS: dict[str, dict] = {}
 
@@ -1321,7 +1363,8 @@ def _build_tailoring(spec: dict) -> dict:
             pw = weights.get(tgt, ((ord(tgt) * 16,), None))[0]
             contract[seq] = (pw, _SEC_TAILOR)
     return {"weights": weights, "contract": contract,
-            "case": spec.get("case", {})}
+            "case": spec.get("case", {}),
+            "backwards2": bool(spec.get("backwards2", False))}
 
 
 def _tailoring_for(locale: str) -> dict | None:
@@ -1329,7 +1372,13 @@ def _tailoring_for(locale: str) -> dict | None:
     if "phonebk" in loc or "phonebook" in loc:
         key = "de_phonebook"
     else:
-        key = loc.split("_")[0].split("@")[0].split(".")[0]
+        base = loc.split("@")[0].split(".")[0]
+        lang = base.split("_")[0]
+        region = base.split("_")[1] if "_" in base else ""
+        # region-scoped tailorings (fr_CA backward accents) beat the
+        # bare-language lookup
+        key = f"{lang}_{region}" if f"{lang}_{region}" in _TAILORING_SPECS \
+            else lang
     if key not in _TAILORING_SPECS:
         return None
     built = _TAILORINGS.get(key)
@@ -1342,6 +1391,11 @@ def _tailoring_for(locale: str) -> dict | None:
 def _tailored_sort_key(text: str, strength: int, t: dict) -> str:
     d = unicodedata.normalize("NFC", text)
     case_map, weights, contract = t["case"], t["weights"], t["contract"]
+    # Backward-secondary comparison is positional: unaccented base
+    # characters must contribute the UCA common weight (0x20, below
+    # any combining mark) so that reversing the level makes the LAST
+    # accent difference decide — côte < coté needs the commons.
+    sec_common = 0x20 if t["backwards2"] else None
     primary: list[int] = []
     secondary: list[int] = []
     tertiary: list[int] = []
@@ -1349,14 +1403,23 @@ def _tailored_sort_key(text: str, strength: int, t: dict) -> str:
     while i < n:
         ch = d[i]
         if contract and i + 1 < n:
-            hit = contract.get((ch + d[i + 1]).casefold())
+            # longest match first: Hungarian dzs must beat dz
+            hit, clen = None, 0
+            for length in (3, 2):
+                if i + length <= n:
+                    hit = contract.get(d[i : i + length].casefold())
+                    if hit is not None:
+                        clen = length
+                        break
             if hit is not None:
                 pw, sm = hit
                 primary.extend(pw)
+                if sec_common is not None:
+                    secondary.append(sec_common)
                 if sm is not None:
                     secondary.append(sm)
                 tertiary.append(1 if ch != ch.casefold() else 0)
-                i += 2
+                i += clen
                 continue
         if unicodedata.combining(ch):
             secondary.append(ord(ch))
@@ -1369,6 +1432,8 @@ def _tailored_sort_key(text: str, strength: int, t: dict) -> str:
         if hit is not None:
             pw, sm = hit
             primary.extend(pw)
+            if sec_common is not None:
+                secondary.append(sec_common)
             if sm is not None:
                 secondary.append(sm)
             tertiary.append(case_bit)
@@ -1380,8 +1445,14 @@ def _tailored_sort_key(text: str, strength: int, t: dict) -> str:
                 continue
             for fc in sub.casefold():
                 primary.append(ord(fc) * 16)
+            if sec_common is not None:
+                secondary.append(sec_common)
             tertiary.append(case_bit)
         i += 1
+    if t["backwards2"]:
+        # CLDR [backwards 2] (French-Canadian): the LAST accent
+        # difference decides the secondary comparison
+        secondary.reverse()
     parts = ["".join(f"{p:07x}" for p in primary)]
     if strength >= 2:
         parts.append("".join(f"{s:06x}" for s in secondary))
@@ -1416,7 +1487,8 @@ def collation_sort_key(
     2 = case-insensitive, 3 = full).
 
     `locale` applies the CLDR tailorings in `_TAILORING_SPECS` when
-    the language is covered (sv/no/da/tr/es/cs + de phonebook); those
+    the language is covered (sv/no/da/tr/es/cs/pl/ro/hu/lt/et/is/vi +
+    de phonebook + fr-CA backward accents); those
     keys use a scaled primary space and are comparable only among
     keys of the SAME (locale, strength) — ICU's own contract. Any
     other locale falls back to the root key."""
@@ -1457,8 +1529,10 @@ def _collation(
     approximation above; the highest-frequency CLDR locale tailorings
     (Swedish/Norwegian/Danish å-block, Turkish dotted/dotless I and
     extra letters, Spanish ñ, Czech ch digraph, German phonebook
-    ä->ae) are applied directly from the public CLDR rules for those
-    locales — see `_TAILORING_SPECS`; other locales use the root key
+    ä->ae, Polish/Romanian/Hungarian/Lithuanian/Estonian/Icelandic/
+    Vietnamese letter orders incl. the Hungarian digraph contractions,
+    and French-Canadian [backwards 2] accent comparison) are applied
+    directly from the public CLDR rules for those locales — see `_TAILORING_SPECS`; other locales use the root key
     (the remaining, now much narrower, no-ICU gap)."""
 
     def run(texts: Sequence[str]):
