@@ -30,8 +30,11 @@ Boundaries (all raise with a clear message, nothing silently degrades):
   pyarrow modular decryption) — but one sealed with
   external_key_material=True (rotation sidecars) stays on the cluster
   path (pyarrow's python binding cannot locate sidecar key material);
-- incremental (multi-segment) dirs need the cluster merge — refused
-  with a pointer to consolidate_job;
+- incremental (multi-segment) dirs serve embedded through
+  `LocalMergedIndex` (doc-id-disjoint segment tables concatenated —
+  the DirectoryReader-over-SubReaders analogue) with the same
+  config-homogeneity contract the cluster merge enforces;
+  `HotEngine.refresh()` gives reopen semantics over them;
 - the few shapes the hot path itself does not serve (GranularRange on
   a dictionary-only column) have no cluster to fall back to here;
 - `EmbeddedEngine` exposes ONLY the scoring-math surface of
@@ -52,14 +55,18 @@ from iresearch_spark.search.scorers import get_scorer
 _BLOB_COLS = ("docs", "dls")
 
 
-def _parquet_files(path: str) -> list[str]:
+def _parquet_files(path: str | list[str]) -> list[str]:
     """All data files of one saved table dir (Spark writes _SUCCESS
     markers next to them; a postings dir nests `_tb=N/` hive subdirs —
-    recursive glob covers both layouts)."""
-    files = sorted(
-        glob.glob(os.path.join(glob.escape(path), "**", "*.parquet"),
-                  recursive=True)
-    )
+    recursive glob covers both layouts). A LIST of dirs concatenates
+    their files in dir order (the multi-segment merged view)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    files: list[str] = []
+    for p in paths:
+        files.extend(sorted(
+            glob.glob(os.path.join(glob.escape(p), "**", "*.parquet"),
+                      recursive=True)
+        ))
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
     return files
@@ -225,6 +232,7 @@ class LocalIndex:
         self.path = path
         self.manifest = manifest
         self._dec = decryption
+        self.manifest_version = None  # set by the incremental loader
         self.field_stats = FieldStats(
             n_docs=manifest["n_docs"],
             total_term_freq=manifest["total_term_freq"],
@@ -283,25 +291,186 @@ class LocalIndex:
         vocabulary rows only) plus the EXACT docs+dls blob byte count
         over ALL rows — the same number the Spark path's length-sum agg
         produces for the budget check and memory_stats."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        t = LocalTable(os.path.join(self.path, "postings"), None, self._dec)
-        have = set(t.columns)
-        read = [c for c in cols if c in have]
-        tbl = t.select(*read).toArrow()
-        size = sum(
-            int(pc.sum(pc.binary_length(tbl.column(c))).as_py() or 0)
-            for c in _BLOB_COLS
+        return _postings_arrow_one(
+            os.path.join(self.path, "postings"), cols, self._dec
         )
-        for c in cols:
-            if c not in have:
-                # pre-round-5 index without the impacts column: null-fill
-                # so the ingest sees one schema (WAND uses the loose
-                # (max_freq, min_dl) bound then, same as the Spark load)
-                tbl = tbl.append_column(c, pa.nulls(tbl.num_rows))
-        tbl = tbl.filter(pc.invert(pc.equal(tbl.column("term"), "")))
-        return tbl.select(cols), size
+
+
+def _postings_arrow_one(postings_dir: str, cols: list[str], dec):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = LocalTable(postings_dir, None, dec)
+    have = set(t.columns)
+    read = [c for c in cols if c in have]
+    tbl = t.select(*read).toArrow()
+    size = sum(
+        int(pc.sum(pc.binary_length(tbl.column(c))).as_py() or 0)
+        for c in _BLOB_COLS
+    )
+    for c in cols:
+        if c not in have:
+            # pre-round-5 index without the impacts column: null-fill
+            # so the ingest sees one schema (WAND uses the loose
+            # (max_freq, min_dl) bound then, same as the Spark load)
+            tbl = tbl.append_column(c, pa.nulls(tbl.num_rows))
+    tbl = tbl.filter(pc.invert(pc.equal(tbl.column("term"), "")))
+    return tbl.select(cols), size
+
+
+class LocalMergedIndex(LocalIndex):
+    """Merged multi-segment view of an IncrementalIndexer directory for
+    the embedded path — the pyarrow twin of `IncrementalIndexer.read`'s
+    one-flat-scan DirectoryReader analogue. Doc-id disjointness across
+    segments is the incremental manifest's contract, so CONCATENATING
+    the per-segment tables IS the merged index: the hot ingest's
+    (term, first_doc) sort interleaves every term's blocks across
+    segments into one first_doc-ordered block list, per-term df/cf
+    fall out of the same block sums the single-segment replica uses,
+    and field stats (N, total_term_freq) are summed from the segment
+    manifests. The same homogeneity contract as the cluster read is
+    enforced (positions/offsets/payloads/analyzer/norm must agree);
+    the granular numeric dictionary unions only when every segment
+    carries an identical layout (else GranularRange serves through the
+    stored-column tier, identical semantics). Delete masks union
+    across the segments that have them."""
+
+    def __init__(
+        self,
+        root: str,
+        seg_paths: list[str],
+        sub_manifests: list[dict],
+        decryption: EmbeddedDecryption | None = None,
+        version: int | None = None,
+    ):
+        first = sub_manifests[0]
+        for key in ("with_positions", "with_offsets", "with_payloads",
+                    "analyzer", "norm"):
+            vals = {str(m.get(key, False)) for m in sub_manifests}
+            if len(vals) > 1:
+                raise ValueError(
+                    f"segments disagree on {key!r}: {sorted(vals)}; "
+                    "consolidate or rebuild before serving a merged view"
+                )
+        max_dls = [m.get("max_dl") for m in sub_manifests]
+        metas = [m.get("numeric_meta") for m in sub_manifests]
+        steps = {m.get("precision_step", 64) for m in sub_manifests}
+        num_ok = (
+            all(metas)
+            and len({json.dumps(x, sort_keys=True) for x in metas}) == 1
+            and len(steps) == 1
+        )
+        merged = {
+            "n_docs": sum(m["n_docs"] for m in sub_manifests),
+            "total_term_freq": sum(
+                m["total_term_freq"] for m in sub_manifests
+            ),
+            "max_dl": (
+                max(max_dls) if all(d is not None for d in max_dls) else None
+            ),
+            "norm": first.get("norm", "norm2"),
+            "with_positions": first["with_positions"],
+            "with_offsets": first.get("with_offsets", False),
+            "with_payloads": first.get("with_payloads", False),
+            "analyzer": first.get("analyzer"),
+            "numeric_meta": metas[0] if num_ok else None,
+            "precision_step": next(iter(steps)) if num_ok else 64,
+            # a merged view never preserves a per-segment sort order
+            "sort_field": None,
+            "has_deleted": any(m.get("has_deleted") for m in sub_manifests),
+        }
+        super().__init__(root, merged, decryption)
+        self._seg_paths = list(seg_paths)
+        self.manifest_version = version
+        self.docs = LocalTable(
+            [os.path.join(p, "docs") for p in seg_paths], None, decryption
+        )
+        del_dirs = [
+            os.path.join(p, "deleted")
+            for p, m in zip(seg_paths, sub_manifests)
+            if m.get("has_deleted")
+        ]
+        self.deleted = (
+            LocalTable(del_dirs, None, decryption) if del_dirs else None
+        )
+        self.num_terms = (
+            LocalTable(
+                [os.path.join(p, "num_terms") for p in seg_paths],
+                None,
+                decryption,
+            )
+            if num_ok
+            else None
+        )
+
+    def postings_meta_blob_bytes(self) -> int:
+        saved_path = self.path
+        total = 0
+        try:
+            for p in self._seg_paths:
+                self.path = p
+                total += super().postings_meta_blob_bytes()
+        finally:
+            self.path = saved_path
+        return total
+
+    def postings_arrow(self, cols: list[str]):
+        import pyarrow as pa
+
+        tables, size = [], 0
+        for p in self._seg_paths:
+            tbl, sz = _postings_arrow_one(
+                os.path.join(p, "postings"), cols, self._dec
+            )
+            tables.append(tbl)
+            size += sz
+        # permissive promotion unifies null-filled impact columns from
+        # pre-impacts segments with typed ones from newer segments
+        return pa.concat_tables(tables, promote_options="permissive"), size
+
+
+def load_local_incremental(path: str, encryption=None) -> LocalIndex:
+    """An IncrementalIndexer directory (manifest.json with `segments`)
+    -> the merged embedded view. Single-segment manifests collapse to
+    a plain LocalIndex over that segment."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    segs = manifest.get("segments", [])
+    if not segs:
+        raise ValueError(
+            f"{path} is an incremental index with no committed segments"
+        )
+    seg_paths = [os.path.join(path, "segments", s["id"]) for s in segs]
+    subs = []
+    for p in seg_paths:
+        with open(os.path.join(p, "manifest.json")) as f:
+            subs.append(json.load(f))
+    encs = [m.get("encryption") for m in subs]
+    if any(encs):
+        if not all(encs):
+            raise ValueError(
+                "mixed encrypted and plaintext segments — consolidate "
+                "before serving embedded"
+            )
+        if encryption is None:
+            raise ValueError(
+                "segments are encrypted: pass encryption= with the "
+                "master keys (decrypted in-process via pyarrow)"
+            )
+        if any(e.get("external_key_material") for e in encs):
+            raise ValueError(
+                "a segment was sealed with external_key_material=True "
+                "(key rotation sidecars): pyarrow cannot read sidecar "
+                "key material from python — serve through the cluster "
+                "path"
+            )
+    dec = EmbeddedDecryption(encryption) if any(encs) else None
+    version = manifest.get("version")
+    if len(seg_paths) == 1:
+        idx = load_local_index(seg_paths[0], encryption)
+        idx.manifest_version = version
+        return idx
+    return LocalMergedIndex(path, seg_paths, subs, dec, version=version)
 
 
 def load_local_index(path: str, encryption=None) -> LocalIndex:
@@ -315,16 +484,18 @@ def load_local_index(path: str, encryption=None) -> LocalIndex:
     if not os.path.exists(os.path.join(path, "manifest.json")):
         if os.path.isdir(os.path.join(path, "segments")):
             raise ValueError(
-                f"{path} is an INCREMENTAL index dir (segments/): the "
-                "multi-segment merged view needs Spark — consolidate "
-                "it first (jobs/consolidate_job.py) and serve the "
-                "compacted dir embedded"
+                f"{path} is an INCREMENTAL index dir (segments/) whose "
+                "manifest.json is missing — no committed segments yet"
             )
         raise FileNotFoundError(
             f"{path} has no manifest.json — not a saved index dir"
         )
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
+    if "segments" in manifest:
+        # an IncrementalIndexer dir: serve the merged multi-segment
+        # view (the embedded DirectoryReader-over-SubReaders analogue)
+        return load_local_incremental(path, encryption)
     if "snapshot_pointer" in manifest:
         snaps = {s["id"]: s for s in InvertedIndex._read_snapshot_log(path)}
         sid = manifest["snapshot_pointer"]

@@ -75,6 +75,31 @@ _SPAN_CAP = 64
 _EXPANSION_LEAVES = (ast.Prefix, ast.Wildcard, ast.Range, ast.Fuzzy)
 
 
+def _dir_fingerprint(path: str):
+    """Commit-state fingerprint of a saved index dir for refresh():
+    the incremental manifest's version (plus segment ids) when there
+    is one, else the manifest file's (mtime_ns, size) — both change on
+    every commit/overwrite and cost one stat + at most one small JSON
+    read."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "manifest.json")
+    try:
+        st = os.stat(mpath)
+    except FileNotFoundError:
+        return None
+    base = (st.st_mtime_ns, st.st_size)
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return base
+    if "segments" in m:
+        return (m.get("version"), tuple(s["id"] for s in m["segments"]))
+    return base
+
+
 class HotEngine:
     """In-driver replica of an index's postings for low-latency
     serving. Construct from a SearchEngine (one collect); query with
@@ -161,7 +186,7 @@ class HotEngine:
             load_local_index,
         )
 
-        return cls(
+        eng = cls(
             EmbeddedEngine(
                 load_local_index(path, encryption=encryption),
                 scorer=scorer,
@@ -170,6 +195,50 @@ class HotEngine:
             ),
             max_bytes=max_bytes,
         )
+        eng._source = {
+            "path": path,
+            "kwargs": dict(
+                scorer=scorer,
+                score_dtype=score_dtype,
+                scored_terms_limit=scored_terms_limit,
+                max_bytes=max_bytes,
+                encryption=encryption,
+            ),
+            "fingerprint": _dir_fingerprint(path),
+        }
+        return eng
+
+    def refresh(self) -> bool:
+        """Reopen semantics for a `from_dir` replica (the reference's
+        `directory_reader` reopen, core/index/directory_reader.hpp):
+        re-check the source directory's commit state — the incremental
+        manifest version for IncrementalIndexer dirs, the manifest
+        file's (mtime, size) for batch saves and snapshot pointers —
+        and rebuild the replica when it changed. Returns True when the
+        replica was rebuilt, False when it was already current.
+
+        Reopen granularity is the whole replica (a fresh pin, measured
+        in seconds at ~1M posting blocks), not the reference's
+        per-new-segment increment — the lazy columnar ingest makes a
+        full re-pin cheap enough that segment-granular patching of the
+        sorted in-memory arrays isn't worth its complexity. The swap
+        is a single attribute-dict update: queries already running on
+        another thread finish against the old arrays; queries issued
+        after refresh() returns see the new commit."""
+        src = getattr(self, "_source", None)
+        if src is None:
+            raise ValueError(
+                "refresh() requires a replica built with from_dir (a "
+                "Spark-built HotEngine re-pins by reconstructing from "
+                "its SearchEngine)"
+            )
+        fp = _dir_fingerprint(src["path"])
+        if fp == src["fingerprint"]:
+            return False
+        fresh = type(self).from_dir(src["path"], **src["kwargs"])
+        self.__dict__.clear()
+        self.__dict__.update(fresh.__dict__)
+        return True
 
     def _ingest(self, tbl, cols, aux_cols, index):
         import pyarrow.compute as pc
