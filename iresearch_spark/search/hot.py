@@ -100,6 +100,28 @@ def _dir_fingerprint(path: str):
     return base
 
 
+def _multifield_fingerprint(path: str):
+    """multifield.json's (mtime, size) plus each field's manifest
+    fingerprint, in sorted field order."""
+    import json
+    import os
+
+    mf = os.path.join(path, "multifield.json")
+    try:
+        st = os.stat(mf)
+        with open(mf) as f:
+            fields = sorted(json.load(f)["fields"])
+    except (OSError, ValueError, KeyError):
+        return None
+    return (
+        (st.st_mtime_ns, st.st_size),
+        tuple(
+            _dir_fingerprint(os.path.join(path, f"field={f}"))
+            for f in fields
+        ),
+    )
+
+
 class HotEngine:
     """In-driver replica of an index's postings for low-latency
     serving. Construct from a SearchEngine (one collect); query with
@@ -1705,7 +1727,7 @@ class HotMultiFieldEngine:
         see HotEngine.from_dir for the embedded-path boundaries."""
         from iresearch_spark.search.embedded import load_local_multifield
 
-        return cls(
+        eng = cls(
             load_local_multifield(path)(
                 scorer=scorer,
                 score_dtype=score_dtype,
@@ -1713,6 +1735,35 @@ class HotMultiFieldEngine:
             ),
             max_bytes=max_bytes,
         )
+        eng._source = {
+            "path": path,
+            "kwargs": dict(
+                scorer=scorer,
+                score_dtype=score_dtype,
+                scored_terms_limit=scored_terms_limit,
+                max_bytes=max_bytes,
+            ),
+            "fingerprint": _multifield_fingerprint(path),
+        }
+        return eng
+
+    def refresh(self) -> bool:
+        """Reopen semantics over a from_dir multifield replica: the
+        fingerprint covers multifield.json plus every field's manifest,
+        so a re-save of any field (or a field-set change) triggers one
+        full re-pin swap. See HotEngine.refresh for the semantics."""
+        src = getattr(self, "_source", None)
+        if src is None:
+            raise ValueError(
+                "refresh() requires a replica built with from_dir"
+            )
+        fp = _multifield_fingerprint(src["path"])
+        if fp == src["fingerprint"]:
+            return False
+        fresh = type(self).from_dir(src["path"], **src["kwargs"])
+        self.__dict__.clear()
+        self.__dict__.update(fresh.__dict__)
+        return True
 
     def _route(self, query: ast.Node):
         if isinstance(query, ast.Field):

@@ -164,3 +164,29 @@ def test_refresh_requires_from_dir(spark, tmp_path):
     hot = HotEngine(eng)
     with pytest.raises(ValueError, match="from_dir"):
         hot.refresh()
+
+
+def test_multifield_refresh(spark, tmp_path):
+    from iresearch_spark.index.multifield import build_multi_field_index
+    from iresearch_spark.search.hot import HotMultiFieldEngine
+    from iresearch_spark.search.ast import Field
+
+    d = str(tmp_path / "mf")
+    df = spark.createDataFrame(
+        [(i, f"title{i % 3} alpha", f"body{i % 5} beta") for i in range(20)],
+        "doc_id long, title string, body string",
+    )
+    build_multi_field_index(df, fields=["title", "body"], sort_key="doc_id").save(d)
+    emb = HotMultiFieldEngine.from_dir(d)
+    assert emb.refresh() is False
+    got = emb.search(Field("title", Term("alpha")), k=30)
+    assert len(got) == 20
+    # re-save with more docs -> refresh picks it up
+    df2 = spark.createDataFrame(
+        [(i, f"title{i % 3} alpha", f"body{i % 5} beta") for i in range(28)],
+        "doc_id long, title string, body string",
+    )
+    build_multi_field_index(df2, fields=["title", "body"], sort_key="doc_id").save(d)
+    os.utime(os.path.join(d, "field=title", "manifest.json"))
+    assert emb.refresh() is True
+    assert len(emb.search(Field("title", Term("alpha")), k=40)) == 28
