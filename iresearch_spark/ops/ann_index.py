@@ -258,3 +258,131 @@ class IvfIndex:
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank")
         )
+
+
+class EmbeddedIvfIndex:
+    """Spark-free reader over an `ivf_save` directory — the ANN
+    analogue of `search/embedded.py`'s hot text serving: a serving
+    host needs only Python + pyarrow + numpy. The probed-cell
+    partition pruning becomes literal directory selection (only
+    `cells/cid=<n>/` dirs of the probed cells are ever opened — the
+    same I/O shape Spark's partition filter produces), and every
+    arithmetic step (integer quantization, centroid ranking with
+    ties to the lower cell id, per-cell cosine top-k with
+    (cosine desc, neighbor asc) order) replays `IvfIndex.search`
+    exactly, so results are identical row-for-row."""
+
+    def __init__(self, path: str):
+        import glob as _glob
+
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.path = path
+        cent = ds.dataset(
+            sorted(_glob.glob(os.path.join(
+                _glob.escape(os.path.join(path, "centroids")),
+                "**", "*.parquet"), recursive=True)),
+            format="parquet",
+        ).to_table()
+        q = self.manifest["quantize"]
+        cvecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in
+             cent.column("cvec").to_pylist()]
+        )
+        self._C = _quant_np(cvecs, q)
+        self._cids = np.array(cent.column("cid").to_pylist(), dtype=np.int64)
+        self._cnorm = np.sqrt((self._C * self._C).sum(axis=1).astype(float))
+        self.last_read_cells: list[int] = []
+
+    def _cell_table(self, cid: int):
+        import glob as _glob
+
+        import pyarrow.dataset as ds
+
+        files = sorted(_glob.glob(os.path.join(
+            _glob.escape(os.path.join(self.path, "cells", f"cid={cid}")),
+            "*.parquet")))
+        if not files:
+            return None
+        return ds.dataset(files, format="parquet").to_table(
+            columns=["id", "vec"]
+        )
+
+    def search(
+        self,
+        queries,
+        k: int = 5,
+        n_probe: int = 4,
+        exclude_same_id: bool = True,
+    ) -> list[tuple]:
+        """`queries` is [(query_id, vector), ...] (or a dict id->vec);
+        returns [(query_id, neighbor_id, cosine, rank), ...] sorted by
+        (query_id, rank) — the collected rows of `IvfIndex.search`."""
+        import numpy as np
+
+        if isinstance(queries, dict):
+            queries = sorted(queries.items())
+        if not queries:
+            return []
+        quantize = self.manifest["quantize"]
+        q_ids = np.array([int(i) for i, _ in queries], dtype=np.int64)
+        Q = _quant_np(
+            np.array([np.asarray(v, dtype=np.float64) for _, v in queries]),
+            quantize,
+        )
+        q_norm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        sim = (Q @ self._C.T).astype(np.float64) / (
+            q_norm[:, None] * self._cnorm[None, :]
+        )
+        order = np.lexsort(
+            (np.broadcast_to(self._cids, sim.shape), -sim), axis=1
+        )
+        probe_cells = order[:, : min(n_probe, len(self._cids))]
+        probed: dict[int, list[int]] = {}
+        for qi in range(len(q_ids)):
+            for c in probe_cells[qi]:
+                probed.setdefault(int(self._cids[c]), []).append(qi)
+        self.last_read_cells = sorted(probed)
+        cand: dict[int, list] = {qi: [] for qi in range(len(q_ids))}
+        for cell in self.last_read_cells:
+            tbl = self._cell_table(cell)
+            if tbl is None or tbl.num_rows == 0:
+                continue
+            ids = np.asarray(tbl.column("id").to_pylist(), dtype=np.int64)
+            V = _quant_np(
+                np.array([np.asarray(v, dtype=np.float64)
+                          for v in tbl.column("vec").to_pylist()]),
+                quantize,
+            )
+            vnorm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            qis = probed[cell]
+            Qs = Q[qis]
+            cos = (V @ Qs.T).astype(np.float64) / (
+                vnorm[:, None] * q_norm[qis][None, :]
+            )
+            for col_j, qi in enumerate(qis):
+                col = cos[:, col_j]
+                mask = np.isfinite(col)
+                if exclude_same_id:
+                    mask &= ids != q_ids[qi]
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                take = min(k, idx.size)
+                sel = idx[np.lexsort((ids[idx], -col[idx]))[:take]]
+                cand[qi].append((ids[sel], col[sel]))
+        out: list[tuple] = []
+        for qi in range(len(q_ids)):
+            if not cand[qi]:
+                continue
+            nid = np.concatenate([a for a, _ in cand[qi]])
+            cos = np.concatenate([b for _, b in cand[qi]])
+            sel = np.lexsort((nid, -cos))[:k]
+            for rank, j in enumerate(sel, start=1):
+                out.append(
+                    (int(q_ids[qi]), int(nid[j]), float(cos[j]), rank)
+                )
+        return out
