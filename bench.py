@@ -242,6 +242,24 @@ def main():
         for _ in range(repeat)
     )
     queries["ann_topk_join"] = t
+
+    # persisted IVF + the Spark-free serving tier: one cell-partitioned
+    # save, then EmbeddedIvfIndex answers query batches from the probed
+    # cid= dirs with pyarrow alone (the ANN analogue of embedded_qps)
+    from iresearch_spark.ops.ann_index import EmbeddedIvfIndex, ivf_save
+
+    ivf_dir = os.path.join(tempfile.mkdtemp(prefix="ivfbench"), "ivf")
+    t, _ = timed(lambda: ivf_save(emb, ivf_dir, n_centroids=16))
+    queries["ann_ivf_save"] = t
+    eivf = EmbeddedIvfIndex(ivf_dir)
+    q_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") % 50 == 0).collect()
+    ]
+    eivf.search(q_rows[:2], k=5, n_probe=2)  # warm the page cache
+    t, _ = timed(lambda: eivf.search(q_rows, k=5, n_probe=2))
+    extra["embedded_ivf_qps"] = round(len(q_rows) / max(t, 1e-9), 1)
+
     from iresearch_spark.ops import textstats
 
     t = min(

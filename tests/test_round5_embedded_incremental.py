@@ -190,3 +190,28 @@ def test_multifield_refresh(spark, tmp_path):
     os.utime(os.path.join(d, "field=title", "manifest.json"))
     assert emb.refresh() is True
     assert len(emb.search(Field("title", Term("alpha")), k=40)) == 28
+
+
+def test_embedded_encrypted_incremental(spark, tmp_path):
+    """Sealed multi-segment dirs serve embedded: the merged view
+    decrypts in-process through EmbeddedDecryption, unkeyed loads fail
+    fast, results match the keyed cluster merged view."""
+    from iresearch_spark.index.encryption import IndexEncryption, _kms_jar_path
+
+    if _kms_jar_path() is None:
+        pytest.skip("jars/iresearch-kms.jar not built")
+    enc = IndexEncryption({"k0": b"0123456789abcdef"})
+    d = str(tmp_path / "einc")
+    ix = IncrementalIndexer(index_dir=d, bucket_bits=7, encryption=enc)
+    ix.process_batch(_batch(spark, "u", "alpha secretword", 20), 0)
+    ix.process_batch(_batch(spark, "v", "alpha gamma", 15), 1)
+    with pytest.raises(ValueError, match="encrypted"):
+        HotEngine.from_dir(d)
+    emb = HotEngine.from_dir(d, encryption=enc)
+    assert len(emb.search(Term("secretword"), k=50)) == 20
+    hot = HotEngine(SearchEngine(
+        IncrementalIndexer(index_dir=d, bucket_bits=7, encryption=enc)
+        .read(spark).cache()
+    ))
+    q = Or([Term("alpha"), Term("secretword")])
+    assert emb.search(q, k=40) == hot.search(q, k=40)
