@@ -296,6 +296,11 @@ class EmbeddedIvfIndex:
         self._cids = np.array(cent.column("cid").to_pylist(), dtype=np.int64)
         self._cnorm = np.sqrt((self._C * self._C).sum(axis=1).astype(float))
         self.last_read_cells: list[int] = []
+        # lazily pinned decoded cells (ids, quantized vectors, norms):
+        # a serving replica touches each probed cell's parquet once,
+        # repeat queries hit memory — the HotEngine lazy-decode-cache
+        # pattern applied to cells
+        self._cell_cache: dict[int, tuple | None] = {}
 
     def _cell_table(self, cid: int):
         import glob as _glob
@@ -348,16 +353,24 @@ class EmbeddedIvfIndex:
         self.last_read_cells = sorted(probed)
         cand: dict[int, list] = {qi: [] for qi in range(len(q_ids))}
         for cell in self.last_read_cells:
-            tbl = self._cell_table(cell)
-            if tbl is None or tbl.num_rows == 0:
-                continue
-            ids = np.asarray(tbl.column("id").to_pylist(), dtype=np.int64)
-            V = _quant_np(
-                np.array([np.asarray(v, dtype=np.float64)
-                          for v in tbl.column("vec").to_pylist()]),
-                quantize,
-            )
-            vnorm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            if cell in self._cell_cache:
+                hit = self._cell_cache[cell]
+                if hit is None:
+                    continue
+                ids, V, vnorm = hit
+            else:
+                tbl = self._cell_table(cell)
+                if tbl is None or tbl.num_rows == 0:
+                    self._cell_cache[cell] = None
+                    continue
+                ids = np.asarray(tbl.column("id").to_pylist(), dtype=np.int64)
+                V = _quant_np(
+                    np.array([np.asarray(v, dtype=np.float64)
+                              for v in tbl.column("vec").to_pylist()]),
+                    quantize,
+                )
+                vnorm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+                self._cell_cache[cell] = (ids, V, vnorm)
             qis = probed[cell]
             Qs = Q[qis]
             cos = (V @ Qs.T).astype(np.float64) / (

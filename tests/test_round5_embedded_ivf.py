@@ -73,3 +73,19 @@ def test_embedded_ivf_empty_and_dict_queries(ivf_dir):
     assert emb.search([], k=3) == []
     as_dict = {i: v for i, v in rows[:3]}
     assert emb.search(as_dict, k=3) == emb.search(sorted(as_dict.items()), k=3)
+
+
+def test_embedded_ivf_cell_cache(ivf_dir, monkeypatch):
+    d, rows = ivf_dir
+    emb = EmbeddedIvfIndex(d)
+    first = emb.search(rows[:5], k=4, n_probe=2)
+    reads = []
+    orig = EmbeddedIvfIndex._cell_table
+    monkeypatch.setattr(
+        EmbeddedIvfIndex, "_cell_table",
+        lambda self, cid: (reads.append(cid), orig(self, cid))[1],
+    )
+    again = emb.search(rows[:5], k=4, n_probe=2)
+    assert again == first
+    # every probed cell was already pinned -> zero parquet reads
+    assert reads == []
