@@ -74,8 +74,28 @@ def _query_embedded(args):
                        qt.column(vec_col).to_pylist()))
     rows = idx.search(queries, k=args.k, n_probe=args.n_probe)
     print(f"probed cells: {idx.last_read_cells}")
-    for qid, nid, cos, rank in rows:
-        print(f"{qid}\t{rank}\t{nid}\t{cos:.6f}")
+    if args.output:
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _os.makedirs(args.output, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "query_id": [r[0] for r in rows],
+                    "neighbor_id": [r[1] for r in rows],
+                    "cosine": [r[2] for r in rows],
+                    "rank": [r[3] for r in rows],
+                }
+            ),
+            _os.path.join(args.output, "results.parquet"),
+        )
+        print(f"results written: {args.output}/results.parquet")
+    else:
+        for qid, nid, cos, rank in rows:
+            print(f"{qid}\t{rank}\t{nid}\t{cos:.6f}")
     print(f"{len(rows)} result rows over {len(queries)} queries")
 
 
