@@ -89,3 +89,19 @@ def test_embedded_ivf_cell_cache(ivf_dir, monkeypatch):
     assert again == first
     # every probed cell was already pinned -> zero parquet reads
     assert reads == []
+
+
+def test_embedded_ivf_kmeans_variant(spark, tmp_path):
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(150)]
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = str(tmp_path / "ivfkm")
+    ivf_save(emb_df, d, n_centroids=5, centroids="kmeans")
+    emb = EmbeddedIvfIndex(d)
+    got = sorted(emb.search(rows[::31], k=4, n_probe=2))
+    q = spark.createDataFrame(rows[::31], "vec_id long, embedding array<double>")
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in IvfIndex.load(spark, d).search(q, k=4, n_probe=2).collect()
+    )
+    assert got == want
