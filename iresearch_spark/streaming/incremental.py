@@ -59,6 +59,11 @@ class IncrementalIndexer:
     # the merged view unions them when every segment agrees
     numeric_fields: list | None = None
     precision_step: int = 64
+    # OFFS / PAY occurrence streams per segment (index_features.hpp):
+    # the merged read enforces homogeneity, so highlight()/payloads()
+    # work over streaming indexes exactly like batch saves
+    with_offsets: bool = False
+    payload_delimiter: str | None = None
     # at-rest encryption provider (index.encryption.IndexEncryption):
     # every segment's tables are sealed with Parquet Modular
     # Encryption exactly like a batch save(encryption=); the merged
@@ -118,6 +123,8 @@ class IncrementalIndexer:
             id_base=base,
             numeric_fields=self.numeric_fields,
             precision_step=self.precision_step,
+            with_offsets=self.with_offsets,
+            payload_delimiter=self.payload_delimiter,
         )
         seg_path = os.path.join(self.index_dir, "segments", seg_id)
         idx.save(seg_path, encryption=self.encryption)

@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--sort-key", default="url")
     ap.add_argument("--seg-bits", type=int, default=16)
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--with-offsets", action="store_true",
+                    help="store per-occurrence char spans (OFFS) for "
+                    "SearchEngine.highlight()")
+    ap.add_argument("--payload-delimiter", default=None,
+                    help="delimited-payload convention: token suffix "
+                    "after the LAST delimiter = per-occurrence payload "
+                    "bytes (PAY stream, SearchEngine.payloads())")
     ap.add_argument("--incremental", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     # sorted index (Comparer analogue): lay doc ids out in
@@ -77,6 +84,8 @@ def main():
             text_col=args.text_col,
             sort_key=args.sort_key,
             with_positions=not args.no_positions,
+            with_offsets=args.with_offsets,
+            payload_delimiter=args.payload_delimiter,
             encryption=enc,
         )
         q = ix.start(stream, checkpoint_dir=args.checkpoint or args.output + "_ckpt")
@@ -101,6 +110,8 @@ def main():
         sort_key=args.sort_key if args.id_col is None else None,
         analyzer=analyzer,
         with_positions=not args.no_positions,
+        with_offsets=args.with_offsets,
+        payload_delimiter=args.payload_delimiter,
         seg_bits=args.seg_bits,
         sort_field=args.sort_field,
         sort_ascending=not args.sort_desc,

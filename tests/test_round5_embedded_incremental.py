@@ -215,3 +215,32 @@ def test_embedded_encrypted_incremental(spark, tmp_path):
     ))
     q = Or([Term("alpha"), Term("secretword")])
     assert emb.search(q, k=40) == hot.search(q, k=40)
+
+
+def test_incremental_offsets_payloads_end_to_end(spark, tmp_path):
+    """Streaming segments now carry the OFFS/PAY occurrence streams:
+    highlight()/payloads() work over the merged multi-segment view,
+    cluster and embedded alike."""
+    d = str(tmp_path / "offs")
+    ix = IncrementalIndexer(
+        index_dir=d, bucket_bits=7, with_offsets=True,
+        payload_delimiter="|",
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "url string, text string")
+    ix.process_batch(mk([("u0", "alpha|p0 beta"), ("u1", "beta alpha|p1")]), 0)
+    ix.process_batch(mk([("v0", "gamma alpha|p2")]), 1)
+    idx = ix.read(spark).cache()
+    eng = SearchEngine(idx)
+    hl = {(r["doc_id"], r["start"], r["length"])
+          for r in eng.highlight(["beta"]).collect()}
+    assert hl  # spans exist for both segments' docs
+    docs_with_beta = {r[0] for r in hl}
+    assert len(docs_with_beta) == 2
+    pays = {(r["doc_id"], bytes(r["payload"]))
+            for r in eng.payloads(["alpha"]).collect()}
+    assert {p for _, p in pays} == {b"p0", b"p1", b"p2"}
+    # embedded merged replica serves the same rows
+    emb = HotEngine.from_dir(d)
+    hot = HotEngine(SearchEngine(idx))
+    assert emb.highlight(["beta"]) == hot.highlight(["beta"])
+    assert emb.payloads(["alpha"]) == hot.payloads(["alpha"])
