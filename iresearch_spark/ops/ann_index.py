@@ -351,7 +351,11 @@ class EmbeddedIvfIndex:
             for c in probe_cells[qi]:
                 probed.setdefault(int(self._cids[c]), []).append(qi)
         self.last_read_cells = sorted(probed)
-        cand: dict[int, list] = {qi: [] for qi in range(len(q_ids))}
+        # candidates accumulate by QUERY ID (not input position): the
+        # Spark path's final window partitions by query_id, so
+        # duplicate ids in one batch merge into one ranked group there
+        # — mirror that exactly
+        cand: dict[int, list] = {int(q): [] for q in q_ids}
         for cell in self.last_read_cells:
             if cell in self._cell_cache:
                 hit = self._cell_cache[cell]
@@ -386,16 +390,14 @@ class EmbeddedIvfIndex:
                     continue
                 take = min(k, idx.size)
                 sel = idx[np.lexsort((ids[idx], -col[idx]))[:take]]
-                cand[qi].append((ids[sel], col[sel]))
+                cand[int(q_ids[qi])].append((ids[sel], col[sel]))
         out: list[tuple] = []
-        for qi in range(len(q_ids)):
-            if not cand[qi]:
+        for qid in sorted(cand):
+            if not cand[qid]:
                 continue
-            nid = np.concatenate([a for a, _ in cand[qi]])
-            cos = np.concatenate([b for _, b in cand[qi]])
+            nid = np.concatenate([a for a, _ in cand[qid]])
+            cos = np.concatenate([b for _, b in cand[qid]])
             sel = np.lexsort((nid, -cos))[:k]
             for rank, j in enumerate(sel, start=1):
-                out.append(
-                    (int(q_ids[qi]), int(nid[j]), float(cos[j]), rank)
-                )
+                out.append((qid, int(nid[j]), float(cos[j]), rank))
         return out

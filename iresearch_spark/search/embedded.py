@@ -261,7 +261,7 @@ class LocalIndex:
 
     # ------------------------------------------------------- postings
 
-    def postings_meta_blob_bytes(self) -> int:
+    def postings_meta_blob_bytes(self, postings_dir: str | None = None) -> int:
         """Upper-bound residency estimate of the docs+dls codec blobs
         from parquet FOOTER statistics only (uncompressed column-chunk
         bytes include per-value length prefixes, so this slightly
@@ -271,7 +271,9 @@ class LocalIndex:
         import pyarrow.parquet as pq
 
         total = 0
-        for f in _parquet_files(os.path.join(self.path, "postings")):
+        for f in _parquet_files(
+            postings_dir or os.path.join(self.path, "postings")
+        ):
             meta = pq.ParquetFile(
                 f,
                 decryption_properties=(
@@ -403,16 +405,15 @@ class LocalMergedIndex(LocalIndex):
             else None
         )
 
-    def postings_meta_blob_bytes(self) -> int:
-        saved_path = self.path
-        total = 0
-        try:
-            for p in self._seg_paths:
-                self.path = p
-                total += super().postings_meta_blob_bytes()
-        finally:
-            self.path = saved_path
-        return total
+    def postings_meta_blob_bytes(self, postings_dir: str | None = None) -> int:
+        if postings_dir is not None:
+            return super().postings_meta_blob_bytes(postings_dir)
+        return sum(
+            super(LocalMergedIndex, self).postings_meta_blob_bytes(
+                os.path.join(p, "postings")
+            )
+            for p in self._seg_paths
+        )
 
     def postings_arrow(self, cols: list[str]):
         import pyarrow as pa

@@ -208,6 +208,10 @@ class HotEngine:
             load_local_index,
         )
 
+        # fingerprint BEFORE the (multi-second) pin: a commit landing
+        # mid-load must make the next refresh() rebuild, not be stamped
+        # as already-seen
+        fp = _dir_fingerprint(path)
         eng = cls(
             EmbeddedEngine(
                 load_local_index(path, encryption=encryption),
@@ -226,7 +230,7 @@ class HotEngine:
                 max_bytes=max_bytes,
                 encryption=encryption,
             ),
-            "fingerprint": _dir_fingerprint(path),
+            "fingerprint": fp,
         }
         return eng
 
@@ -244,9 +248,10 @@ class HotEngine:
         per-new-segment increment — the lazy columnar ingest makes a
         full re-pin cheap enough that segment-granular patching of the
         sorted in-memory arrays isn't worth its complexity. The swap
-        is a single attribute-dict update: queries already running on
-        another thread finish against the old arrays; queries issued
-        after refresh() returns see the new commit."""
+        is ONE rebinding of the instance attribute dict (atomic under
+        the GIL): queries already running on another thread finish
+        against the old arrays; queries issued after refresh()
+        returns see the new commit."""
         src = getattr(self, "_source", None)
         if src is None:
             raise ValueError(
@@ -258,8 +263,9 @@ class HotEngine:
         if fp == src["fingerprint"]:
             return False
         fresh = type(self).from_dir(src["path"], **src["kwargs"])
-        self.__dict__.clear()
-        self.__dict__.update(fresh.__dict__)
+        # single assignment = atomic swap; never clear-then-update,
+        # which would expose an empty dict to concurrent readers
+        self.__dict__ = dict(fresh.__dict__)
         return True
 
     def _ingest(self, tbl, cols, aux_cols, index):
@@ -1727,6 +1733,7 @@ class HotMultiFieldEngine:
         see HotEngine.from_dir for the embedded-path boundaries."""
         from iresearch_spark.search.embedded import load_local_multifield
 
+        fp = _multifield_fingerprint(path)  # BEFORE the pin (see HotEngine)
         eng = cls(
             load_local_multifield(path)(
                 scorer=scorer,
@@ -1743,7 +1750,7 @@ class HotMultiFieldEngine:
                 scored_terms_limit=scored_terms_limit,
                 max_bytes=max_bytes,
             ),
-            "fingerprint": _multifield_fingerprint(path),
+            "fingerprint": fp,
         }
         return eng
 
@@ -1761,8 +1768,9 @@ class HotMultiFieldEngine:
         if fp == src["fingerprint"]:
             return False
         fresh = type(self).from_dir(src["path"], **src["kwargs"])
-        self.__dict__.clear()
-        self.__dict__.update(fresh.__dict__)
+        # single assignment = atomic swap; never clear-then-update,
+        # which would expose an empty dict to concurrent readers
+        self.__dict__ = dict(fresh.__dict__)
         return True
 
     def _route(self, query: ast.Node):

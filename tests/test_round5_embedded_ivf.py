@@ -105,3 +105,24 @@ def test_embedded_ivf_kmeans_variant(spark, tmp_path):
         for r in IvfIndex.load(spark, d).search(q, k=4, n_probe=2).collect()
     )
     assert got == want
+
+
+def test_embedded_ivf_unsorted_and_duplicate_queries(spark, ivf_dir):
+    """Output is sorted by (query_id, rank) regardless of input order,
+    and duplicate query ids merge into ONE ranked group — the Spark
+    window's partition-by-query_id semantics."""
+    d, rows = ivf_dir
+    emb = EmbeddedIvfIndex(d)
+    a, b = rows[10], rows[3]
+    got = emb.search([a, b], k=3, n_probe=2)
+    assert got == sorted(got, key=lambda r: (r[0], r[3]))  # (qid, rank)
+    assert got[0][0] < got[-1][0]  # qid 3 rows precede qid 10 rows
+    # duplicates: same rows as the Spark path's merged window
+    dup = [a, a]
+    got_dup = emb.search(dup, k=4, n_probe=2)
+    q = spark.createDataFrame(dup, "vec_id long, embedding array<double>")
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in IvfIndex.load(spark, d).search(q, k=4, n_probe=2).collect()
+    )
+    assert sorted(got_dup) == want
