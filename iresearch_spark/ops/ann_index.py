@@ -272,7 +272,7 @@ class EmbeddedIvfIndex:
     (cosine desc, neighbor asc) order) replays `IvfIndex.search`
     exactly, so results are identical row-for-row."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, max_cache_bytes: int = 1 << 30):
         import glob as _glob
 
         import numpy as np
@@ -299,8 +299,14 @@ class EmbeddedIvfIndex:
         # lazily pinned decoded cells (ids, quantized vectors, norms):
         # a serving replica touches each probed cell's parquet once,
         # repeat queries hit memory — the HotEngine lazy-decode-cache
-        # pattern applied to cells
+        # pattern applied to cells. Pinning is budgeted: once
+        # max_cache_bytes of decoded cells are resident, further cells
+        # serve uncached (re-read per query) instead of growing the
+        # replica unboundedly — size the budget like HotEngine's
+        # max_bytes
         self._cell_cache: dict[int, tuple | None] = {}
+        self._cache_bytes = 0
+        self._max_cache_bytes = int(max_cache_bytes)
 
     def _cell_table(self, cid: int):
         import glob as _glob
@@ -374,7 +380,10 @@ class EmbeddedIvfIndex:
                     quantize,
                 )
                 vnorm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
-                self._cell_cache[cell] = (ids, V, vnorm)
+                nbytes = ids.nbytes + V.nbytes + vnorm.nbytes
+                if self._cache_bytes + nbytes <= self._max_cache_bytes:
+                    self._cell_cache[cell] = (ids, V, vnorm)
+                    self._cache_bytes += nbytes
             qis = probed[cell]
             Qs = Q[qis]
             cos = (V @ Qs.T).astype(np.float64) / (
@@ -401,3 +410,17 @@ class EmbeddedIvfIndex:
             for rank, j in enumerate(sel, start=1):
                 out.append((qid, int(nid[j]), float(cos[j]), rank))
         return out
+
+    def memory_stats(self) -> dict:
+        """Actual decoded-cell residency of a serving replica vs its
+        budget (the HotEngine.memory_stats analogue): pack replicas
+        onto hosts by measured footprint, not guesses."""
+        return {
+            "cells_pinned": sum(
+                1 for v in self._cell_cache.values() if v is not None
+            ),
+            "cache_bytes": self._cache_bytes,
+            "budget_bytes": self._max_cache_bytes,
+            "centroid_bytes": self._C.nbytes + self._cids.nbytes
+            + self._cnorm.nbytes,
+        }

@@ -126,3 +126,20 @@ def test_embedded_ivf_unsorted_and_duplicate_queries(spark, ivf_dir):
         for r in IvfIndex.load(spark, d).search(q, k=4, n_probe=2).collect()
     )
     assert sorted(got_dup) == want
+
+
+def test_embedded_ivf_cache_budget(ivf_dir):
+    d, rows = ivf_dir
+    # tiny budget: nothing pins, results still correct and repeatable
+    small = EmbeddedIvfIndex(d, max_cache_bytes=64)
+    r1 = small.search(rows[:4], k=3, n_probe=2)
+    r2 = small.search(rows[:4], k=3, n_probe=2)
+    assert r1 == r2
+    ms = small.memory_stats()
+    assert ms["cells_pinned"] == 0 and ms["cache_bytes"] == 0
+    assert ms["budget_bytes"] == 64 and ms["centroid_bytes"] > 0
+    # default budget pins the probed cells and counts bytes
+    big = EmbeddedIvfIndex(d)
+    assert big.search(rows[:4], k=3, n_probe=2) == r1
+    ms2 = big.memory_stats()
+    assert ms2["cells_pinned"] >= 1 and ms2["cache_bytes"] > 0
