@@ -244,3 +244,50 @@ def test_incremental_offsets_payloads_end_to_end(spark, tmp_path):
     hot = HotEngine(SearchEngine(idx))
     assert emb.highlight(["beta"]) == hot.highlight(["beta"])
     assert emb.payloads(["alpha"]) == hot.payloads(["alpha"])
+
+
+def test_refresh_under_concurrent_serving(spark, tmp_path):
+    """The refresh swap is one dict rebinding: a thread pool hammering
+    search() while another thread refreshes must only ever observe the
+    old or the new commit's answers — no exceptions, no mixed state."""
+    import threading
+
+    d = str(tmp_path / "conc")
+    ix = IncrementalIndexer(index_dir=d, bucket_bits=7)
+    ix.process_batch(_batch(spark, "u", "alpha beta", 30), 0)
+    emb = HotEngine.from_dir(d)
+    old = emb.search(Term("alpha"), k=100)
+    ix.process_batch(_batch(spark, "v", "alpha zeta", 12), 1)
+    new = HotEngine.from_dir(d).search(Term("alpha"), k=100)
+    assert len(old) == 30 and len(new) == 42
+
+    errors, views = [], set()
+    stop = threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                got = emb.search(Term("alpha"), k=100)
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+                return
+            if got == old:
+                views.add("old")
+            elif got == new:
+                views.add("new")
+            else:
+                errors.append(f"mixed view: {len(got)} rows")
+                return
+
+    threads = [threading.Thread(target=hammer) for _ in range(6)]
+    for t in threads:
+        t.start()
+    assert emb.refresh() is True
+    for _ in range(3):
+        emb.refresh()  # no-op refreshes while serving
+    stop.set()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert "new" in views  # post-swap queries saw the new commit
+    assert emb.search(Term("zeta"), k=20) != []
